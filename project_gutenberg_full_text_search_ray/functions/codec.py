@@ -1,0 +1,98 @@
+"""Delta + variable-byte (VByte) posting-list codec, numpy-vectorized.
+
+The reference delegates posting-list storage to Postgres GIN
+(/root/reference/tables/mv_books_dc.sql:461-467); we own the format per the
+north rule: sorted doc ordinals are delta-encoded (first value absolute,
+then gaps) and packed as classic VByte — 7 data bits per byte, high bit set
+on the FINAL byte of each integer (Scholer et al. / IR-textbook layout).
+
+Both encode and decode are vectorized: no per-integer Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK7 = np.uint64(0x7F)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as VByte. Empty input → b''."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    # bit length via log-free loop over at most 10 shifts (64/7)
+    lengths = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        lengths[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    total = int(lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # end offset (exclusive) of each value's byte run
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    # Fill bytes: for byte slot j of value i (0-based from most significant),
+    # shift = 7*(lengths[i]-1-j). Vectorize by iterating over byte-position
+    # k = distance from the LAST byte (k=0 is last/terminator byte).
+    maxlen = int(lengths.max())
+    for k in range(maxlen):
+        sel = lengths > k  # values having a byte at distance k from the end
+        idx = ends[sel] - 1 - k
+        chunk = (v[sel] >> np.uint64(7 * k)) & _MASK7
+        b = chunk.astype(np.uint8)
+        if k == 0:
+            b |= np.uint8(0x80)  # continuation-terminator bit on final byte
+        out[idx] = b
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode VByte bytes back to a uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (raw & 0x80) != 0
+    n_vals = int(is_end.sum())
+    # group id for each byte = number of terminators strictly before it
+    gid = np.cumsum(is_end) - is_end  # 0-based group index per byte
+    data = (raw & 0x7F).astype(np.uint64)
+    # position of each byte within its group, from the END of the group:
+    ends = np.flatnonzero(is_end)  # last-byte index of each group
+    group_end = ends[gid]  # for each byte, index of its group's last byte
+    k = (group_end - np.arange(len(raw))).astype(np.uint64)  # distance from end
+    contrib = data << (np.uint64(7) * k)
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, gid, contrib)
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Sorted uint64 → [first, gap, gap, ...] (strictly increasing input)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if len(v) == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    d = np.ascontiguousarray(deltas, dtype=np.uint64)
+    return np.cumsum(d, dtype=np.uint64)
+
+
+def encode_sorted(sorted_vals: np.ndarray) -> bytes:
+    return vbyte_encode(delta_encode(sorted_vals))
+
+
+def decode_sorted(buf: bytes) -> np.ndarray:
+    return delta_decode(vbyte_decode(buf))

@@ -1,0 +1,138 @@
+"""Query-language parser mirroring ``websearch_to_tsquery`` semantics.
+
+Reference behavior (P6 in SURVEY.md §2.2): /root/reference/search/
+full_text_search.py:139 feeds user text through ``websearch_to_tsquery``,
+whose syntax (documented at /root/reference/README.md:149-164) is:
+
+    word word      implicit AND
+    "a phrase"     consecutive-position phrase match
+    a or b         OR (lowest precedence, case-insensitive keyword)
+    -word          NOT (also ``-"phrase"``)
+
+We parse to a tiny AST: ``Or([And([atom...])])`` where atoms are ``Term``,
+``Phrase`` or ``Not(atom)``.  Terms inside atoms are run through the same
+Analyzer as the build side; atoms that analyze to nothing vanish (like
+Postgres dropping stopword-only tsquery nodes).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .analyzer import Analyzer, DEFAULT_ANALYZER
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Not:
+    atom: "Term | Phrase"
+
+
+Atom = Term | Phrase | Not
+
+
+@dataclass(frozen=True)
+class AndGroup:
+    atoms: tuple[Atom, ...]
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    """Disjunction of conjunctions. Empty groups == match-nothing query."""
+
+    groups: tuple[AndGroup, ...]
+
+    def positive_terms(self) -> list[str]:
+        """Unique positive (non-negated) terms across the query, in first-seen
+        order — these are the scoring terms for BM25."""
+        seen: dict[str, None] = {}
+        for g in self.groups:
+            for a in g.atoms:
+                if isinstance(a, Term):
+                    seen.setdefault(a.term)
+                elif isinstance(a, Phrase):
+                    for t in a.terms:
+                        seen.setdefault(t)
+        return list(seen)
+
+    def all_terms(self) -> list[str]:
+        """Every term referenced (incl. negated) — what the searcher must fetch."""
+        seen: dict[str, None] = {}
+        for g in self.groups:
+            for a in g.atoms:
+                inner = a.atom if isinstance(a, Not) else a
+                if isinstance(inner, Term):
+                    seen.setdefault(inner.term)
+                else:
+                    for t in inner.terms:
+                        seen.setdefault(t)
+        return list(seen)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.groups
+
+
+_LEX = re.compile(r'"([^"]*)"|(\S+)')
+
+
+def parse_query(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> ParsedQuery:
+    """Parse websearch-style text into a ParsedQuery (OR of AND-groups)."""
+    raw_tokens: list[tuple[str, bool, bool]] = []  # (payload, is_phrase, negated)
+    for m in _LEX.finditer(text or ""):
+        if m.group(1) is not None:
+            raw_tokens.append((m.group(1), True, False))
+            continue
+        tok = m.group(2)
+        neg = False
+        while tok.startswith("-") and len(tok) > 1:
+            neg = not neg
+            tok = tok[1:]
+        if tok.lower() == "or" and not neg:
+            raw_tokens.append(("\x00OR", False, False))
+        elif tok.startswith('"') and tok.endswith('"') and len(tok) > 1:
+            raw_tokens.append((tok.strip('"'), True, neg))
+        else:
+            raw_tokens.append((tok, False, neg))
+
+    groups: list[AndGroup] = []
+    current: list[Atom] = []
+
+    def flush() -> None:
+        nonlocal current
+        if current:
+            groups.append(AndGroup(tuple(current)))
+            current = []
+
+    i = 0
+    while i < len(raw_tokens):
+        payload, is_phrase, neg = raw_tokens[i]
+        if payload == "\x00OR" and not is_phrase:
+            flush()
+            i += 1
+            continue
+        if is_phrase:
+            terms = tuple(analyzer.tokenize(payload))
+            if terms:
+                atom: Atom = Phrase(terms) if len(terms) > 1 else Term(terms[0])
+                current.append(Not(atom) if neg else atom)
+        else:
+            terms = tuple(analyzer.tokenize(payload))
+            for t in terms:
+                current.append(Not(Term(t)) if neg else Term(t))
+        i += 1
+    flush()
+    # A query that reduced to only-negated atoms in every group still has
+    # groups; the evaluator handles pure-negative groups (match docs lacking
+    # the negated atoms). A fully empty parse means "match nothing".
+    return ParsedQuery(tuple(groups))

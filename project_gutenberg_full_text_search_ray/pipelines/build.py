@@ -1,0 +1,192 @@
+"""Index build pipeline — the flagship Ray Data pipeline (SURVEY.md §3.3).
+
+Replaces the reference's materialized-view + 33-index build
+(/root/reference/tables/mv_books_dc.sql:30-494, refresh :502-514) with:
+
+    read_parquet(corpus, columns=pruned)                # prune at the read
+      → map_batches(assign __seg = hash(partition key) % S)   # vectorized
+      → groupby(__seg).map_groups(SegmentBuilder)       # THE heavy shuffle;
+          one group = one segment: sort, tokenize, build + write postings
+          (delta+VByte, block max-score metadata), atomic per-segment manifest
+      → groupby(term).aggregate(Sum(df), Sum(cf))       # dictionary shuffle
+          over per-segment PARTIALS only (combiner pattern — hot terms cost
+          S rows, not N postings)
+      → sort(term).write_parquet(dict/)                 # row-group-prunable
+    driver: fold per-segment manifests → corpus stats (N, avgdl) → commit
+    manifest.json (generation commit point).
+
+Scale notes (100 TB): S = ceil(N / docs_per_segment) bounds every group;
+segments build embarrassingly parallel after one shuffle; the term shuffle
+moves only vocabulary-sized data. Resume = re-run with same inputs; completed
+segments are skipped via their lineage manifests.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..corpus import CorpusSpec
+from ..functions.analyzer import DEFAULT_ANALYZER, Analyzer
+from ..state.manifest import (
+    FORMAT_VERSION,
+    INDEX_MANIFEST,
+    SEG_MANIFEST,
+    atomic_write_json,
+    fingerprint,
+    parquet_input_fingerprint,
+    read_json,
+)
+from ..stages.segment_build import SEG_COL, SegmentBuilder
+
+DEFAULT_DOCS_PER_SEGMENT = 65_536
+
+
+def _hash_strings_u64(arr: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a over a string/large_string column, vectorized
+    per batch via python-level loop-free pandas hashing is NOT deterministic
+    across runs; use a simple polynomial hash on bytes via numpy."""
+    import pandas as pd
+
+    s = arr.to_pandas().astype("string").fillna("")
+    # pandas util hashing is deterministic given hash_key
+    from pandas.util import hash_array
+
+    return hash_array(s.to_numpy(dtype=object), hash_key="0123456789abcdef", categorize=False)
+
+
+@dataclass
+class IndexInfo:
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    n_segments: int
+    build_fp: str
+
+
+def _assign_segments(spec: CorpusSpec, n_segments: int):
+    part_col = spec.id_cols[0]  # conv_id for transcripts (keeps a conversation
+    # in one segment), doc_id for documents
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch[part_col]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            # splitmix64 finalizer — decorrelates sequential ids
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = v ^ (v >> np.uint64(31))
+        else:
+            h = _hash_strings_u64(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        seg = (h % np.uint64(n_segments)).astype(np.int32)
+        return batch.append_column(SEG_COL, pa.array(seg))
+
+    return assign
+
+
+def build_index(
+    source: str | list[str] | rd.Dataset,
+    spec: CorpusSpec,
+    index_dir: str,
+    *,
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    store_positions: bool = True,
+    input_fp: str | None = None,
+    force: bool = False,
+) -> IndexInfo:
+    """Build (or resume) an index generation at ``index_dir``."""
+    if isinstance(source, (str, list)):
+        paths = sorted(glob.glob(source)) if isinstance(source, str) and any(c in source for c in "*?") else (
+            [source] if isinstance(source, str) else list(source)
+        )
+        if input_fp is None:
+            input_fp = parquet_input_fingerprint(paths)
+        n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+        ds = rd.read_parquet(paths, columns=spec.read_cols)
+    else:
+        ds = source.select_columns(spec.read_cols)
+        if input_fp is None:
+            input_fp = "volatile"  # unknown lineage → cannot resume-skip
+            force = True
+        n_rows = ds.count()
+
+    n_segments = max(1, -(-n_rows // docs_per_segment))
+    build_fp = fingerprint(
+        f"v{FORMAT_VERSION}", analyzer.version_tag, spec.tag(), input_fp,
+        f"segs={n_segments}", f"pos={int(store_positions)}",
+    )
+
+    # fast path: generation already committed for this exact fingerprint
+    existing = read_json(os.path.join(index_dir, INDEX_MANIFEST))
+    if existing and existing.get("fingerprint") == build_fp and not force:
+        return IndexInfo(index_dir, existing["n_docs"], existing["avgdl"], existing["n_segments"], build_fp)
+
+    os.makedirs(index_dir, exist_ok=True)
+    if force:
+        for m in glob.glob(os.path.join(index_dir, "seg=*", SEG_MANIFEST)):
+            os.remove(m)
+
+    builder = SegmentBuilder(index_dir, spec, analyzer, build_fp, store_positions=store_positions)
+
+    def build_segment_group(group: pa.Table) -> pa.Table:
+        return builder(group)
+
+    term_partials = (
+        ds.map_batches(_assign_segments(spec, n_segments), batch_format="pyarrow")
+        .groupby(SEG_COL)
+        .map_groups(build_segment_group, batch_format="pyarrow")
+    )
+    dictionary = (
+        term_partials.groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .sort("term")
+    )
+    dict_dir = os.path.join(index_dir, "dict")
+    import shutil
+
+    tmp_dict = f"{dict_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp_dict, ignore_errors=True)
+    dictionary.write_parquet(tmp_dict)
+    shutil.rmtree(dict_dir, ignore_errors=True)
+    os.replace(tmp_dict, dict_dir)
+
+    # fold per-segment manifests (small; S files) → corpus stats
+    seg_manifests = []
+    for sd in sorted(glob.glob(os.path.join(index_dir, "seg=*"))):
+        m = read_json(os.path.join(sd, SEG_MANIFEST))
+        if m and m.get("fingerprint") == build_fp:
+            seg_manifests.append(m)
+    n_docs = sum(m["n_docs"] for m in seg_manifests)
+    total_tokens = sum(m["sum_dl"] for m in seg_manifests)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    atomic_write_json(
+        os.path.join(index_dir, INDEX_MANIFEST),
+        {
+            "format_version": FORMAT_VERSION,
+            "fingerprint": build_fp,
+            "input_fingerprint": input_fp,
+            "analyzer": {"stopwords": analyzer.stopwords, "stem": analyzer.stem, "tag": analyzer.version_tag},
+            "corpus": {"id_cols": list(spec.id_cols), "text_col": spec.text_col,
+                       "meta_cols": list(spec.meta_cols), "name": spec.name},
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "n_segments": n_segments,
+            "store_positions": store_positions,
+            "segments": [
+                {"seg_id": m["seg_id"], "n_docs": m["n_docs"], "sum_dl": m["sum_dl"], "n_terms": m["n_terms"]}
+                for m in sorted(seg_manifests, key=lambda m: m["seg_id"])
+            ],
+        },
+    )
+    return IndexInfo(index_dir, n_docs, avgdl, n_segments, build_fp)

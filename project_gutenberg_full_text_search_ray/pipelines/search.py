@@ -1,0 +1,283 @@
+"""Query execution: builder API + driver-side merge (SURVEY.md §3.1).
+
+Mirrors the reference's library surface (/root/reference/search/
+full_text_search.py): ``engine.query(crosswalk).search(...).filter sugar
+.order_by(...)[page, page_size]`` then ``engine.execute(q)`` — but executes as
+a Ray Data pipeline over the index's segment list: each segment task returns
+its exact match count and top-k rows in one round trip (the reference runs
+TWO SQL statements, count then fetch — :316-330 vs :297-314; we fuse them),
+and the driver merges per-segment heaps with the same deterministic
+comparator.
+
+Pagination contract replicated from the reference: page_size default 28,
+clamped to [1,100] (opds.py:55-60, full_text_search.py:82); page clamped to
+[1, total_pages] (full_text_search.py:369-372).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..corpus import CorpusSpec
+from ..crosswalks import Crosswalk, Transformer, apply_crosswalk
+from ..functions.analyzer import Analyzer
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.querylang import ParsedQuery, parse_query
+from ..state.manifest import load_index_manifest, seg_dir
+from ..stages.segment_search import (
+    SCORE_COL,
+    SEG_ID_COL,
+    SEG_TOTAL_COL,
+    FilterSpec,
+    OrderSpec,
+    SearchPlan,
+    _random_keys,
+    make_search_fn,
+    search_segment,
+)
+
+DEFAULT_PAGE_SIZE = 28
+MAX_PAGE_SIZE = 100
+RELEVANCE = "__relevance__"
+RANDOM = "__random__"
+
+
+@dataclass
+class SearchQuery:
+    """Accumulating query builder — analog of reference ``SearchQuery``
+    (full_text_search.py:67-263). Pure data; no I/O until execute()."""
+
+    crosswalk: Crosswalk = Crosswalk.FULL
+    queries: list[ParsedQuery] = field(default_factory=list)
+    filters: list[FilterSpec] = field(default_factory=list)
+    order: OrderSpec = field(default_factory=OrderSpec)
+    page: int = 1
+    page_size: int = DEFAULT_PAGE_SIZE
+    _analyzer: Analyzer | None = None
+
+    # -- search clauses (P1/P4); chained calls AND together
+    def search(self, text: str, field_filter: tuple[str, str] | None = None) -> "SearchQuery":
+        from ..functions.analyzer import DEFAULT_ANALYZER
+
+        self.queries.append(parse_query(text, self._analyzer or DEFAULT_ANALYZER))
+        if field_filter is not None:
+            # field-scoped search: the reference's 7 per-field tsvectors map to
+            # categorical scope columns here (SURVEY.md §1.4) — e.g.
+            # field_filter=("role","assistant")
+            self.filters.append(FilterSpec(field_filter[0], "==", field_filter[1]))
+        return self
+
+    # -- filter sugar mirroring F1–F16 (generic engine: named by intent)
+    def doc(self, **id_vals: Any) -> "SearchQuery":  # F1 etext()
+        for c, v in id_vals.items():
+            self.filters.append(FilterSpec(c, "==", v))
+        return self
+
+    def docs_in(self, col: str, ids: list) -> "SearchQuery":  # F2 etexts()
+        self.filters.append(FilterSpec(col, "in", list(ids)))
+        return self
+
+    def range_gte(self, col: str, v: Any) -> "SearchQuery":  # F3/F7/F8
+        self.filters.append(FilterSpec(col, ">=", v))
+        return self
+
+    def range_lte(self, col: str, v: Any) -> "SearchQuery":
+        self.filters.append(FilterSpec(col, "<=", v))
+        return self
+
+    def eq(self, col: str, v: Any) -> "SearchQuery":  # F4/F5/F10-F15 analogs
+        self.filters.append(FilterSpec(col, "==", v))
+        return self
+
+    def ne(self, col: str, v: Any) -> "SearchQuery":
+        self.filters.append(FilterSpec(col, "!=", v))
+        return self
+
+    def isnull(self, col: str) -> "SearchQuery":  # tool IS NULL (F4 analog)
+        self.filters.append(FilterSpec(col, "isnull"))
+        return self
+
+    def notnull(self, col: str) -> "SearchQuery":
+        self.filters.append(FilterSpec(col, "notnull"))
+        return self
+
+    def prefix(self, col: str, p: str) -> "SearchQuery":  # F9 locc prefix
+        self.filters.append(FilterSpec(col, "startswith", p))
+        return self
+
+    def contains(self, col: str, s: str) -> "SearchQuery":  # P3 CONTAINS
+        self.filters.append(FilterSpec(col, "substr", s))
+        return self
+
+    def where(self, spec: FilterSpec) -> "SearchQuery":  # F16 escape hatch
+        self.filters.append(spec)
+        return self
+
+    # -- ordering (O1–O3)
+    def order_by(self, col: str, descending: bool = True, seed: int = 42) -> "SearchQuery":
+        if col == RELEVANCE:
+            self.order = OrderSpec("score")
+        elif col == RANDOM:
+            self.order = OrderSpec("random", seed=seed)
+        else:
+            self.order = OrderSpec("column", col=col, descending=descending)
+        return self
+
+    # -- pagination (O4): q[page, page_size]
+    def __getitem__(self, key) -> "SearchQuery":
+        if isinstance(key, tuple):
+            page, size = key
+        else:
+            page, size = key, self.page_size
+        self.page = max(1, int(page))
+        self.page_size = min(MAX_PAGE_SIZE, max(1, int(size)))
+        return self
+
+
+@dataclass
+class SearchResult:
+    total: int
+    page: int
+    page_size: int
+    table: pa.Table
+
+    @property
+    def rows(self) -> list[dict]:
+        return self.table.to_pylist()
+
+
+def _merge_comparator_indices(t: pa.Table, order: OrderSpec, id_cols: tuple[str, ...]) -> np.ndarray:
+    if order.kind == "score":
+        sort_keys = [(SCORE_COL, "descending")] + [(c, "ascending") for c in id_cols]
+        return pc.sort_indices(t, sort_keys=sort_keys, null_placement="at_end").to_numpy(zero_copy_only=False)
+    if order.kind == "random":
+        ids = list(zip(*[t[c].to_pylist() for c in id_cols]))
+        keys = _random_keys(ids, order.seed)
+        return np.argsort(keys, kind="stable")
+    sort_keys = [(order.col, "descending" if order.descending else "ascending")]
+    sort_keys += [(c, "ascending") for c in id_cols]
+    return pc.sort_indices(t, sort_keys=sort_keys, null_placement="at_end").to_numpy(zero_copy_only=False)
+
+
+class FullTextSearchEngine:
+    """Engine facade — analog of reference ``FullTextSearch``
+    (full_text_search.py:333-389). Holds manifest + dictionary cache; the
+    per-query heavy lifting happens in segment tasks/actors."""
+
+    def __init__(self, index_dir: str, mode: str = "ray"):
+        self.index_dir = index_dir
+        self.mode = mode  # "ray" (segment tasks) | "local" (driver loop; tests)
+        self.manifest = load_index_manifest(index_dir)
+        c = self.manifest["corpus"]
+        self.spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"])
+        self.analyzer = Analyzer(
+            stopwords=self.manifest["analyzer"]["stopwords"], stem=self.manifest["analyzer"]["stem"]
+        )
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"]) or 1.0
+        self.seg_ids = [s["seg_id"] for s in self.manifest["segments"]]
+        self._df_cache: dict[str, int] = {}
+        self._custom_transformer: Transformer | None = None
+        self._dict_paths = sorted(
+            os.path.join(index_dir, "dict", f)
+            for f in os.listdir(os.path.join(index_dir, "dict"))
+            if f.endswith(".parquet")
+        )
+
+    # ------------------------------------------------------------ public API
+    def query(self, crosswalk: Crosswalk = Crosswalk.FULL) -> SearchQuery:
+        return SearchQuery(crosswalk=crosswalk, _analyzer=self.analyzer)
+
+    def set_custom_transformer(self, fn: Transformer) -> None:  # C5 hook
+        self._custom_transformer = fn
+
+    def count(self, q: SearchQuery) -> int:  # A1
+        return self._run(q, count_only=True)[0]
+
+    def execute(self, q: SearchQuery) -> SearchResult:
+        total, merged = self._run(q)
+        total_pages = max(1, math.ceil(total / q.page_size)) if total else 1
+        page = min(q.page, total_pages)
+        off = (page - 1) * q.page_size
+        page_tbl = merged.slice(off, q.page_size)
+        page_tbl = apply_crosswalk(page_tbl, q.crosswalk, self.spec, self._custom_transformer)
+        return SearchResult(total=total, page=page, page_size=q.page_size, table=page_tbl)
+
+    def top_docs(self, q: SearchQuery, n: int) -> pa.Table:
+        """Top-n matched docs with scores (facet sampling, A7). Bypasses the
+        page-size clamp; n caps per-segment and merged k."""
+        total, merged = self._run(q, k_override=n)
+        return merged.slice(0, n)
+
+    # ------------------------------------------------------------ internals
+    def idf_map(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            t = pq.read_table(self._dict_paths, columns=["term", "df"], filters=[("term", "in", missing)]) \
+                if self._dict_paths else pa.table({"term": [], "df": []})
+            found = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+            for m in missing:
+                self._df_cache[m] = int(found.get(m, 0))
+        return {
+            t: (bm25_idf(self.n_docs, self._df_cache[t]) if self._df_cache[t] > 0 else 0.0)
+            for t in set(terms)
+        }
+
+    def build_plan(self, q: SearchQuery, k: int) -> SearchPlan:
+        terms = [t for pq_ in q.queries for t in pq_.positive_terms()]
+        return SearchPlan(
+            queries=tuple(q.queries),
+            filters=tuple(q.filters),
+            order=q.order,
+            k=k,
+            idf=self.idf_map(terms),
+            avgdl=self.avgdl,
+            id_cols=self.spec.id_cols,
+        )
+
+    def _run(self, q: SearchQuery, count_only: bool = False, k_override: int | None = None):
+        k = k_override if k_override is not None else q.page * q.page_size
+        if count_only:
+            k = 1
+        plan = self.build_plan(q, k)
+        if self.mode == "local" or len(self.seg_ids) == 1:
+            tables = [search_segment(seg_dir(self.index_dir, s), plan) for s in self.seg_ids]
+            seg_totals = {s: (int(t[SEG_TOTAL_COL][0].as_py()) if t.num_rows else 0) for s, t in zip(self.seg_ids, tables)}
+            merged = pa.concat_tables([t for t in tables if t.num_rows])
+            total = sum(seg_totals.values())
+        else:
+            segs = rd.from_items([{"seg_id": s} for s in self.seg_ids])
+            res = segs.map_batches(
+                make_search_fn(plan, self.index_dir), batch_format="pyarrow", batch_size=1
+            )
+            parts = [ray.get(ref) for ref in res.to_arrow_refs()]
+            parts = [p for p in parts if p is not None and p.num_rows]
+            merged = pa.concat_tables(parts) if parts else None
+            if merged is not None and merged.num_rows:
+                segsum = merged.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
+                total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py())
+            else:
+                total = 0
+        if merged is None or merged.num_rows == 0:
+            empty = self._empty_result_table()
+            return total, empty
+        if SEG_ID_COL in merged.column_names:
+            merged = merged.drop_columns([SEG_ID_COL])
+        merged = merged.drop_columns([SEG_TOTAL_COL])
+        idx = _merge_comparator_indices(merged, q.order, self.spec.id_cols)[:k]
+        return total, merged.take(pa.array(idx))
+
+    def _empty_result_table(self) -> pa.Table:
+        d0 = pq.read_table(os.path.join(seg_dir(self.index_dir, self.seg_ids[0]), "docs.parquet")).slice(0, 0)
+        return d0.append_column(SCORE_COL, pa.array([], type=pa.float64()))

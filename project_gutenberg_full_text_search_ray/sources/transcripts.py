@@ -1,0 +1,93 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1).
+
+The north-rule input is a Parquet table of multi-turn conversation/agent
+transcripts ``(conv_id, turn_idx, role, text, tool, ts)``.  This generator is
+the sandbox stand-in for that corpus: seeded, wall-clock-free, Zipf-skewed
+vocabulary (so hot-term skew is real at small scale), with fixed phrases
+planted in known turns for phrase-query tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB_SIZE = 10_000
+STOPWORDISH = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+PHRASES = {
+    17: "to be or not to be",
+    23: "the quick brown fox jumps over the lazy dog",
+    31: "ray data streaming execution",
+}
+ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
+ROLE_P = np.array([0.45, 0.45, 0.02, 0.08])
+TOOLS = np.array(["bash", "search", "browser", "editor"], dtype=object)
+BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00 UTC in microseconds
+
+
+def _vocab() -> np.ndarray:
+    words = list(STOPWORDISH) + [f"w{k:05d}" for k in range(VOCAB_SIZE - len(STOPWORDISH))]
+    return np.array(words, dtype=object)
+
+
+def gen_transcripts(
+    n_convs: int,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    zipf_s: float = 1.07,
+) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = 1.0 / ranks**zipf_s
+    p /= p.sum()
+
+    n_turns = n_convs * turns_per_conv
+    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
+    turn_idx = np.tile(np.arange(turns_per_conv, dtype=np.int32), n_convs)
+    lengths = rng.integers(5, 121, size=n_turns)
+    total_tokens = int(lengths.sum())
+    token_ids = rng.choice(len(vocab), size=total_tokens, p=p)
+    tokens = vocab[token_ids]
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    texts = [" ".join(tokens[offsets[i] : offsets[i + 1]]) for i in range(n_turns)]
+    # plant fixed phrases into known turns (conv % key == 0, turn 0)
+    for mod, phrase in PHRASES.items():
+        for ci in range(0, n_convs, mod):
+            texts[ci * turns_per_conv] = texts[ci * turns_per_conv] + " " + phrase
+
+    roles = rng.choice(ROLES, size=n_turns, p=ROLE_P)
+    tool_choice = rng.choice(TOOLS, size=n_turns)
+    tools = np.where(roles == "tool", tool_choice, None)
+    ts = BASE_TS_US + (conv_idx.astype(np.int64) * 3_600 + turn_idx.astype(np.int64) * 60) * 1_000_000
+
+    return pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:08d}" for i in conv_idx], type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(roles.tolist(), type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools.tolist(), type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def transcripts_parquet(
+    n_convs: int,
+    turns_per_conv: int = 10,
+    seed: int = 42,
+    cache_root: str = "/tmp/pgfts_fixtures",
+) -> str:
+    """Write (or reuse) the deterministic fixture; returns the parquet path."""
+    os.makedirs(cache_root, exist_ok=True)
+    path = os.path.join(cache_root, f"transcripts_c{n_convs}_t{turns_per_conv}_s{seed}.parquet")
+    if not os.path.exists(path):
+        t = gen_transcripts(n_convs, turns_per_conv, seed)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path

