@@ -1,0 +1,160 @@
+"""Unit tests for the pure kernels: analyzer, query parser, codec, BM25."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from project_gutenberg_full_text_search_ray.functions.analyzer import (
+    DEFAULT_ANALYZER,
+    TOKEN_SPLIT_PATTERN,
+    Analyzer,
+)
+from project_gutenberg_full_text_search_ray.functions.bm25 import idf, scale_scores, tf_norm
+from project_gutenberg_full_text_search_ray.functions.codec import (
+    decode_sorted,
+    delta_decode,
+    delta_encode,
+    encode_sorted,
+    vbyte_decode,
+    vbyte_encode,
+)
+from project_gutenberg_full_text_search_ray.functions.querylang import (
+    AndGroup,
+    Not,
+    Phrase,
+    Term,
+    parse_query,
+)
+
+
+class TestAnalyzer:
+    def test_scalar_basic(self):
+        assert DEFAULT_ANALYZER.tokenize("Hello, World! x2") == ["hello", "world", "x2"]
+
+    def test_vectorized_matches_scalar(self):
+        texts = [
+            "Hello, World! the quick brown fox",
+            "",
+            "a  b   c",
+            "Spark-3.0 runs FAST!!",
+            None,
+            "...leading and trailing...",
+            "UPPER lower 123abc",
+        ]
+        terms, di, pos = DEFAULT_ANALYZER.tokenize_column(pa.array(texts, type=pa.string()))
+        for i, t in enumerate(texts):
+            exp_t, exp_p = DEFAULT_ANALYZER.tokenize_with_positions(t or "")
+            assert list(terms[di == i]) == exp_t
+            assert list(pos[di == i]) == exp_p
+
+    @given(st.lists(st.text(max_size=30), max_size=20))
+    @settings(max_examples=50, deadline=None)
+    def test_vectorized_matches_scalar_property(self, texts):
+        terms, di, pos = DEFAULT_ANALYZER.tokenize_column(pa.array(texts, type=pa.string()))
+        for i, t in enumerate(texts):
+            exp_t, exp_p = DEFAULT_ANALYZER.tokenize_with_positions(t)
+            assert list(terms[di == i]) == exp_t
+            assert list(pos[di == i]) == exp_p
+
+    def test_stopwords_positions_preserved(self):
+        a = Analyzer(stopwords=True)
+        terms, pos = a.tokenize_with_positions("the cat and the dog")
+        assert terms == ["cat", "dog"]
+        assert pos == [1, 4]  # positions index the pre-stopword stream
+
+    def test_duckdb_tokenizer_parity(self):
+        """analyzer-v1 default == DuckDB regexp_split_to_array oracle."""
+        import duckdb
+
+        texts = ["hello world foo", "a-b c.d", "  x  ", ""]
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT i, t.term FROM (SELECT unnest(range({len(texts)})) AS i),
+            LATERAL (SELECT ['{"','".join(texts)}'][i+1] AS txt),
+            UNNEST(regexp_split_to_array(lower(txt), '{TOKEN_SPLIT_PATTERN}')) AS t(term)
+            WHERE t.term <> '' ORDER BY i
+            """
+        ).fetchall()
+        got: dict[int, list[str]] = {}
+        for i, term in rows:
+            got.setdefault(i, []).append(term)
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == DEFAULT_ANALYZER.tokenize(t)
+
+
+class TestQueryLang:
+    def test_implicit_and(self):
+        q = parse_query("hello world")
+        assert q.groups == (AndGroup((Term("hello"), Term("world"))),)
+
+    def test_or_precedence(self):
+        q = parse_query("a b or c")
+        assert len(q.groups) == 2  # (a AND b) OR c
+
+    def test_phrase_and_not(self):
+        q = parse_query('"big data" -spam')
+        assert q.groups[0].atoms == (Phrase(("big", "data")), Not(Term("spam")))
+
+    def test_single_word_phrase_degrades_to_term(self):
+        q = parse_query('"hello"')
+        assert q.groups[0].atoms == (Term("hello"),)
+
+    def test_positive_terms_order(self):
+        q = parse_query("b a or c -d")
+        assert q.positive_terms() == ["b", "a", "c"]
+        assert q.all_terms() == ["b", "a", "c", "d"]
+
+    def test_empty(self):
+        assert parse_query("").is_empty
+        assert parse_query("   ").is_empty
+
+
+class TestCodec:
+    def test_empty(self):
+        assert vbyte_encode(np.empty(0, dtype=np.uint64)) == b""
+        assert len(vbyte_decode(b"")) == 0
+
+    def test_known_values(self):
+        v = np.array([0, 1, 127, 128, 16383, 16384, 2**40], dtype=np.uint64)
+        assert np.array_equal(vbyte_decode(vbyte_encode(v)), v)
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_property(self, vals):
+        v = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(vbyte_decode(vbyte_encode(v)), v)
+
+    @given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_sorted_roundtrip(self, vals):
+        v = np.array(sorted(vals), dtype=np.uint64)
+        assert np.array_equal(decode_sorted(encode_sorted(v)), v)
+
+    def test_delta(self):
+        v = np.array([3, 5, 10, 11], dtype=np.uint64)
+        d = delta_encode(v)
+        assert list(d) == [3, 2, 5, 1]
+        assert np.array_equal(delta_decode(d), v)
+
+    def test_compression_is_compact(self):
+        # dense ordinals ⇒ ~1 byte per gap
+        v = np.arange(0, 10_000, 2, dtype=np.uint64)
+        assert len(encode_sorted(v)) < len(v) * 2
+
+
+class TestBM25:
+    def test_idf_monotone_decreasing_in_df(self):
+        assert idf(1000, 1) > idf(1000, 10) > idf(1000, 999)
+
+    def test_tf_norm_saturates(self):
+        tf = np.array([1, 2, 4, 100], dtype=np.float64)
+        dl = np.full(4, 50.0)
+        s = tf_norm(tf, dl, 50.0)
+        assert np.all(np.diff(s) > 0) and s[-1] < 2.2  # bounded by k1+1
+
+    def test_scale_scores(self):
+        s = np.array([0.00004, 0.00005, 1.23456789])
+        assert list(scale_scores(s)) == [0, 1, 12346]
