@@ -1,0 +1,160 @@
+"""Text-analysis kernels for large-scale training-data pipelines:
+language-ID (marker-word heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash / winnowing), SimHash.
+
+All deterministic, numpy-vectorized where hot.  These power the
+``map_batches`` stages in pipelines/driver_api.py and stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .analyzer import DEFAULT_ANALYZER, Analyzer
+
+STOPWORD_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "was", "for"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "que"},
+    "es": {"el", "los", "las", "y", "de", "un", "una", "es", "que", "por"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+}
+
+
+def predict_language(tokens: list[str]) -> str:
+    """n-gram-free marker heuristic: argmax language by stopword hits; CJK by
+    codepoint ratio; 'und' when nothing scores."""
+    if not tokens:
+        return "und"
+    joined = "".join(tokens)
+    cjk = sum(1 for ch in joined if "一" <= ch <= "鿿")
+    if cjk > 0.3 * len(joined):
+        return "zh"
+    best_lang, best = "und", 0
+    for lang in sorted(STOPWORD_MARKERS):
+        hits = sum(1 for t in tokens if t in STOPWORD_MARKERS[lang])
+        if hits > best:
+            best_lang, best = lang, hits
+    return best_lang
+
+
+def quality_metrics(tokens: list[str], text: str) -> dict:
+    """Integer-valued quality signals (integers keep oracles fp-safe)."""
+    n = len(tokens)
+    distinct = len(set(tokens))
+    stop_hits = sum(1 for t in tokens if t in STOPWORD_MARKERS["en"])
+    return {
+        "n_tokens": n,
+        "distinct_terms": distinct,
+        "stop_hits": stop_hits,
+        "n_chars": len(text),
+    }
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a per token (no PYTHONHASHSEED dependence)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = _FNV_OFFSET
+        for b in t.encode():
+            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token unigrams (tf-weighted)."""
+    if not tokens:
+        return 0
+    hashes = token_hashes(tokens)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for b in range(64):
+        if v[b] > 0:
+            sig |= np.uint64(1) << np.uint64(b)
+    return int(sig)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprints(tokens: list[str], window: int = 4) -> np.ndarray:
+    """Rabin-Karp-style rolling hashes of token w-grams (document
+    fingerprinting; winnowing selects minima per window downstream)."""
+    if len(tokens) < window:
+        return np.empty(0, dtype=np.uint64)
+    th = token_hashes(tokens)
+    base = np.uint64(1099511628211)
+    mults = base ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64 — fine
+    n = len(tokens) - window + 1
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(window):
+        out += th[j : j + n] * mults[window - 1 - j]
+    return out
+
+
+def winnow(fps: np.ndarray, w: int = 5) -> np.ndarray:
+    """Winnowing: per sliding window of w fingerprints keep the minimum; the
+    deduped minima set is the document signature (Schleimer et al., SIGMOD'03)."""
+    if len(fps) == 0:
+        return fps
+    if len(fps) <= w:
+        return np.unique(fps.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(fps, w).min(axis=1)
+    return np.unique(mins)
+
+
+def shingles(tokens: list[str], k: int = 3) -> set[str]:
+    return {" ".join(tokens[i : i + k]) for i in range(max(0, len(tokens) - k + 1))}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+# ---- MinHash (vectorized universal hashing) ----
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """sig[j] = min over shingles of (a_j * h + b_j mod p). Empty doc → p."""
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    h = shingle_hashes.astype(np.object_)  # python ints for exact mod-p math
+    out = np.empty(len(a), dtype=np.uint64)
+    for j in range(len(a)):
+        vals = (int(a[j]) * h + int(b[j])) % _MERSENNE
+        out[j] = np.uint64(min(vals))
+    return out
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    if len(tokens) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = token_hashes(tokens)
+    n = len(tokens) - k + 1
+    base = np.uint64(1099511628211)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        out += th[j : j + n] * base ** np.uint64(k - 1 - j)
+    return np.unique(out)

@@ -298,6 +298,337 @@ ORACLE_SQL: dict[str, str] = {
     ),
 }
 
+# --------------------------------------------------------------------------
+# Training-data-pipeline extras: dedup / similarity / text analysis /
+# multimodal / scans (first-class operators beyond the reference)
+# --------------------------------------------------------------------------
+def _docs_ds(sf_dir: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(sf_dir, ["doc_id", "text"]), "doc_id", "text").to_pandas()
+    out = out.sort_values("keep_id").reset_index(drop=True)
+    return pa.table({"keep_id": pa.array(out["keep_id"], type=pa.int64()),
+                     "n_dups": pa.array(out["n_dups"], type=pa.int64())})
+
+
+def q_dedup_prefix10(sf_dir: str) -> pa.Table:
+    """Exact dedup on a normalized key (first 10 analyzer tokens) — the
+    'canonicalize then hash-dedup' pattern."""
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..stages.dedup import exact_dedup
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        terms, di, _ = DEFAULT_ANALYZER.tokenize_column(batch["text"])
+        prefixes = []
+        n = batch.num_rows
+        bounds = np.searchsorted(di, np.arange(n + 1))
+        for i in range(n):
+            toks = terms[bounds[i] : min(bounds[i] + 10, bounds[i + 1])]
+            prefixes.append(" ".join(toks))
+        return batch.append_column("prefix10", pa.array(prefixes, type=pa.string()))
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(add_prefix, batch_format="pyarrow")
+    out = exact_dedup(ds, "doc_id", "prefix10").to_pandas().sort_values("keep_id").reset_index(drop=True)
+    return pa.table({"keep_id": pa.array(out["keep_id"], type=pa.int64()),
+                     "n_dups": pa.array(out["n_dups"], type=pa.int64())})
+
+
+def q_token_counts(sf_dir: str) -> pa.Table:
+    from ..functions.analyzer import DEFAULT_ANALYZER
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        _, di, _ = DEFAULT_ANALYZER.tokenize_column(batch["text"])
+        n = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n)})
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 100)), batch_format="pyarrow")
+        .map_batches(count_tokens, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64()),
+                     "n_tokens": pa.array(t["n_tokens"], type=pa.int64())})
+
+
+def q_quality_scores(sf_dir: str) -> pa.Table:
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..functions.textstats import quality_metrics
+
+    def score(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "n_tokens": [], "distinct_terms": [], "stop_hits": []}
+        for did, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            m = quality_metrics(DEFAULT_ANALYZER.tokenize(txt or ""), txt or "")
+            rows["doc_id"].append(did)
+            rows["n_tokens"].append(m["n_tokens"])
+            rows["distinct_terms"].append(m["distinct_terms"])
+            rows["stop_hits"].append(m["stop_hits"])
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 100)), batch_format="pyarrow")
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_contains_scan(sf_dir: str) -> pa.Table:
+    """P3 CONTAINS analog: naive vectorized substring scan over the corpus
+    (the trigram-index-assisted path is phase 2; this is the documented
+    fallback, reference full_text_search.py:144-146)."""
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.match_substring(b["text"], "window merge")), batch_format="pyarrow"
+    )
+    t = ds.to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64())})
+
+
+def q_events_type_counts(sf_dir: str) -> pa.Table:
+    """Generic filter+aggregate over the events table (F8/A8 analog):
+    partial per-batch counts → tiny groupby (combiner pattern)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "event_id"])
+    cutoff = pa.scalar(np.datetime64("2024-01-15T00:00:00", "us"))
+    ds = ds.map_batches(lambda b: b.filter(pc.greater_equal(b["ts"], cutoff)), batch_format="pyarrow")
+    agg = ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    agg = agg.sort_values(["event_type"]).reset_index(drop=True)
+    return pa.table({"event_type": pa.array(agg["event_type"]), "n": pa.array(agg["n"], type=pa.int64())})
+
+
+def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k vs the vec_id=0 embedding (exact baseline)."""
+    import ray.data as rd
+    from ..stages.similarity import brute_force_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, "embedding", "vec_id", np.asarray([q_vec]), k=10, exclude_ids={0})
+    return pa.table({"vec_id": out["vec_id"], "cos_i4": out["cos_i4"]})
+
+
+def q_embed_neardup_pairs(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
+
+
+def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
+    """LSH-bucketed ANN (approximate scale path) — rows-only check; recall vs
+    the exact baseline is asserted in pytest."""
+    import ray.data as rd
+    from ..stages.similarity import lsh_bucket_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return lsh_bucket_topk(ds, "embedding", "vec_id", np.asarray([q_vec]), k=10, exclude_ids={0})
+
+
+def q_minhash_neardup(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.3).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import simhash_pairs
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    out = simhash_pairs(ds, "text", "doc_id", max_hamming=12).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..functions.textstats import predict_language
+
+    def pred(batch: pa.Table) -> pa.Table:
+        preds = [predict_language(DEFAULT_ANALYZER.tokenize(t or "")) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds)})
+
+    t = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(pred, batch_format="pyarrow").to_pandas()
+    agg = t.groupby("pred_lang").size().reset_index(name="n").sort_values("pred_lang")
+    return pa.table({"pred_lang": pa.array(agg["pred_lang"]), "n": pa.array(agg["n"], type=pa.int64())})
+
+
+def q_fingerprints(sf_dir: str) -> pa.Table:
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..functions.textstats import rolling_fingerprints, winnow
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, nfp = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = winnow(rolling_fingerprints(DEFAULT_ANALYZER.tokenize(txt or "")))
+            ids.append(did)
+            nfp.append(len(sig))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "n_fingerprints": pa.array(nfp, type=pa.int64())})
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 50)), batch_format="pyarrow")
+        .map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_fuzzy_search(sf_dir: str) -> pa.Table:
+    """P2 FUZZY analog: expand the (misspelled) query term to dictionary terms
+    by character-trigram Jaccard against the index dictionary, then OR-search
+    the expansions, ranked by best trigram similarity then BM25."""
+    eng = ensure_documents_index(sf_dir)
+    dict_t = pq.read_table(os.path.join(eng.index_dir, "dict"), columns=["term"])
+    terms = dict_t["term"].to_pylist()
+
+    def trigrams(w: str) -> set:
+        w = f"  {w} "
+        return {w[i : i + 3] for i in range(len(w) - 2)}
+
+    qt = trigrams("tabel")  # misspelling of 'table'
+    # pg_trgm-style word_similarity: shared trigrams / query trigrams
+    # (reference README.md:118-123 "FUZZY — slower, typo-tolerant")
+    sims = [(t, len(qt & trigrams(t)) / max(1, len(qt))) for t in terms]
+    matches = sorted([x for x in sims if x[1] >= 0.4], key=lambda x: (-x[1], x[0]))[:5]
+    if not matches:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()), "score": pa.array([], type=pa.int64())})
+    q = eng.query().search(" or ".join(t for t, _ in matches))
+    top = eng.top_docs(q, 20)
+    return pa.table({"doc_id": top["doc_id"], "score": _scaled(top["score"].to_pylist())})
+
+
+def q_multimodal_decode(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: binary payload column → actor-pool decode stage →
+    feature vectors (deterministic fake kernel; see stages/multimodal.py)."""
+    import ray.data as rd
+    from ..stages.multimodal import DecodeImageStage, synth_media_table
+
+    media = synth_media_table(64)
+    ds = rd.from_arrow(media)
+    out = ds.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"dim": 16}, batch_format="pyarrow",
+        concurrency=2, batch_size=16,
+    ).to_pandas().sort_values("media_id")
+    feat0 = [int(np.floor(f[0] * 10000 + 0.5)) for f in out["features"]]
+    return pa.table({"media_id": pa.array(out["media_id"], type=pa.int64()),
+                     "feat0_i4": pa.array(feat0, type=pa.int64())})
+
+
+def q_transcripts_flagship(sf_dir: str) -> pa.Table:
+    """North-rule flagship on the transcript corpus (deterministic fixture
+    scaled by sf): build index → phrase+boolean search → top-k. Rows-only
+    driver check; rank-identity is asserted against the brute-force oracle in
+    pytest (tests/test_search_oracle.py)."""
+    from ..corpus import TRANSCRIPTS_SPEC
+    from ..sources.transcripts import transcripts_parquet
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_convs = max(50, n_docs)  # sf0.01 → 500 convs × 8 turns = 4k docs
+    path = transcripts_parquet(n_convs=n_convs, turns_per_conv=8, seed=42)
+    fp = parquet_input_fingerprint([path])
+    index_dir = os.path.join(INDEX_CACHE_ROOT, f"transcripts_{fp}")
+    build_index(path, __import__("project_gutenberg_full_text_search_ray").TRANSCRIPTS_SPEC if False else TRANSCRIPTS_SPEC, index_dir, docs_per_segment=2048)
+    eng = _ENGINES.get(index_dir)
+    if eng is None:
+        eng = FullTextSearchEngine(index_dir)
+        _ENGINES[index_dir] = eng
+    q = eng.query().search('"quick brown fox" or ray').eq("role", "user")
+    top = eng.top_docs(q, 50)
+    return pa.table({"conv_id": top["conv_id"], "turn_idx": top["turn_idx"],
+                     "score": _scaled(top["score"].to_pylist())})
+
+
+_PTOK_SQL = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr FROM documents"
+)
+
+ORACLE_SQL_EXTRAS: dict[str, str] = {
+    "dedup_exact": (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups "
+        "FROM documents GROUP BY text ORDER BY keep_id"
+    ),
+    "dedup_prefix10": (
+        f"SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups "
+        f"FROM (SELECT doc_id, array_to_string((list_filter(regexp_split_to_array(lower(text), "
+        f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> ''))[1:10], ' ') AS p FROM documents) "
+        "GROUP BY p ORDER BY keep_id"
+    ),
+    "token_counts": (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(list_filter(regexp_split_to_array("
+        f"lower(text), '{TOKEN_SPLIT_PATTERN}'), x -> x <> '')) AS BIGINT) AS n_tokens "
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id"
+    ),
+    "quality_scores": (
+        f"WITH base AS ({_PTOK_SQL}), t AS (SELECT doc_id, unnest(arr) AS term FROM base) "
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(len(b.arr) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(s.d, 0) AS BIGINT) AS distinct_terms, CAST(COALESCE(s.sh, 0) AS BIGINT) AS stop_hits "
+        "FROM base b LEFT JOIN (SELECT doc_id, count(DISTINCT term) AS d, "
+        "count(*) FILTER (term IN ('the','and','of','to','in','is','it','that','was','for')) AS sh "
+        "FROM t GROUP BY doc_id) s USING(doc_id) WHERE b.doc_id < 100 ORDER BY doc_id"
+    ),
+    "contains_scan": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+        "WHERE contains(text, 'window merge') ORDER BY doc_id"
+    ),
+    "events_type_counts": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type ORDER BY event_type"
+    ),
+    "ann_cosine_topk": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "CAST(floor(list_cosine_similarity(e.embedding, q.qv) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
+        "FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT 10"
+    ),
+    "embed_neardup_pairs": (
+        "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, "
+        "CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45 ORDER BY id_a, id_b"
+    ),
+}
+
+QUERIES_EXTRAS = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix10": q_dedup_prefix10,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "contains_scan": q_contains_scan,
+    "events_type_counts": q_events_type_counts,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embed_neardup_pairs": q_embed_neardup_pairs,
+    # rows-only (no SQL-expressible oracle; semantics asserted in pytest)
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_pairs": q_simhash_pairs,
+    "langid_counts": q_langid,
+    "fingerprints": q_fingerprints,
+    "fuzzy_search": q_fuzzy_search,
+    "multimodal_decode": q_multimodal_decode,
+    "transcripts_flagship": q_transcripts_flagship,
+}
+
 QUERIES = {
     "fts_term": q_fts_term,
     "fts_and": q_fts_and,
@@ -318,3 +649,5 @@ QUERIES = {
     "dict_df_top": q_dict_df_top,
     "corpus_stats": q_corpus_stats,
 }
+QUERIES.update(QUERIES_EXTRAS)
+ORACLE_SQL.update(ORACLE_SQL_EXTRAS)
