@@ -149,6 +149,44 @@ class Analyzer:
         return terms, doc_index, positions
 
 
+    def tokenize_column_arrow(
+        self, texts: pa.Array | pa.ChunkedArray
+    ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        """Like ``tokenize_column`` but keeps terms as an Arrow StringArray
+        (no object-dtype round-trip) — the build hot path.  Only valid for
+        the default config (no stopwords/stem); falls back otherwise."""
+        if self.stopwords or self.stem:
+            t, d, p = self.tokenize_column(texts)
+            return pa.array(t, type=pa.string()), d, p
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lowered = pc.utf8_lower(pc.coalesce(texts, pa.scalar("")))
+        split = pc.split_pattern_regex(lowered, TOKEN_SPLIT_PATTERN)
+        split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = split.values
+        n_docs = len(split)
+        total = len(values)
+        if total == 0:
+            return (
+                pa.array([], type=pa.string()),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int32),
+            )
+        lengths = np.diff(offsets)
+        doc_index_full = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        nonempty = pc.not_equal(values, pa.scalar("")).to_numpy(zero_copy_only=False)
+        nonempty &= ~np.asarray(pc.is_null(values).to_numpy(zero_copy_only=False))
+        cum = np.cumsum(nonempty)
+        starts = offsets[:-1]
+        base_per_doc = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        base_per_doc[starts == 0] = 0
+        doc_base = np.repeat(base_per_doc, lengths)
+        pos_full = (cum - 1 - doc_base).astype(np.int32)
+        mask = pa.array(nonempty)
+        return values.filter(mask), doc_index_full[nonempty], pos_full[nonempty]
+
+
 DEFAULT_ANALYZER = Analyzer()
 
 

@@ -16,17 +16,10 @@ import numpy as np
 _MASK7 = np.uint64(0x7F)
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as VByte. Empty input → b''."""
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value: ceil(bit_length/7), min 1."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    n = len(v)
-    if n == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    # bit length via log-free loop over at most 10 shifts (64/7)
-    lengths = np.ones(n, dtype=np.int64)
+    lengths = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while True:
         nz = tmp > 0
@@ -34,6 +27,16 @@ def vbyte_encode(values: np.ndarray) -> bytes:
             break
         lengths[nz] += 1
         tmp = tmp >> np.uint64(7)
+    return lengths
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as VByte. Empty input → b''."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    lengths = vbyte_lengths(v)
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
     # end offset (exclusive) of each value's byte run

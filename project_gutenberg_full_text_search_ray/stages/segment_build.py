@@ -79,6 +79,10 @@ class SegmentBuilder:
         self.block_size = block_size
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        # sort-shuffle output blocks arrive heavily chunked (one chunk per
+        # upstream block); defragment once so take/slice/tokenize run on
+        # contiguous arrays
+        group = group.combine_chunks()
         seg_id = int(group[SEG_COL][0].as_py())
         out_dir = seg_dir(self.index_dir, seg_id)
         existing = read_json(os.path.join(out_dir, SEG_MANIFEST))
@@ -101,17 +105,26 @@ class SegmentBuilder:
         table = group.take(order)
         n_docs = table.num_rows
 
-        terms, doc_idx, positions = self.analyzer.tokenize_column(table[spec.text_col])
+        terms_pa, doc_idx, positions = self.analyzer.tokenize_column_arrow(table[spec.text_col])
         dl = np.bincount(doc_idx, minlength=n_docs).astype(np.int32) if len(doc_idx) else np.zeros(n_docs, np.int32)
 
-        # ---- postings: group tokens by (term, ord), count tf, keep positions
-        if len(terms):
-            uniq_terms, term_ids = np.unique(terms, return_inverse=True)
+        # ---- postings: everything vectorized — Arrow dictionary-encode for
+        # term ids, lexsort, run-length entries, single-pass VByte with
+        # per-block byte slicing (no per-term Python loop).
+        if len(terms_pa):
+            enc = terms_pa.dictionary_encode()
+            dict_arr = enc.dictionary
+            sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+            rank = np.empty(len(sort_ord), dtype=np.int64)
+            rank[sort_ord] = np.arange(len(sort_ord))
+            term_ids = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+            sorted_terms = dict_arr.take(pa.array(sort_ord))  # unique terms, ascending
+
             sort_idx = np.lexsort((positions, doc_idx, term_ids))
             t_s = term_ids[sort_idx]
             d_s = doc_idx[sort_idx]
             p_s = positions[sort_idx].astype(np.uint64)
-            entry_key = t_s.astype(np.int64) * np.int64(n_docs) + d_s
+            entry_key = t_s * np.int64(n_docs) + d_s
             entry_first = np.empty(len(entry_key), dtype=bool)
             entry_first[0] = True
             np.not_equal(entry_key[1:], entry_key[:-1], out=entry_first[1:])
@@ -119,73 +132,26 @@ class SegmentBuilder:
             tf = np.diff(np.append(entry_starts, len(entry_key))).astype(np.int32)
             e_term = t_s[entry_starts]
             e_ord = d_s[entry_starts].astype(np.uint64)
-            # per-term entry ranges (entries are term-sorted)
             term_first = np.empty(len(e_term), dtype=bool)
             term_first[0] = True
             np.not_equal(e_term[1:], e_term[:-1], out=term_first[1:])
             term_starts = np.flatnonzero(term_first)
             df = np.diff(np.append(term_starts, len(e_term))).astype(np.int64)
-            present_terms = uniq_terms[e_term[term_starts]]
-            # positions delta-encoded per (term, doc) run
             pos_delta = _delta_in_place(p_s, entry_starts) if self.store_positions else None
             tok_offsets = np.concatenate(([0], np.cumsum(tf).astype(np.int64)))
+            present_term_ids = e_term[term_starts]
         else:
-            present_terms = np.empty(0, dtype=object)
+            sorted_terms = pa.array([], type=pa.string())
             df = np.empty(0, dtype=np.int64)
             term_starts = np.empty(0, dtype=np.int64)
             e_ord = np.empty(0, dtype=np.uint64)
             tf = np.empty(0, dtype=np.int32)
             pos_delta = None
             tok_offsets = np.zeros(1, dtype=np.int64)
+            present_term_ids = np.empty(0, dtype=np.int64)
 
-        rows_term: list[str] = []
-        rows_block: list[int] = []
-        rows_n: list[int] = []
-        rows_cf: list[int] = []
-        rows_maxtf: list[int] = []
-        rows_mindl: list[int] = []
-        rows_ords: list[bytes] = []
-        rows_tfs: list[bytes] = []
-        rows_pos: list[bytes] = []
-        bs = self.block_size
-        for ti in range(len(term_starts)):
-            s = int(term_starts[ti])
-            e = s + int(df[ti])
-            term = str(present_terms[ti])
-            for b, bstart in enumerate(range(s, e, bs)):
-                bend = min(bstart + bs, e)
-                ords_blk = e_ord[bstart:bend]
-                tfs_blk = tf[bstart:bend]
-                d = ords_blk.copy()
-                if len(d) > 1:
-                    d[1:] = ords_blk[1:] - ords_blk[:-1]
-                rows_term.append(term)
-                rows_block.append(b)
-                rows_n.append(len(d))
-                rows_cf.append(int(tfs_blk.sum()))
-                rows_maxtf.append(int(tfs_blk.max()))
-                rows_mindl.append(int(dl[ords_blk.astype(np.int64)].min()))
-                rows_ords.append(vbyte_encode(d))
-                rows_tfs.append(vbyte_encode(tfs_blk.astype(np.uint64)))
-                if self.store_positions:
-                    rows_pos.append(
-                        vbyte_encode(pos_delta[tok_offsets[bstart] : tok_offsets[bend]])
-                    )
-                else:
-                    rows_pos.append(b"")
-
-        postings = pa.table(
-            {
-                "term": pa.array(rows_term, type=pa.string()),
-                "block": pa.array(rows_block, type=pa.int32()),
-                "n": pa.array(rows_n, type=pa.int32()),
-                "cf_part": pa.array(rows_cf, type=pa.int64()),
-                "max_tf": pa.array(rows_maxtf, type=pa.int32()),
-                "min_dl": pa.array(rows_mindl, type=pa.int32()),
-                "ords": pa.array(rows_ords, type=pa.binary()),
-                "tfs": pa.array(rows_tfs, type=pa.binary()),
-                "pos": pa.array(rows_pos, type=pa.binary()),
-            }
+        postings = self._build_postings_table(
+            sorted_terms, present_term_ids, term_starts, df, e_ord, tf, dl, pos_delta, tok_offsets
         )
 
         docs = pa.table(
@@ -211,7 +177,7 @@ class SegmentBuilder:
                 "status": "complete",
                 "n_docs": int(n_docs),
                 "sum_dl": int(dl.sum()),
-                "n_terms": int(len(present_terms)),
+                "n_terms": int(len(term_starts)),
                 "files": ["docs.parquet", "postings.parquet"],
             },
         )
@@ -223,8 +189,107 @@ class SegmentBuilder:
         )
         return pa.table(
             {
-                "term": pa.array(present_terms.tolist(), type=pa.string()),
+                "term": sorted_terms.take(pa.array(present_term_ids)),
                 "df": pa.array(df, type=pa.int64()),
                 "cf": pa.array(cf_per_term, type=pa.int64()),
+            }
+        )
+
+    def _build_postings_table(
+        self,
+        sorted_terms: pa.Array,
+        present_term_ids: np.ndarray,
+        term_starts: np.ndarray,
+        df: np.ndarray,
+        e_ord: np.ndarray,
+        tf: np.ndarray,
+        dl: np.ndarray,
+        pos_delta: np.ndarray | None,
+        tok_offsets: np.ndarray,
+    ) -> pa.Table:
+        """Slice posting entries into ≤block_size-doc blocks and VByte-encode
+        each column in ONE pass, carving per-block byte ranges zero-copy."""
+        from ..functions.codec import vbyte_lengths
+
+        bs = self.block_size
+        n_entries = len(e_ord)
+        if n_entries == 0:
+            empty_bin = pa.array([], type=pa.large_binary())
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "block": pa.array([], type=pa.int32()),
+                    "n": pa.array([], type=pa.int32()),
+                    "cf_part": pa.array([], type=pa.int64()),
+                    "max_tf": pa.array([], type=pa.int32()),
+                    "min_dl": pa.array([], type=pa.int32()),
+                    "ords": empty_bin,
+                    "tfs": empty_bin,
+                    "pos": empty_bin,
+                }
+            )
+        nterms = len(term_starts)
+        nb = -(-df // bs)  # blocks per term
+        total_blocks = int(nb.sum())
+        first_block_of_term = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        block_term = np.repeat(np.arange(nterms, dtype=np.int64), nb)
+        block_in_term = np.arange(total_blocks, dtype=np.int64) - first_block_of_term[block_term]
+        block_start = term_starts[block_term] + block_in_term * bs
+        term_end = term_starts[block_term] + df[block_term]
+        block_end = np.minimum(block_start + bs, term_end)
+        block_n = (block_end - block_start).astype(np.int32)
+
+        # ords: delta with reset at each block start, one encode pass
+        d_ord = e_ord.copy()
+        d_ord[1:] = e_ord[1:] - e_ord[:-1]
+        d_ord[block_start] = e_ord[block_start]
+        ord_bytes = vbyte_encode(d_ord)
+        ord_lens = vbyte_lengths(d_ord)
+        ord_off = np.concatenate(([0], np.cumsum(ord_lens)))
+
+        tf_u = tf.astype(np.uint64)
+        tf_bytes = vbyte_encode(tf_u)
+        tf_lens = vbyte_lengths(tf_u)
+        tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+
+        def bin_col(big: bytes, value_off: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
+            offs = np.empty(total_blocks + 1, dtype=np.int64)
+            offs[:-1] = value_off[starts]
+            offs[-1] = value_off[ends[-1]]
+            # blocks tile the entry space contiguously, so consecutive byte
+            # ranges line up: offs is monotone and ends[i] == starts[i+1]
+            return pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), total_blocks,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(big)],
+            )
+
+        ords_col = bin_col(ord_bytes, ord_off, block_start, block_end)
+        tfs_col = bin_col(tf_bytes, tf_off, block_start, block_end)
+        if self.store_positions and pos_delta is not None:
+            pos_bytes = vbyte_encode(pos_delta)
+            pos_lens = vbyte_lengths(pos_delta)
+            pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
+            tok_starts = tok_offsets[block_start]
+            tok_ends = tok_offsets[block_end]
+            pos_col = bin_col(pos_bytes, pos_off, tok_starts, tok_ends)
+        else:
+            pos_col = pa.array([b""] * total_blocks, type=pa.large_binary())
+
+        cf_part = np.add.reduceat(tf.astype(np.int64), block_start)
+        max_tf = np.maximum.reduceat(tf, block_start)
+        min_dl = np.minimum.reduceat(dl[e_ord.astype(np.int64)], block_start)
+        term_col = sorted_terms.take(pa.array(present_term_ids[block_term]))
+
+        return pa.table(
+            {
+                "term": term_col,
+                "block": pa.array(block_in_term.astype(np.int32)),
+                "n": pa.array(block_n),
+                "cf_part": pa.array(cf_part),
+                "max_tf": pa.array(max_tf.astype(np.int32)),
+                "min_dl": pa.array(min_dl.astype(np.int32)),
+                "ords": ords_col,
+                "tfs": tfs_col,
+                "pos": pos_col,
             }
         )
