@@ -1,0 +1,104 @@
+"""Persistent query serving: an actor pool of warmed segment searchers.
+
+The reference's latency story is a long-lived Postgres with prewarmed shared
+buffers behind a connection pool (/root/reference/README.md:29-34,459-461;
+pool full_text_search.py:343-348).  Ours: N ``SearcherWorker`` actors, each
+owning a static partition of the index's segments with doc stores + hot
+postings cached in actor memory (loaded once in ``__init__`` / on first
+touch); a query is one fan-out round ``worker.search(plan)`` → tiny
+per-segment top-k tables → driver merge.  This is the raw-actor escape hatch
+SURVEY.md §2.3 T1 plans — per-query Dataset pipelines pay ~300 ms of task
+scheduling, which a latency path cannot.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..crosswalks import apply_crosswalk
+from .search import SearchQuery, SearchResult, _merge_comparator_indices
+from ..stages.segment_search import SEG_ID_COL, SEG_TOTAL_COL, SearchPlan, SegmentSearchActor
+
+
+@ray.remote
+class SearcherWorker:
+    def __init__(self, index_dir: str, seg_ids: list[int]):
+        self.inner = SegmentSearchActor(index_dir)
+        self.seg_ids = seg_ids
+
+    def warm(self) -> int:
+        """Prewarm doc stores (pg_prewarm analog); returns docs cached."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..state.manifest import seg_dir
+
+        from ..stages.segment_search import _PostingsFile
+
+        n = 0
+        for s in self.seg_ids:
+            sd = seg_dir(self.inner.index_dir, s)
+            p = os.path.join(sd, "docs.parquet")
+            t = pq.read_table(p)
+            self.inner.cache[p] = t
+            pp = os.path.join(sd, "postings.parquet")
+            self.inner.cache[("__pf__", pp)] = _PostingsFile(pp)
+            n += t.num_rows
+        return n
+
+    def search(self, plan: SearchPlan) -> pa.Table:
+        tables = [self.inner.search(s, plan) for s in self.seg_ids]
+        return pa.concat_tables(tables)
+
+
+class SearchService:
+    """Facade over the worker pool; mirrors engine.execute()/count()."""
+
+    def __init__(self, engine, n_workers: int = 8):
+        self.engine = engine
+        segs = engine.seg_ids
+        n_workers = max(1, min(n_workers, len(segs)))
+        parts: list[list[int]] = [[] for _ in range(n_workers)]
+        for i, s in enumerate(segs):
+            parts[i % n_workers].append(s)
+        self.workers = [SearcherWorker.remote(engine.index_dir, p) for p in parts]
+        ray.get([w.warm.remote() for w in self.workers])
+
+    def _run(self, q: SearchQuery, k: int):
+        plan = self.engine.build_plan(q, k)
+        tables = ray.get([w.search.remote(plan) for w in self.workers])
+        merged = pa.concat_tables([t for t in tables if t.num_rows])
+        if merged.num_rows == 0:
+            return 0, self.engine._empty_result_table()
+        import pyarrow.compute as pc
+
+        segsum = merged.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
+        total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py() or 0)
+        merged = merged.drop_columns([SEG_ID_COL, SEG_TOTAL_COL])
+        idx = _merge_comparator_indices(merged, q.order, self.engine.spec.id_cols)[:k]
+        return total, merged.take(pa.array(idx))
+
+    def execute(self, q: SearchQuery) -> SearchResult:
+        total, merged = self._run(q, q.page * q.page_size)
+        total_pages = max(1, math.ceil(total / q.page_size)) if total else 1
+        page = min(q.page, total_pages)
+        off = (page - 1) * q.page_size
+        tbl = apply_crosswalk(
+            merged.slice(off, q.page_size), q.crosswalk, self.engine.spec,
+            self.engine._custom_transformer,
+        )
+        return SearchResult(total=total, page=page, page_size=q.page_size, table=tbl)
+
+    def count(self, q: SearchQuery) -> int:
+        return self._run(q, 1)[0]
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

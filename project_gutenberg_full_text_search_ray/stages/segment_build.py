@@ -168,7 +168,7 @@ class SegmentBuilder:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         os.makedirs(tmp_dir, exist_ok=True)
         pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
-        pq.write_table(postings, os.path.join(tmp_dir, "postings.parquet"), row_group_size=4096)
+        pq.write_table(postings, os.path.join(tmp_dir, "postings.parquet"), row_group_size=1024)
         atomic_write_json(
             os.path.join(tmp_dir, SEG_MANIFEST),
             {

@@ -139,15 +139,51 @@ class _TermPostings:
         return self._positions
 
 
-def load_postings(postings_path: str, terms: list[str]) -> dict[str, _TermPostings]:
+class _PostingsFile:
+    """Open postings file + per-row-group term min/max for pruned reads —
+    the actor-path analog of a GIN index's b-tree over keys: a term lookup
+    touches only the row groups whose [min,max] range covers it."""
+
+    __slots__ = ("pf", "mins", "maxs")
+
+    def __init__(self, path: str):
+        self.pf = pq.ParquetFile(path)
+        md = self.pf.metadata
+        col_idx = md.schema.to_arrow_schema().get_field_index("term")
+        self.mins, self.maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            self.mins.append(st.min if st else None)
+            self.maxs.append(st.max if st else None)
+
+    def read_terms(self, terms: list[str]) -> pa.Table:
+        want = sorted(set(terms))
+        rgs = [
+            i
+            for i in range(len(self.mins))
+            if self.mins[i] is None
+            or any(self.mins[i] <= t <= self.maxs[i] for t in want)
+        ]
+        if not rgs:
+            return self.pf.schema_arrow.empty_table()
+        t = self.pf.read_row_groups(rgs, columns=["term", "block", "n", "ords", "tfs", "pos"])
+        return t.filter(pc.is_in(t["term"], value_set=pa.array(want)))
+
+
+def load_postings(
+    postings_path: str, terms: list[str], pfile: _PostingsFile | None = None
+) -> dict[str, _TermPostings]:
     out: dict[str, _TermPostings] = {}
     if not terms:
         return out
-    t = pq.read_table(
-        postings_path,
-        columns=["term", "block", "n", "ords", "tfs", "pos"],
-        filters=[("term", "in", sorted(set(terms)))],
-    )
+    if pfile is not None:
+        t = pfile.read_terms(terms)
+    else:
+        t = pq.read_table(
+            postings_path,
+            columns=["term", "block", "n", "ords", "tfs", "pos"],
+            filters=[("term", "in", sorted(set(terms)))],
+        )
     if t.num_rows == 0:
         return out
     t = t.sort_by([("term", "ascending"), ("block", "ascending")])
@@ -298,11 +334,21 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
     if plan.queries:
         all_terms = sorted({t for q in plan.queries for t in q.all_terms()})
         if cache is not None:
-            pkey = (postings_path, tuple(all_terms))
-            postings = cache.get(pkey)
-            if postings is None:
-                postings = load_postings(postings_path, all_terms)
-                cache[pkey] = postings
+            # per-term posting cache: queries sharing terms skip the parquet read
+            missing = [t for t in all_terms if (postings_path, t) not in cache]
+            if missing:
+                pf = cache.get(("__pf__", postings_path))
+                if pf is None:
+                    pf = _PostingsFile(postings_path)
+                    cache[("__pf__", postings_path)] = pf
+                loaded = load_postings(postings_path, missing, pfile=pf)
+                for t in missing:
+                    cache[(postings_path, t)] = loaded.get(t)
+            postings = {
+                t: cache[(postings_path, t)]
+                for t in all_terms
+                if cache[(postings_path, t)] is not None
+            }
         else:
             postings = load_postings(postings_path, all_terms)
         matched = evaluate_query(postings, plan.queries[0], n_docs)
