@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-phase / per-query seconds...}, "sf": ..., "num_cpus": N,
+     "turns_per_sec": ..., "query_p50_ms": ..., "query_p95_ms": ...}
+
+--scaling: run the same benchmark twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on identical input and print both throughputs + scaling
+efficiency (the sandbox stand-in for the north rule's N vs 4N node clusters).
+
+Timed phases:
+  build_transcripts — inverted-index build over the deterministic 240k-turn
+                      transcript fixture (force=True: resume manifests are
+                      cleared so real work is measured)
+  build_documents   — index build over {sf}/documents.parquet
+  queries           — every SQL-oracled driver query once (end-to-end, incl.
+                      Ray Data pipelines for dedup/ANN/scans)
+  latency           — warmed SearchService battery → p50/p95 per-query ms
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("PGFTS_BENCH_CONVS", "120000"))
+TURNS = 8
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from project_gutenberg_full_text_search_ray import TRANSCRIPTS_SPEC, FullTextSearchEngine, build_index
+    from project_gutenberg_full_text_search_ray.pipelines import driver_api
+    from project_gutenberg_full_text_search_ray.pipelines.serving import SearchService
+    from project_gutenberg_full_text_search_ray.sources.transcripts import transcripts_parquet
+
+    queries_sec: dict[str, float] = {}
+    total = 0.0
+
+    # ---- fixture prep (untimed) + one warm read for the OS page cache
+    path = transcripts_parquet(n_convs=N_CONVS, turns_per_conv=TURNS, seed=42)
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(path, "*.parquet")):
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    # spin up the worker pool before timing (steady-state throughput, not
+    # cluster cold-start — the real cluster is long-lived)
+    import ray.data as rd
+
+    rd.range(100_000, override_num_blocks=NUM_CPUS * 2).map_batches(lambda b: b).materialize()
+
+    # ---- phase 1: headline transcript index build
+    idx_dir = f"/tmp/pgfts_bench_idx/transcripts_cpus{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    info = build_index(path, TRANSCRIPTS_SPEC, idx_dir, force=True)
+    dt = time.time() - t0
+    queries_sec["build_transcripts"] = round(dt, 3)
+    total += dt
+    turns_per_sec = info.n_docs / dt
+
+    # ---- phase 2: documents index build
+    doc_idx = f"/tmp/pgfts_bench_idx/documents_cpus{NUM_CPUS}"
+    shutil.rmtree(doc_idx, ignore_errors=True)
+    from project_gutenberg_full_text_search_ray.corpus import DOCUMENTS_SPEC
+
+    t0 = time.time()
+    build_index(os.path.join(SF_DIR, "documents.parquet"), DOCUMENTS_SPEC, doc_idx, docs_per_segment=4096, force=True)
+    dt = time.time() - t0
+    queries_sec["build_documents"] = round(dt, 3)
+    total += dt
+
+    # ---- phase 3: the SQL-oracled driver queries end-to-end
+    for name in sorted(driver_api.ORACLE_SQL):
+        fn = driver_api.QUERIES[name]
+        t0 = time.time()
+        fn(SF_DIR)
+        dt = time.time() - t0
+        queries_sec[name] = round(dt, 3)
+        total += dt
+
+    # ---- phase 4: query latency on the warmed transcript index
+    eng = FullTextSearchEngine(idx_dir)
+    svc = SearchService(eng, n_workers=min(8, NUM_CPUS))
+    battery = [
+        "the quick brown fox",
+        '"to be or not to be"',
+        "w00001 or w00002",
+        "the -w00001",
+        "w00042 w00017",
+        '"ray data streaming execution"',
+    ]
+    for qs in battery:  # warm
+        svc.execute(eng.query().search(qs)[1, 28])
+    lat = []
+    t0 = time.time()
+    for _ in range(15):
+        for qs in battery:
+            t1 = time.time()
+            svc.execute(eng.query().search(qs)[1, 28])
+            lat.append(time.time() - t1)
+    dt = time.time() - t0
+    queries_sec["latency_battery"] = round(dt, 3)
+    total += dt
+    lat_ms = np.array(lat) * 1000
+    svc.shutdown()
+
+    result = {
+        "metric": "fts_index_build_plus_query_bench",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": info.n_docs,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+        "query_p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tps_lo = r_lo["turns_per_sec"]
+    tps_hi = r_hi["turns_per_sec"]
+    eff = (tps_hi / tps_lo) / (hi / lo)
+    return {
+        "metric": "index_build_scaling",
+        "unit": "turns_per_sec",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "turns_per_sec_lo": tps_lo,
+        "turns_per_sec_hi": tps_hi,
+        "build_sec_lo": r_lo["queries"]["build_transcripts"],
+        "build_sec_hi": r_hi["queries"]["build_transcripts"],
+        "scaling_efficiency": round(eff, 3),
+        "n_turns": r_lo["n_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

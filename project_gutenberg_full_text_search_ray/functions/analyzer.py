@@ -174,15 +174,15 @@ class Analyzer:
                 np.empty(0, dtype=np.int32),
             )
         lengths = np.diff(offsets)
-        doc_index_full = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+        doc_index_full = np.repeat(np.arange(n_docs, dtype=np.int32), lengths)
         nonempty = pc.not_equal(values, pa.scalar("")).to_numpy(zero_copy_only=False)
         nonempty &= ~np.asarray(pc.is_null(values).to_numpy(zero_copy_only=False))
-        cum = np.cumsum(nonempty)
+        cum = np.cumsum(nonempty, dtype=np.int32)
         starts = offsets[:-1]
-        base_per_doc = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        base_per_doc = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0).astype(np.int32)
         base_per_doc[starts == 0] = 0
         doc_base = np.repeat(base_per_doc, lengths)
-        pos_full = (cum - 1 - doc_base).astype(np.int32)
+        pos_full = cum - 1 - doc_base
         mask = pa.array(nonempty)
         return values.filter(mask), doc_index_full[nonempty], pos_full[nonempty]
 

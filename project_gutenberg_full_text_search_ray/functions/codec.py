@@ -17,42 +17,52 @@ _MASK7 = np.uint64(0x7F)
 
 
 def vbyte_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length per value: ceil(bit_length/7), min 1."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    """Encoded byte length per value: ceil(bit_length/7), min 1.
+
+    Branch-free comparisons (≤9 streaming passes for uint64, ≤4 for values
+    that fit 32 bits) — the build hot path is bandwidth-bound, so every pass
+    counts."""
+    v = np.ascontiguousarray(values)
+    if v.dtype != np.uint32 and v.dtype != np.uint64:
+        v = v.astype(np.uint64, copy=False)
     lengths = np.ones(len(v), dtype=np.int64)
-    tmp = v >> np.uint64(7)
-    while True:
-        nz = tmp > 0
-        if not nz.any():
+    bits = 32 if v.dtype == np.uint32 else 64
+    for shift in range(7, bits, 7):
+        thr = v.dtype.type(1) << v.dtype.type(shift)
+        more = v >= thr
+        if not more.any():
             break
-        lengths[nz] += 1
-        tmp = tmp >> np.uint64(7)
+        lengths += more
     return lengths
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as VByte. Empty input → b''."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    """Encode an unsigned array as VByte. Empty input → b''.
+    Accepts uint32 (preferred in the build path — half the bandwidth) or
+    anything castable to uint64."""
+    v = np.ascontiguousarray(values)
+    if v.dtype != np.uint32 and v.dtype != np.uint64:
+        v = v.astype(np.uint64, copy=False)
     n = len(v)
     if n == 0:
         return b""
+    mask7 = v.dtype.type(0x7F)
     lengths = vbyte_lengths(v)
+    maxlen = int(lengths.max())
+    if maxlen == 1:  # common case: all gaps/tfs < 128 — single streaming pass
+        out = v.astype(np.uint8)
+        out |= np.uint8(0x80)
+        return out.tobytes()
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
-    # end offset (exclusive) of each value's byte run
     ends = np.cumsum(lengths)
-    starts = ends - lengths
-    # Fill bytes: for byte slot j of value i (0-based from most significant),
-    # shift = 7*(lengths[i]-1-j). Vectorize by iterating over byte-position
-    # k = distance from the LAST byte (k=0 is last/terminator byte).
-    maxlen = int(lengths.max())
     for k in range(maxlen):
         sel = lengths > k  # values having a byte at distance k from the end
         idx = ends[sel] - 1 - k
-        chunk = (v[sel] >> np.uint64(7 * k)) & _MASK7
+        chunk = (v[sel] >> v.dtype.type(7 * k)) & mask7
         b = chunk.astype(np.uint8)
         if k == 0:
-            b |= np.uint8(0x80)  # continuation-terminator bit on final byte
+            b |= np.uint8(0x80)  # terminator bit on final byte
         out[idx] = b
     return out.tobytes()
 

@@ -63,6 +63,29 @@ def _hash_strings_u64(arr: pa.Array) -> np.ndarray:
     return hash_array(s.to_numpy(dtype=object), hash_key="0123456789abcdef", categorize=False)
 
 
+def _plan_file_segments(paths: list[str], target_rows: int) -> list[dict]:
+    """Deterministic segment plan: pack consecutive row groups of each file
+    into ~target_rows segments.  Driver-side metadata reads only."""
+    specs: list[dict] = []
+    seg_id = 0
+    for p in paths:
+        md = pq.read_metadata(p)
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start = 0
+        acc = 0
+        for i, r in enumerate(rg_rows):
+            acc += r
+            if acc >= target_rows or i == len(rg_rows) - 1:
+                if acc > 0:
+                    specs.append(
+                        {"seg_id": seg_id, "path": p, "rg_start": start, "rg_end": i + 1, "n_rows": acc}
+                    )
+                    seg_id += 1
+                start = i + 1
+                acc = 0
+    return specs
+
+
 @dataclass
 class IndexInfo:
     index_dir: str
@@ -105,14 +128,18 @@ def build_index(
     force: bool = False,
 ) -> IndexInfo:
     """Build (or resume) an index generation at ``index_dir``."""
+    paths: list[str] | None = None
+    ds = None
     if isinstance(source, (str, list)):
-        paths = sorted(glob.glob(source)) if isinstance(source, str) and any(c in source for c in "*?") else (
-            [source] if isinstance(source, str) else list(source)
-        )
+        if isinstance(source, str) and os.path.isdir(source):
+            paths = sorted(glob.glob(os.path.join(source, "*.parquet")))
+        elif isinstance(source, str) and any(c in source for c in "*?"):
+            paths = sorted(glob.glob(source))
+        else:
+            paths = [source] if isinstance(source, str) else list(source)
         if input_fp is None:
             input_fp = parquet_input_fingerprint(paths)
         n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
-        ds = rd.read_parquet(paths, columns=spec.read_cols)
     else:
         ds = source.select_columns(spec.read_cols)
         if input_fp is None:
@@ -120,16 +147,29 @@ def build_index(
             force = True
         n_rows = ds.count()
 
-    # Segment count: at real scale, ceil(N/docs_per_segment) >> cores and the
-    # cluster provides parallelism.  At sandbox scale that quotient can be
-    # tiny, so keep a deterministic floor (64, independent of CPU count so
-    # the 8-vs-32-CPU scaling runs do IDENTICAL work), capped so minuscule
-    # corpora don't shatter into near-empty segments.
-    n_segments = max(1, -(-n_rows // docs_per_segment))
-    n_segments = min(max(n_segments, min_segments), max(1, -(-n_rows // 512)))
+    # Target segment size: at real scale ceil(N/docs_per_segment) >> cores and
+    # the cluster provides parallelism; at sandbox scale keep a deterministic
+    # floor (independent of CPU count so 8-vs-32-CPU scaling runs do IDENTICAL
+    # work), capped so minuscule corpora don't shatter.
+    target_rows = max(512, min(docs_per_segment, -(-n_rows // max(1, min_segments))))
+
+    if paths is not None:
+        # Shuffle-free build: segments align with file/row-group ranges.
+        # Doc partitioning is arbitrary for correctness — df/N/avgdl are
+        # global and tf/dl are per-doc, so BM25 scores are partitioning-
+        # invariant — and file-aligned segments make the corpus-sized
+        # all-to-all exchange disappear entirely (each task does one pruned
+        # columnar read of its own row-group range).  This is how the build
+        # behaves at 100 TB: embarrassingly parallel over input shards, with
+        # only the vocabulary-sized dictionary merge crossing the network.
+        specs = _plan_file_segments(paths, target_rows)
+        n_segments = len(specs)
+    else:
+        n_segments = max(1, -(-n_rows // target_rows))
+
     build_fp = fingerprint(
         f"v{FORMAT_VERSION}", analyzer.version_tag, spec.tag(), input_fp,
-        f"segs={n_segments}", f"pos={int(store_positions)}",
+        f"segs={n_segments}", f"pos={int(store_positions)}", f"tr={target_rows}",
     )
 
     # fast path: generation already committed for this exact fingerprint
@@ -144,14 +184,35 @@ def build_index(
 
     builder = SegmentBuilder(index_dir, spec, analyzer, build_fp, store_positions=store_positions)
 
-    def build_segment_group(group: pa.Table) -> pa.Table:
-        return builder(group)
+    if paths is not None:
+        read_cols = spec.read_cols
 
-    term_partials = (
-        ds.map_batches(_assign_segments(spec, n_segments), batch_format="pyarrow")
-        .groupby(SEG_COL)
-        .map_groups(build_segment_group, batch_format="pyarrow")
-    )
+        def build_from_file(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+                cached = builder.resume_partials(row["seg_id"])  # skips the read too
+                if cached is None:
+                    pf = pq.ParquetFile(row["path"])
+                    t = pf.read_row_groups(
+                        list(range(row["rg_start"], row["rg_end"])), columns=read_cols
+                    )
+                    cached = builder.build_segment(row["seg_id"], t)
+                outs.append(cached)
+            return pa.concat_tables(outs)
+
+        term_partials = rd.from_items(specs).map_batches(
+            build_from_file, batch_size=1, batch_format="pyarrow"
+        )
+    else:
+
+        def build_segment_group(group: pa.Table) -> pa.Table:
+            return builder(group)
+
+        term_partials = (
+            ds.map_batches(_assign_segments(spec, n_segments), batch_format="pyarrow")
+            .groupby(SEG_COL)
+            .map_groups(build_segment_group, batch_format="pyarrow")
+        )
     # Global dictionary: the term-keyed shuffle runs over per-segment PARTIALS
     # (vocabulary-sized, not token-sized — combiner pattern).  We shard by
     # term-hash and merge each shard with Arrow-native group_by/sort_by (C++),

@@ -254,7 +254,8 @@ class FullTextSearchEngine:
         if self.mode == "local" or len(self.seg_ids) == 1:
             tables = [search_segment(seg_dir(self.index_dir, s), plan) for s in self.seg_ids]
             seg_totals = {s: (int(t[SEG_TOTAL_COL][0].as_py()) if t.num_rows else 0) for s, t in zip(self.seg_ids, tables)}
-            merged = pa.concat_tables([t for t in tables if t.num_rows])
+            nonempty = [t for t in tables if t.num_rows]
+            merged = pa.concat_tables(nonempty) if nonempty else None
             total = sum(seg_totals.values())
         else:
             segs = rd.from_items([{"seg_id": s} for s in self.seg_ids])

@@ -38,6 +38,7 @@ def gen_transcripts(
     turns_per_conv: int = 10,
     seed: int = 42,
     zipf_s: float = 1.07,
+    conv_offset: int = 0,
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
     vocab = _vocab()
@@ -46,18 +47,29 @@ def gen_transcripts(
     p /= p.sum()
 
     n_turns = n_convs * turns_per_conv
-    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
+    conv_idx = np.repeat(np.arange(conv_offset, conv_offset + n_convs), turns_per_conv)
     turn_idx = np.tile(np.arange(turns_per_conv, dtype=np.int32), n_convs)
     lengths = rng.integers(5, 121, size=n_turns)
     total_tokens = int(lengths.sum())
-    token_ids = rng.choice(len(vocab), size=total_tokens, p=p)
-    tokens = vocab[token_ids]
-    offsets = np.concatenate(([0], np.cumsum(lengths)))
-    texts = [" ".join(tokens[offsets[i] : offsets[i + 1]]) for i in range(n_turns)]
-    # plant fixed phrases into known turns (conv % key == 0, turn 0)
+    # inverse-CDF Zipf sampling + Arrow list-join: vectorized end to end so
+    # million-turn fixtures generate in seconds
+    cdf = np.cumsum(p)
+    token_ids = np.searchsorted(cdf, rng.random(total_tokens), side="right")
+    token_ids = np.minimum(token_ids, len(vocab) - 1)
+    vocab_pa = pa.array(vocab.tolist(), type=pa.string())
+    flat = vocab_pa.take(pa.array(token_ids))
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    tok_lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
+    import pyarrow.compute as pc
+
+    texts_pa = pc.binary_join(tok_lists, " ")
+    texts = texts_pa.to_pylist()
+    # plant fixed phrases into known turns (GLOBAL conv % key == 0, turn 0)
     for mod, phrase in PHRASES.items():
-        for ci in range(0, n_convs, mod):
-            texts[ci * turns_per_conv] = texts[ci * turns_per_conv] + " " + phrase
+        first = ((conv_offset + mod - 1) // mod) * mod
+        for ci in range(first, conv_offset + n_convs, mod):
+            local = ci - conv_offset
+            texts[local * turns_per_conv] = texts[local * turns_per_conv] + " " + phrase
 
     roles = rng.choice(ROLES, size=n_turns, p=ROLE_P)
     tool_choice = rng.choice(TOOLS, size=n_turns)
@@ -81,13 +93,34 @@ def transcripts_parquet(
     turns_per_conv: int = 10,
     seed: int = 42,
     cache_root: str = "/tmp/pgfts_fixtures",
+    n_files: int | None = None,
 ) -> str:
-    """Write (or reuse) the deterministic fixture; returns the parquet path."""
+    """Write (or reuse) the deterministic fixture as a DIRECTORY of parquet
+    shards (the realistic input layout — a 100 TB corpus is many files, and a
+    sharded read is what lets Ray Data parallelize the scan).  Returns the
+    directory path.  Each shard is generated independently (per-shard seed,
+    global conv ids) so generation itself could be distributed."""
+    if n_files is None:
+        n_files = max(1, min(32, n_convs // 500))
     os.makedirs(cache_root, exist_ok=True)
-    path = os.path.join(cache_root, f"transcripts_c{n_convs}_t{turns_per_conv}_s{seed}.parquet")
-    if not os.path.exists(path):
-        t = gen_transcripts(n_convs, turns_per_conv, seed)
+    path = os.path.join(cache_root, f"transcripts_v2_c{n_convs}_t{turns_per_conv}_s{seed}_f{n_files}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(t, tmp)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        per = -(-n_convs // n_files)
+        for k in range(n_files):
+            lo = k * per
+            hi = min(lo + per, n_convs)
+            if lo >= hi:
+                break
+            t = gen_transcripts(hi - lo, turns_per_conv, seed=seed * 1000 + k, conv_offset=lo)
+            pq.write_table(t, os.path.join(tmp, f"part-{k:05d}.parquet"), row_group_size=16384)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)
     return path

@@ -49,14 +49,16 @@ class SegmentBuildResult:
 
 
 def _delta_in_place(vals: np.ndarray, reset_at: np.ndarray) -> np.ndarray:
-    """Delta-encode int array; positions in ``reset_at`` keep absolute values."""
-    v = vals.astype(np.uint64, copy=True)
+    """Delta-encode int array; positions in ``reset_at`` keep absolute values.
+    uint32 throughout (positions/ordinals are segment-local < 2^31)."""
+    v = vals.astype(np.uint32, copy=False)
     if len(v) > 1:
-        d = v.copy()
-        d[1:] = v[1:] - v[:-1]
+        d = np.empty_like(v)
+        d[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=d[1:])
         d[reset_at] = v[reset_at]
         return d
-    return v
+    return v.copy()
 
 
 class SegmentBuilder:
@@ -84,11 +86,17 @@ class SegmentBuilder:
         # contiguous arrays
         group = group.combine_chunks()
         seg_id = int(group[SEG_COL][0].as_py())
+        cached = self.resume_partials(seg_id)
+        if cached is not None:
+            return cached
+        return self.build_segment(seg_id, group)
+
+    def resume_partials(self, seg_id: int) -> pa.Table | None:
+        """If this segment is already complete for this build fingerprint,
+        recover its dictionary partials from the existing postings file."""
         out_dir = seg_dir(self.index_dir, seg_id)
         existing = read_json(os.path.join(out_dir, SEG_MANIFEST))
         if existing and existing.get("fingerprint") == self.build_fp and existing.get("status") == "complete":
-            # resume: segment already built for this exact input+config —
-            # recover the dictionary partials from the existing postings file.
             t = pq.read_table(os.path.join(out_dir, "postings.parquet"), columns=["term", "n", "cf_part"])
             agg = t.group_by("term").aggregate([("n", "sum"), ("cf_part", "sum")])
             return pa.table(
@@ -98,7 +106,10 @@ class SegmentBuilder:
                     "cf": agg["cf_part_sum"].cast(pa.int64()),
                 }
             )
+        return None
 
+    def build_segment(self, seg_id: int, group: pa.Table) -> pa.Table:
+        out_dir = seg_dir(self.index_dir, seg_id)
         spec = self.spec
         sort_keys = [(c, "ascending") for c in spec.id_cols]
         order = pc.sort_indices(group, sort_keys=sort_keys)
@@ -114,37 +125,39 @@ class SegmentBuilder:
         if len(terms_pa):
             enc = terms_pa.dictionary_encode()
             dict_arr = enc.dictionary
-            sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
-            rank = np.empty(len(sort_ord), dtype=np.int64)
-            rank[sort_ord] = np.arange(len(sort_ord))
-            term_ids = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+            sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+            rank = np.empty(len(sort_ord), dtype=np.int32)
+            rank[sort_ord] = np.arange(len(sort_ord), dtype=np.int32)
+            term_ids = rank[enc.indices.to_numpy(zero_copy_only=False)]
             sorted_terms = dict_arr.take(pa.array(sort_ord))  # unique terms, ascending
 
             sort_idx = np.lexsort((positions, doc_idx, term_ids))
             t_s = term_ids[sort_idx]
-            d_s = doc_idx[sort_idx]
-            p_s = positions[sort_idx].astype(np.uint64)
-            entry_key = t_s * np.int64(n_docs) + d_s
-            entry_first = np.empty(len(entry_key), dtype=bool)
+            d_s = doc_idx[sort_idx].astype(np.int32, copy=False)
+            p_s = positions[sort_idx]
+            # entry boundary where (term, doc) changes — two int32 passes, no
+            # wide composite key
+            entry_first = np.empty(len(t_s), dtype=bool)
             entry_first[0] = True
-            np.not_equal(entry_key[1:], entry_key[:-1], out=entry_first[1:])
+            np.not_equal(t_s[1:], t_s[:-1], out=entry_first[1:])
+            entry_first[1:] |= d_s[1:] != d_s[:-1]
             entry_starts = np.flatnonzero(entry_first)
-            tf = np.diff(np.append(entry_starts, len(entry_key))).astype(np.int32)
+            tf = np.diff(np.append(entry_starts, len(t_s))).astype(np.int32)
             e_term = t_s[entry_starts]
-            e_ord = d_s[entry_starts].astype(np.uint64)
+            e_ord = d_s[entry_starts].astype(np.uint32)
             term_first = np.empty(len(e_term), dtype=bool)
             term_first[0] = True
             np.not_equal(e_term[1:], e_term[:-1], out=term_first[1:])
             term_starts = np.flatnonzero(term_first)
             df = np.diff(np.append(term_starts, len(e_term))).astype(np.int64)
             pos_delta = _delta_in_place(p_s, entry_starts) if self.store_positions else None
-            tok_offsets = np.concatenate(([0], np.cumsum(tf).astype(np.int64)))
+            tok_offsets = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
             present_term_ids = e_term[term_starts]
         else:
             sorted_terms = pa.array([], type=pa.string())
             df = np.empty(0, dtype=np.int64)
             term_starts = np.empty(0, dtype=np.int64)
-            e_ord = np.empty(0, dtype=np.uint64)
+            e_ord = np.empty(0, dtype=np.uint32)
             tf = np.empty(0, dtype=np.int32)
             pos_delta = None
             tok_offsets = np.zeros(1, dtype=np.int64)
@@ -239,15 +252,16 @@ class SegmentBuilder:
         block_end = np.minimum(block_start + bs, term_end)
         block_n = (block_end - block_start).astype(np.int32)
 
-        # ords: delta with reset at each block start, one encode pass
-        d_ord = e_ord.copy()
-        d_ord[1:] = e_ord[1:] - e_ord[:-1]
+        # ords: delta with reset at each block start, one encode pass (uint32)
+        d_ord = np.empty_like(e_ord)
+        d_ord[0] = e_ord[0]
+        np.subtract(e_ord[1:], e_ord[:-1], out=d_ord[1:])
         d_ord[block_start] = e_ord[block_start]
         ord_bytes = vbyte_encode(d_ord)
         ord_lens = vbyte_lengths(d_ord)
         ord_off = np.concatenate(([0], np.cumsum(ord_lens)))
 
-        tf_u = tf.astype(np.uint64)
+        tf_u = tf.view(np.uint32)  # tf ≥ 1 always — zero-copy reinterpret
         tf_bytes = vbyte_encode(tf_u)
         tf_lens = vbyte_lengths(tf_u)
         tf_off = np.concatenate(([0], np.cumsum(tf_lens)))

@@ -31,11 +31,20 @@ def fingerprint(*parts: str) -> str:
 
 
 def parquet_input_fingerprint(paths: list[str]) -> str:
-    """Stable fingerprint of parquet inputs: name + size + num_rows per file."""
+    """Stable fingerprint of parquet inputs: name + size + num_rows per file.
+    Directories expand to their *.parquet members."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(_glob.glob(os.path.join(p, "*.parquet")))
+        else:
+            expanded.append(p)
     parts = []
-    for p in sorted(paths):
+    for p in sorted(expanded):
         st = os.stat(p)
         nrows = pq.read_metadata(p).num_rows
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{nrows}")
