@@ -122,7 +122,7 @@ def build_index(
     *,
     analyzer: Analyzer = DEFAULT_ANALYZER,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
-    min_segments: int = 64,
+    min_segments: int = 128,
     store_positions: bool = True,
     input_fp: str | None = None,
     force: bool = False,

@@ -103,7 +103,7 @@ def transcripts_parquet(
     if n_files is None:
         n_files = max(1, min(32, n_convs // 500))
     os.makedirs(cache_root, exist_ok=True)
-    path = os.path.join(cache_root, f"transcripts_v2_c{n_convs}_t{turns_per_conv}_s{seed}_f{n_files}")
+    path = os.path.join(cache_root, f"transcripts_v3_c{n_convs}_t{turns_per_conv}_s{seed}_f{n_files}")
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -118,7 +118,7 @@ def transcripts_parquet(
             if lo >= hi:
                 break
             t = gen_transcripts(hi - lo, turns_per_conv, seed=seed * 1000 + k, conv_offset=lo)
-            pq.write_table(t, os.path.join(tmp, f"part-{k:05d}.parquet"), row_group_size=16384)
+            pq.write_table(t, os.path.join(tmp, f"part-{k:05d}.parquet"), row_group_size=4096)
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
         shutil.rmtree(path, ignore_errors=True)
