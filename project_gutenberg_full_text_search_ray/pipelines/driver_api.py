@@ -557,6 +557,69 @@ def q_transcripts_flagship(sf_dir: str) -> pa.Table:
                      "score": _scaled(top["score"].to_pylist())})
 
 
+def q_facet_lang_counts(sf_dir: str) -> pa.Table:
+    """A5/A8 analog: full-corpus categorical counts in ONE groupby pass (the
+    reference loops N count queries, opds.py:706-714)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = _docs_ds(sf_dir, ["lang"])
+    agg = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas().sort_values("lang")
+    return pa.table({"lang": pa.array(agg["lang"]), "n": pa.array(agg["n"], type=pa.int64())})
+
+
+def q_sample_per_source(sf_dir: str) -> pa.Table:
+    """O6 analog (per-shelf seeded random sample, opds.py:543-561): 3 docs
+    per source by seeded md5 order — groupby.map_groups with a deterministic
+    in-group sort."""
+    import hashlib
+
+    import pandas as pd
+
+    def take3(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["doc_id"].map(lambda d: hashlib.md5(f"42|{d}".encode()).hexdigest())
+        g = g.assign(__k=keys).sort_values(["__k", "doc_id"]).head(3)
+        return g[["source", "doc_id"]]
+
+    out = (
+        _docs_ds(sf_dir, ["source", "doc_id"])
+        .groupby("source")
+        .map_groups(take3, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.table({"source": pa.array(out["source"]), "doc_id": pa.array(out["doc_id"], type=pa.int64())})
+
+
+def q_regex_normalize(sf_dir: str) -> pa.Table:
+    """N1/N2 analog (MARC-subfield strip / text normalizer,
+    helpers.py:33-53): vectorized regexp replace via pyarrow.compute — both
+    Arrow and DuckDB compile RE2, so the oracle is exact."""
+    def norm(batch: pa.Table) -> pa.Table:
+        out = pc.replace_substring_regex(batch["text"], r"\b(table|row)\b", "X")
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": out})
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 50)), batch_format="pyarrow")
+        .map_batches(norm, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64()), "norm_text": pa.array(t["norm_text"])})
+
+
+def q_dedup_components(sf_dir: str) -> pa.Table:
+    """Near-dup clusters: MinHash-LSH pairs → connected components → (id, rep).
+    Rows-only driver check; component semantics pinned in pytest."""
+    from ..stages.dedup import connected_components, minhash_lsh_pairs
+
+    pairs_ds = minhash_lsh_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.3)
+    pairs = pa.Table.from_pandas(pairs_ds.to_pandas(), preserve_index=False)
+    return connected_components(pairs)
+
+
 _PTOK_SQL = (
     "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
     f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr FROM documents"
@@ -601,6 +664,20 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "FROM embeddings e, q WHERE e.vec_id <> 0 "
         "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT 10"
     ),
+    "facet_lang_counts": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "sample_per_source": (
+        "SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM ("
+        "SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+        "ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+        "WHERE rn <= 3 ORDER BY source, doc_id"
+    ),
+    "regex_normalize": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "regexp_replace(text, '\\b(table|row)\\b', 'X', 'g') AS norm_text "
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id"
+    ),
     "embed_neardup_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, "
         "CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
@@ -618,6 +695,10 @@ QUERIES_EXTRAS = {
     "events_type_counts": q_events_type_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embed_neardup_pairs": q_embed_neardup_pairs,
+    "facet_lang_counts": q_facet_lang_counts,
+    "sample_per_source": q_sample_per_source,
+    "regex_normalize": q_regex_normalize,
+    "dedup_components": q_dedup_components,
     # rows-only (no SQL-expressible oracle; semantics asserted in pytest)
     "ann_lsh_topk": q_ann_lsh_topk,
     "minhash_neardup": q_minhash_neardup,

@@ -250,6 +250,38 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------------- connected components
+def connected_components(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
+    """Duplicate-cluster representatives from a near-dup pair list:
+    min-label propagation to fixpoint → (id, rep) with rep = min id of the
+    component.  Driver-side union-find here (pair lists are tiny relative to
+    the corpus — they already passed an LSH+verify filter); the documented
+    scale path is the same min-label propagation as iterated
+    groupby(id).min(label) rounds over a pairs Dataset."""
+    a = pairs[id_a].to_pylist()
+    b = pairs[id_b].to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    ids = sorted(parent)
+    reps = [find(i) for i in ids]
+    return pa.table({"id": pa.array(ids), "rep": pa.array(reps)})
+
+
 # --------------------------------------------------------------- embeddings
 def embedding_neardup_pairs(
     ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.98,

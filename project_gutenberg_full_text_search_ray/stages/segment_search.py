@@ -56,6 +56,15 @@ class FilterSpec:
 def apply_filters(table: pa.Table, filters: list[FilterSpec]) -> np.ndarray:
     mask = np.ones(table.num_rows, dtype=bool)
     for f in filters:
+        if f.op == "udf":
+            # F16 escape hatch (reference raw-SQL `where()`, full_text_search
+            # .py:255-263): a user callable Table → bool mask, shipped to the
+            # segment tasks like any other plan field
+            m_np = np.asarray(f.value(table), dtype=bool)
+            if m_np.shape != (table.num_rows,):
+                raise ValueError("udf filter must return a bool mask of len(table)")
+            mask &= m_np
+            continue
         col = table[f.col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

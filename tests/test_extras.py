@@ -165,3 +165,43 @@ def test_fuzzy_expansion_finds_table(ray_session):
     eng = ensure_documents_index(SF)
     exact = eng.top_docs(eng.query().search("table"), 5)["doc_id"].to_pylist()
     assert set(exact) & set(t["doc_id"].to_pylist())
+
+
+def test_custom_udf_filter(engine, oracle):
+    """F16 escape hatch: arbitrary Table→mask predicate shipped to segments."""
+    import pyarrow.compute as pc
+
+    from project_gutenberg_full_text_search_ray import FilterSpec
+
+    def even_turns(t):
+        return pc.equal(pc.bit_wise_and(t["turn_idx"], 1), 0).to_numpy(zero_copy_only=False)
+
+    q = engine.query().search("the").where(FilterSpec(None, "udf", even_turns))[1, 20]
+    res = engine.execute(q)
+    exp = oracle.search(["the"], filters=[("turn_idx", "in", [0, 2, 4, 6])], page_size=20)
+    assert res.total == exp.total
+    got = list(zip(res.table["conv_id"].to_pylist(), res.table["turn_idx"].to_pylist()))
+    assert got == [(r["conv_id"], r["turn_idx"]) for r in exp.rows]
+
+
+def test_connected_components():
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import connected_components
+
+    pairs = pa.table({"id_a": [1, 2, 5, 9], "id_b": [2, 3, 6, 1]})
+    out = connected_components(pairs)
+    m = dict(zip(out["id"].to_pylist(), out["rep"].to_pylist()))
+    assert m == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_sample_per_source_deterministic(ray_session):
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import q_sample_per_source
+
+    a = q_sample_per_source(SF)
+    b = q_sample_per_source(SF)
+    assert a.equals(b)
+    import collections
+
+    c = collections.Counter(a["source"].to_pylist())
+    assert all(v == 3 for v in c.values())

@@ -1,0 +1,124 @@
+"""Checkpoint/resume semantics (north rule: per-partition lineage manifests).
+
+A re-run over identical inputs must (a) fast-path on the committed index
+manifest, (b) rebuild ONLY segments whose lineage manifest is missing or
+stale, (c) produce a different fingerprint (full rebuild) when the input or
+analyzer config changes — partial re-runs can never mix generations.
+"""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def small_corpus(tmp_path):
+    from project_gutenberg_full_text_search_ray.sources.transcripts import gen_transcripts
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for k in range(4):
+        t = gen_transcripts(50, 8, seed=7000 + k, conv_offset=k * 50)
+        pq.write_table(t, str(d / f"part-{k}.parquet"), row_group_size=200)
+    return str(d)
+
+
+def _build(src, idx, **kw):
+    from project_gutenberg_full_text_search_ray import TRANSCRIPTS_SPEC, build_index
+
+    return build_index(src, TRANSCRIPTS_SPEC, idx, docs_per_segment=400, min_segments=4, **kw)
+
+
+def test_rerun_fast_paths_on_committed_manifest(ray_session, small_corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    info1 = _build(small_corpus, idx)
+    mtimes1 = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(idx, "seg=*", "postings.parquet"))}
+    info2 = _build(small_corpus, idx)
+    assert info2.build_fp == info1.build_fp
+    mtimes2 = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(idx, "seg=*", "postings.parquet"))}
+    assert mtimes1 == mtimes2  # nothing rebuilt
+
+
+def test_partial_resume_rebuilds_only_stale_segment(ray_session, small_corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    info1 = _build(small_corpus, idx)
+    assert info1.n_segments >= 3
+    seg_dirs = sorted(glob.glob(os.path.join(idx, "seg=*")))
+    victim = seg_dirs[1]
+    os.remove(os.path.join(victim, "_SEG_MANIFEST.json"))
+    os.remove(os.path.join(idx, "manifest.json"))  # uncommitted generation
+    mtimes_before = {
+        p: os.path.getmtime(os.path.join(p, "postings.parquet")) for p in seg_dirs if p != victim
+    }
+    info2 = _build(small_corpus, idx)
+    assert info2.build_fp == info1.build_fp
+    assert info2.n_docs == info1.n_docs
+    for p, m in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(p, "postings.parquet")) == m, f"{p} was rebuilt"
+    assert os.path.exists(os.path.join(victim, "_SEG_MANIFEST.json"))
+
+
+def test_input_change_changes_fingerprint(ray_session, small_corpus, tmp_path):
+    from project_gutenberg_full_text_search_ray.sources.transcripts import gen_transcripts
+
+    idx = str(tmp_path / "idx")
+    info1 = _build(small_corpus, idx)
+    # append one more file → new input fingerprint → new generation
+    t = gen_transcripts(50, 8, seed=7999, conv_offset=999)
+    pq.write_table(t, os.path.join(small_corpus, "part-9.parquet"), row_group_size=200)
+    info2 = _build(small_corpus, idx)
+    assert info2.build_fp != info1.build_fp
+    assert info2.n_docs == info1.n_docs + 400
+
+
+def test_analyzer_change_changes_fingerprint(ray_session, small_corpus, tmp_path):
+    from project_gutenberg_full_text_search_ray import TRANSCRIPTS_SPEC, Analyzer, build_index
+
+    idx = str(tmp_path / "idx")
+    info1 = _build(small_corpus, idx)
+    info2 = build_index(
+        small_corpus, TRANSCRIPTS_SPEC, idx, docs_per_segment=400, min_segments=4,
+        analyzer=Analyzer(stopwords=True),
+    )
+    assert info2.build_fp != info1.build_fp
+
+
+def test_manifest_records_lineage_and_metrics(ray_session, small_corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    info = _build(small_corpus, idx)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_docs"] == 1600
+    assert m["total_tokens"] > 0
+    assert len(m["segments"]) == info.n_segments
+    assert sum(s["n_docs"] for s in m["segments"]) == 1600
+    for sd in glob.glob(os.path.join(idx, "seg=*")):
+        with open(os.path.join(sd, "_SEG_MANIFEST.json")) as f:
+            sm = json.load(f)
+        assert sm["status"] == "complete"
+        assert sm["fingerprint"] == info.build_fp
+        assert sm["n_docs"] > 0 and sm["n_terms"] > 0
+
+
+def test_search_after_resume_matches_fresh_build(ray_session, small_corpus, tmp_path):
+    from project_gutenberg_full_text_search_ray import FullTextSearchEngine
+
+    idx1 = str(tmp_path / "idx1")
+    idx2 = str(tmp_path / "idx2")
+    _build(small_corpus, idx1)
+    info = _build(small_corpus, idx2)
+    # simulate crash: drop two seg manifests + index manifest, rebuild
+    seg_dirs = sorted(glob.glob(os.path.join(idx2, "seg=*")))
+    for v in seg_dirs[:2]:
+        os.remove(os.path.join(v, "_SEG_MANIFEST.json"))
+    os.remove(os.path.join(idx2, "manifest.json"))
+    _build(small_corpus, idx2)
+    e1, e2 = FullTextSearchEngine(idx1), FullTextSearchEngine(idx2)
+    for qs in ["the", '"to be or not to be"', "w00001 or w00002"]:
+        r1 = e1.execute(e1.query().search(qs)[1, 20])
+        r2 = e2.execute(e2.query().search(qs)[1, 20])
+        assert r1.total == r2.total
+        assert r1.table.equals(r2.table)
