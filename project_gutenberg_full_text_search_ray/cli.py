@@ -1,0 +1,108 @@
+"""Thin CLI facade — the analog of the reference's HTTP layer (§2.10).
+
+The reference exposes search over CherryPy (/root/reference/opds/opds.py);
+the engine-core equivalent here is a command line that owns its Ray session
+(the library itself never calls ray.init).
+
+    python -m project_gutenberg_full_text_search_ray.cli build SRC INDEX_DIR [--corpus transcripts|documents]
+    python -m project_gutenberg_full_text_search_ray.cli search INDEX_DIR QUERY [--page N] [--size N]
+        [--filter col:op:value ...] [--order col|relevance|random] [--asc] [--count-only]
+    python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ray-fts")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("src")
+    b.add_argument("index_dir")
+    b.add_argument("--corpus", choices=["transcripts", "documents"], default="transcripts")
+    b.add_argument("--force", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--size", type=int, default=28)
+    s.add_argument("--filter", action="append", default=[], help="col:op:value")
+    s.add_argument("--order", default="relevance")
+    s.add_argument("--asc", action="store_true")
+    s.add_argument("--count-only", action="store_true")
+
+    st = sub.add_parser("stats")
+    st.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        from .corpus import DOCUMENTS_SPEC, TRANSCRIPTS_SPEC
+        from .pipelines.build import build_index
+
+        _ray_up()
+        spec = TRANSCRIPTS_SPEC if args.corpus == "transcripts" else DOCUMENTS_SPEC
+        info = build_index(args.src, spec, args.index_dir, force=args.force)
+        print(json.dumps({"n_docs": info.n_docs, "n_segments": info.n_segments,
+                          "avgdl": round(info.avgdl, 3), "fingerprint": info.build_fp}))
+        return 0
+
+    if args.cmd == "stats":
+        from .state.manifest import load_index_manifest
+
+        m = load_index_manifest(args.index_dir)
+        print(json.dumps({k: m[k] for k in ("n_docs", "total_tokens", "avgdl", "n_segments", "fingerprint")}))
+        return 0
+
+    # search
+    from .pipelines.search import RANDOM, RELEVANCE, FullTextSearchEngine
+    from .stages.segment_search import FilterSpec
+
+    _ray_up()
+    eng = FullTextSearchEngine(args.index_dir)
+    q = eng.query().search(args.query)
+    for f in args.filter:
+        parts = f.split(":", 2)
+        col, op = parts[0], parts[1]
+        val = parts[2] if len(parts) > 2 else None
+        if val is not None:
+            try:
+                val = json.loads(val)
+            except json.JSONDecodeError:
+                pass
+        q = q.where(FilterSpec(col, op, val))
+    if args.order == "relevance":
+        q = q.order_by(RELEVANCE)
+    elif args.order == "random":
+        q = q.order_by(RANDOM)
+    else:
+        q = q.order_by(args.order, descending=not args.asc)
+    q = q[args.page, args.size]
+    if args.count_only:
+        print(json.dumps({"total": eng.count(q)}))
+        return 0
+    res = eng.execute(q)
+    print(json.dumps({"total": res.total, "page": res.page, "rows": res.table.to_pylist()},
+                     default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
