@@ -53,6 +53,9 @@ class SearcherWorker:
         return n
 
     def search(self, plan: SearchPlan) -> pa.Table:
+        # serial loop: per-segment warm search is ~1-2 ms; parallelism comes
+        # from the worker fan-out, and intra-actor threads measurably hurt
+        # tail latency on an oversubscribed node
         tables = [self.inner.search(s, plan) for s in self.seg_ids]
         return pa.concat_tables(tables)
 
