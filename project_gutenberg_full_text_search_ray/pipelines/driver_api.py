@@ -493,27 +493,25 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def q_fuzzy_search(sf_dir: str) -> pa.Table:
-    """P2 FUZZY analog: expand the (misspelled) query term to dictionary terms
-    by character-trigram Jaccard against the index dictionary, then OR-search
-    the expansions, ranked by best trigram similarity then BM25."""
+    """P2 FUZZY analog via the trigram index (stages/trigram.py): the
+    misspelled query term expands to dictionary terms by word_similarity and
+    runs as an OR-search — no vocabulary scan, no corpus scan."""
     eng = ensure_documents_index(sf_dir)
-    dict_t = pq.read_table(os.path.join(eng.index_dir, "dict"), columns=["term"])
-    terms = dict_t["term"].to_pylist()
-
-    def trigrams(w: str) -> set:
-        w = f"  {w} "
-        return {w[i : i + 3] for i in range(len(w) - 2)}
-
-    qt = trigrams("tabel")  # misspelling of 'table'
-    # pg_trgm-style word_similarity: shared trigrams / query trigrams
-    # (reference README.md:118-123 "FUZZY — slower, typo-tolerant")
-    sims = [(t, len(qt & trigrams(t)) / max(1, len(qt))) for t in terms]
-    matches = sorted([x for x in sims if x[1] >= 0.4], key=lambda x: (-x[1], x[0]))[:5]
-    if not matches:
-        return pa.table({"doc_id": pa.array([], type=pa.int64()), "score": pa.array([], type=pa.int64())})
-    q = eng.query().search(" or ".join(t for t, _ in matches))
+    q = eng.query().search_fuzzy("tabel")  # misspelling of 'table'
     top = eng.top_docs(q, 20)
     return pa.table({"doc_id": top["doc_id"], "score": _scaled(top["score"].to_pylist())})
+
+
+def q_contains_indexed(sf_dir: str) -> pa.Table:
+    """P3 CONTAINS via the trigram index: single-token substring expands to
+    the dictionary terms containing it (trigram candidates + exact verify),
+    then posting-list OR — equivalent to the naive scan but index-assisted
+    (pytest asserts equivalence on the matched doc set)."""
+    eng = ensure_documents_index(sf_dir)
+    q = eng.query().search_contains("able")
+    top = eng.top_docs(q, 500)
+    ids = sorted(top["doc_id"].to_pylist())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
 def q_multimodal_decode(sf_dir: str) -> pa.Table:
@@ -706,6 +704,7 @@ QUERIES_EXTRAS = {
     "langid_counts": q_langid,
     "fingerprints": q_fingerprints,
     "fuzzy_search": q_fuzzy_search,
+    "contains_indexed": q_contains_indexed,
     "multimodal_decode": q_multimodal_decode,
     "transcripts_flagship": q_transcripts_flagship,
 }

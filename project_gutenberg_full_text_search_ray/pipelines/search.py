@@ -60,6 +60,8 @@ class SearchQuery:
 
     crosswalk: Crosswalk = Crosswalk.FULL
     queries: list[ParsedQuery] = field(default_factory=list)
+    fuzzy_terms: list[str] = field(default_factory=list)
+    contains_patterns: list[str] = field(default_factory=list)
     filters: list[FilterSpec] = field(default_factory=list)
     order: OrderSpec = field(default_factory=OrderSpec)
     page: int = 1
@@ -76,6 +78,18 @@ class SearchQuery:
             # categorical scope columns here (SURVEY.md §1.4) — e.g.
             # field_filter=("role","assistant")
             self.filters.append(FilterSpec(field_filter[0], "==", field_filter[1]))
+        return self
+
+    def search_fuzzy(self, term: str) -> "SearchQuery":
+        """P2 FUZZY: typo-tolerant — expands to dictionary terms by trigram
+        word_similarity at plan time (stages/trigram.py), then OR-searches."""
+        self.fuzzy_terms.append(term)
+        return self
+
+    def search_contains(self, pattern: str) -> "SearchQuery":
+        """P3 CONTAINS (single-token substring): trigram-candidate dictionary
+        terms verified exactly, then OR-searched — the GIN-trigram plan."""
+        self.contains_patterns.append(pattern)
         return self
 
     # -- filter sugar mirroring F1–F16 (generic engine: named by intent)
@@ -235,9 +249,20 @@ class FullTextSearchEngine:
         }
 
     def build_plan(self, q: SearchQuery, k: int) -> SearchPlan:
-        terms = [t for pq_ in q.queries for t in pq_.positive_terms()]
+        queries = list(q.queries)
+        if q.fuzzy_terms or q.contains_patterns:
+            from ..functions.querylang import AndGroup, ParsedQuery, Term
+            from ..stages.trigram import contains_expand, fuzzy_expand
+
+            for ft in q.fuzzy_terms:
+                expanded = [t for t, _ in fuzzy_expand(self.index_dir, ft)]
+                queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
+            for cp in q.contains_patterns:
+                expanded = contains_expand(self.index_dir, cp)
+                queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
+        terms = [t for pq_ in queries for t in pq_.positive_terms()]
         return SearchPlan(
-            queries=tuple(q.queries),
+            queries=tuple(queries),
             filters=tuple(q.filters),
             order=q.order,
             k=k,

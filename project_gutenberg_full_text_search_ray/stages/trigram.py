@@ -1,0 +1,110 @@
+"""Character-trigram index over the dictionary — the FUZZY/CONTAINS family.
+
+The reference backs ``q <% col`` (word_similarity) and ``ILIKE %q%`` with GIN
+and GiST trigram indexes over whole text columns
+(/root/reference/tables/mv_books_dc.sql:472-487, README.md:118-123).  We index
+trigrams of the *dictionary terms* instead: a fuzzy or contains query first
+expands to matching vocabulary terms via the trigram index, then runs as an
+ordinary OR-query through the posting lists — two pruned columnar reads, no
+corpus scan.
+
+The trigram table is derived lazily from ``dict/`` on first use and cached in
+the index directory (atomic write).  Layout: (tri:string, term:string),
+sorted by ``tri`` → parquet row-group stats prune each lookup to the query's
+own trigrams.
+
+Trigram spec (pg_trgm-compatible framing): terms are padded ``"  t "``;
+word_similarity(q, t) = |shared trigrams| / |trigrams(q)|.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TRIGRAM_DIR = "dict_trigrams"
+
+
+def trigrams(word: str) -> set[str]:
+    w = f"  {word} "
+    return {w[i : i + 3] for i in range(len(w) - 2)}
+
+
+def ensure_trigram_index(index_dir: str) -> str:
+    """Derive (tri, term) from the dictionary once; idempotent + atomic."""
+    out = os.path.join(index_dir, TRIGRAM_DIR)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    dict_dir = os.path.join(index_dir, "dict")
+    terms = pq.read_table(dict_dir, columns=["term"])["term"].to_pylist()
+    tri_col: list[str] = []
+    term_col: list[str] = []
+    for t in terms:
+        for g in trigrams(t):
+            tri_col.append(g)
+            term_col.append(t)
+    table = pa.table({"tri": pa.array(tri_col, type=pa.string()), "term": pa.array(term_col, type=pa.string())})
+    table = table.sort_by("tri")
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "trigrams.parquet"), row_group_size=8192)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def _candidates(index_dir: str, query_trigrams: set[str]) -> pa.Table:
+    tri_dir = ensure_trigram_index(index_dir)
+    t = pq.read_table(
+        os.path.join(tri_dir, "trigrams.parquet"),
+        filters=[("tri", "in", sorted(query_trigrams))],
+    )
+    return t
+
+
+def fuzzy_expand(
+    index_dir: str, query_term: str, *, min_sim: float = 0.4, max_expansions: int = 8
+) -> list[tuple[str, float]]:
+    """P2 FUZZY: dictionary terms with word_similarity ≥ min_sim, best first."""
+    qt = trigrams(query_term.lower())
+    if not qt:
+        return []
+    cand = _candidates(index_dir, qt)
+    if cand.num_rows == 0:
+        return []
+    counts = cand.group_by("term").aggregate([("tri", "count")])
+    terms = counts["term"].to_pylist()
+    n_shared = counts["tri_count"].to_pylist()
+    scored = [(t, c / len(qt)) for t, c in zip(terms, n_shared) if c / len(qt) >= min_sim]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:max_expansions]
+
+
+def contains_expand(index_dir: str, pattern: str, *, max_expansions: int = 64) -> list[str]:
+    """P3 CONTAINS (single-token patterns): dictionary terms containing
+    ``pattern`` as a substring — trigram-candidate fetch + exact verify, the
+    GIN-trigram plan shape.  Patterns shorter than 3 chars have no trigram
+    and would need a scan; callers fall back."""
+    p = pattern.lower()
+    inner = {p[i : i + 3] for i in range(len(p) - 2)} if len(p) >= 3 else set()
+    if not inner:
+        return []
+    cand = _candidates(index_dir, inner)
+    if cand.num_rows == 0:
+        return []
+    counts = cand.group_by("term").aggregate([("tri", "count")])
+    need = len(inner)
+    terms = [
+        t
+        for t, c in zip(counts["term"].to_pylist(), counts["tri_count"].to_pylist())
+        if c == need and p in t
+    ]
+    terms.sort()
+    return terms[:max_expansions]

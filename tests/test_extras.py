@@ -154,19 +154,6 @@ def test_winnow_fingerprints_detect_overlap():
     assert not (fa & fc)
 
 
-def test_fuzzy_expansion_finds_table(ray_session):
-    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
-        ensure_documents_index,
-        q_fuzzy_search,
-    )
-
-    t = q_fuzzy_search(SF)
-    assert t.num_rows > 0  # 'tabel' expands to 'table' via trigram Jaccard
-    eng = ensure_documents_index(SF)
-    exact = eng.top_docs(eng.query().search("table"), 5)["doc_id"].to_pylist()
-    assert set(exact) & set(t["doc_id"].to_pylist())
-
-
 def test_custom_udf_filter(engine, oracle):
     """F16 escape hatch: arbitrary Table→mask predicate shipped to segments."""
     import pyarrow.compute as pc
@@ -205,3 +192,38 @@ def test_sample_per_source_deterministic(ray_session):
 
     c = collections.Counter(a["source"].to_pylist())
     assert all(v == 3 for v in c.values())
+
+
+def test_contains_indexed_matches_scan(ray_session):
+    """Index-assisted CONTAINS must find exactly the docs the naive scan
+    finds for a single-token substring."""
+    import os
+
+    import duckdb
+
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import q_contains_indexed
+
+    got = set(q_contains_indexed(SF)["doc_id"].to_pylist())
+    con = duckdb.connect()
+    exp = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{os.path.join(SF, 'documents.parquet')}') "
+            "WHERE contains(text, 'able')"
+        ).fetchall()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_fuzzy_via_trigram_index(ray_session):
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
+        ensure_documents_index,
+        q_fuzzy_search,
+    )
+    from project_gutenberg_full_text_search_ray.stages.trigram import fuzzy_expand
+
+    eng = ensure_documents_index(SF)
+    exp = fuzzy_expand(eng.index_dir, "tabel")
+    assert any(t == "table" for t, _ in exp)
+    t = q_fuzzy_search(SF)
+    assert t.num_rows > 0
