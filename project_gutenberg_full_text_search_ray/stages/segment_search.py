@@ -314,6 +314,83 @@ def score_docs(
     return scores
 
 
+def topk_maxscore(
+    postings: dict[str, _TermPostings],
+    matched: np.ndarray,
+    positive_terms: list[str],
+    idf_map: dict[str, float],
+    dl: np.ndarray,
+    avgdl: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore-style top-k: rank-identical to exhaustive ``score_docs`` +
+    lexsort, but prunes the candidate set as terms accumulate.
+
+    Terms are processed in DESCENDING score-bound order (bound = idf ·
+    tf_norm(max tf in segment, min dl in segment) — the per-segment roll-up
+    of the per-block (max_tf, min_dl) metadata written at build).  After each
+    term, any candidate whose current score + Σ(remaining bounds) cannot
+    reach the current k-th best is dropped — it can never enter the top-k.
+    Scores of survivors are EXACT (same fp64 ops in the same sorted-term
+    accumulation order as score_docs: per-candidate, bounds only decide
+    membership, never the value).
+
+    Returns (selected ords, their scores) ordered by (score DESC, ord ASC).
+    """
+    terms = sorted(set(positive_terms))
+    infos = []
+    for t in terms:
+        tp = postings.get(t)
+        w = idf_map.get(t, 0.0)
+        if tp is None or len(tp.ords) == 0 or w == 0.0:
+            continue
+        ub = w * float(
+            tf_norm(
+                np.array([tp.tfs.max()], dtype=np.float64),
+                np.array([float(dl[tp.ords].min())]),
+                avgdl,
+            )[0]
+        )
+        infos.append((t, tp, w, ub))
+    if not infos or len(matched) == 0:
+        order = np.lexsort((matched,))[:k]
+        return matched[order], np.zeros(min(k, len(matched)), dtype=np.float64)
+
+    # NOTE on fp determinism: accumulation must happen in sorted-term order
+    # (same as score_docs) for bit-identical sums, so we accumulate in term
+    # order but use the DESCENDING-bound order only for the pruning schedule.
+    # Simplest rank-identical construction: accumulate per-candidate partial
+    # sums term-by-term in SORTED order, and prune with the suffix-sum of
+    # remaining bounds in that same order.
+    suffix_ub = np.zeros(len(infos) + 1)
+    for i in range(len(infos) - 1, -1, -1):
+        suffix_ub[i] = suffix_ub[i + 1] + infos[i][3]
+
+    cand = matched
+    scores = np.zeros(len(cand), dtype=np.float64)
+    cdl = dl[cand].astype(np.float64)
+    kth = -np.inf
+    for i, (t, tp, w, ub) in enumerate(infos):
+        idx = np.searchsorted(tp.ords, cand)
+        idx_c = np.minimum(idx, len(tp.ords) - 1)
+        present = tp.ords[idx_c] == cand
+        if present.any():
+            tfv = tp.tfs[idx_c[present]].astype(np.float64)
+            scores[present] += w * tf_norm(tfv, cdl[present], avgdl)
+        if len(cand) > 4 * k:
+            # current k-th best lower bound
+            if len(scores) > k:
+                kth = np.partition(scores, -k)[-k]
+            remaining = suffix_ub[i + 1]
+            keep = scores + remaining >= kth
+            if not keep.all():
+                cand = cand[keep]
+                scores = scores[keep]
+                cdl = cdl[keep]
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
 def _random_keys(id_vals: list[tuple], seed: int) -> np.ndarray:
     """Seeded ORDER BY RANDOM() analog (O3): md5 of seed+identity — identical
     in DuckDB: md5(seed || '|' || id)."""
@@ -382,11 +459,9 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
         scores_sel = np.empty(0, dtype=np.float64)
     elif plan.order.kind == "score":
         pos_terms = [t for q in plan.queries for t in q.positive_terms()]
-        scores = score_docs(postings, matched, pos_terms, plan.idf, dl, plan.avgdl)
-        k = min(plan.k, total)
-        order = np.lexsort((matched, -scores))[:k]
-        sel = matched[order]
-        scores_sel = scores[order]
+        sel, scores_sel = topk_maxscore(
+            postings, matched, pos_terms, plan.idf, dl, plan.avgdl, min(plan.k, total)
+        )
     elif plan.order.kind == "random":
         ids = [tuple(docs[c][int(o)].as_py() for c in plan.id_cols) for o in matched]
         keys = _random_keys(ids, plan.order.seed)

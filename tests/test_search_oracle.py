@@ -176,3 +176,35 @@ def test_crosswalk_custom(engine):
     r = engine.execute(engine.query(Crosswalk.CUSTOM).search("the")[1, 3])
     assert r.table.column_names == ["conv", "ROLE"]
     assert all(s == s.upper() for s in r.table["ROLE"].to_pylist())
+
+
+def test_maxscore_equals_exhaustive(engine):
+    """MaxScore pruning must be invisible: identical (ords, scores) to
+    exhaustive scoring for a spread of query shapes and k values."""
+    import numpy as np
+
+    from project_gutenberg_full_text_search_ray.state.manifest import seg_dir
+    from project_gutenberg_full_text_search_ray.stages.segment_search import (
+        evaluate_query,
+        load_postings,
+        score_docs,
+        topk_maxscore,
+    )
+    import pyarrow.parquet as pq
+
+    sd = seg_dir(engine.index_dir, engine.seg_ids[0])
+    docs = pq.read_table(f"{sd}/docs.parquet")
+    dl = docs["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for qs in ["the", "the w00001 or w00002 w00003", "w00001 or the or w00005", "w00042"]:
+        q = engine.query().search(qs)
+        plan = engine.build_plan(q, 10)
+        terms = sorted({t for p in plan.queries for t in p.all_terms()})
+        postings = load_postings(f"{sd}/postings.parquet", terms)
+        matched = evaluate_query(postings, plan.queries[0], docs.num_rows)
+        pos = [t for p in plan.queries for t in p.positive_terms()]
+        for k in (1, 5, 50):
+            sel, sc = topk_maxscore(postings, matched, pos, plan.idf, dl, plan.avgdl, k)
+            full = score_docs(postings, matched, pos, plan.idf, dl, plan.avgdl)
+            order = np.lexsort((matched, -full))[:k]
+            assert np.array_equal(sel, matched[order]), qs
+            assert np.array_equal(sc, full[order]), qs
