@@ -618,6 +618,73 @@ def q_dedup_components(sf_dir: str) -> pa.Table:
     return connected_components(pairs)
 
 
+def q_user_rollup(sf_dir: str) -> pa.Table:
+    """A2/A3 analog (per-book STRING_AGG / MAX-MIN rollups,
+    mv_books_dc.sql:42-125): per-user rollup over events with an ordered
+    string aggregate and min/max — groupby.map_groups with in-group sort."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "event_type"]
+    ).map_batches(lambda b: b.filter(pc.less(b["user_id"], 30)), batch_format="pyarrow")
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "first_event": [int(g["event_id"].min())],
+                "last_event": [int(g["event_id"].max())],
+                "type_seq": [",".join(g["event_type"].head(5))],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(rollup, batch_format="pandas").to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], type=pa.int64()),
+            "n_events": pa.array(out["n_events"], type=pa.int64()),
+            "first_event": pa.array(out["first_event"], type=pa.int64()),
+            "last_event": pa.array(out["last_event"], type=pa.int64()),
+            "type_seq": pa.array(out["type_seq"]),
+        }
+    )
+
+
+# small dimension table for the broadcast join (J1/J2 analog) — inline, like
+# the reference's enum vocabularies (constants.py:18-30)
+EVENT_CATEGORY = {"click": "ui", "view": "ui", "purchase": "commerce", "signup": "account",
+                  "login": "account", "logout": "account", "error": "ops", "search": "ui"}
+
+
+def q_broadcast_join_categories(sf_dir: str) -> pa.Table:
+    """J1/J2 analog: broadcast a small dim (ray.put once, lookup per batch —
+    no shuffle) and aggregate by the joined category."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    dim_ref = ray.put(EVENT_CATEGORY)
+
+    def add_category(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        cats = [dim.get(t, "other") for t in batch["event_type"].to_pylist()]
+        return batch.append_column("category", pa.array(cats, type=pa.string()))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
+    agg = (
+        ds.map_batches(add_category, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("category")
+    )
+    return pa.table({"category": pa.array(agg["category"]), "n": pa.array(agg["n"], type=pa.int64())})
+
+
 _PTOK_SQL = (
     "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
     f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr FROM documents"
@@ -676,6 +743,17 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "regexp_replace(text, '\\b(table|row)\\b', 'X', 'g') AS norm_text "
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id"
     ),
+    "user_rollup": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(min(event_id) AS BIGINT) AS first_event, CAST(max(event_id) AS BIGINT) AS last_event, "
+        "string_agg(event_type, ',' ORDER BY event_id) FILTER (rn <= 5) AS type_seq "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
+        "FROM events WHERE user_id < 30) GROUP BY user_id ORDER BY user_id"
+    ),
+    "broadcast_join_categories": (
+        "SELECT CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui' WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account' WHEN 'login' THEN 'account' WHEN 'logout' THEN 'account' WHEN 'error' THEN 'ops' WHEN 'search' THEN 'ui' ELSE 'other' END AS category, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY category ORDER BY category"
+    ),
     "embed_neardup_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, "
         "CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
@@ -697,6 +775,8 @@ QUERIES_EXTRAS = {
     "sample_per_source": q_sample_per_source,
     "regex_normalize": q_regex_normalize,
     "dedup_components": q_dedup_components,
+    "user_rollup": q_user_rollup,
+    "broadcast_join_categories": q_broadcast_join_categories,
     # rows-only (no SQL-expressible oracle; semantics asserted in pytest)
     "ann_lsh_topk": q_ann_lsh_topk,
     "minhash_neardup": q_minhash_neardup,
