@@ -269,9 +269,18 @@ def build_index(
             "n_segments": n_segments,
             "store_positions": store_positions,
             "segments": [
-                {"seg_id": m["seg_id"], "n_docs": m["n_docs"], "sum_dl": m["sum_dl"], "n_terms": m["n_terms"]}
+                {
+                    "seg_id": m["seg_id"], "n_docs": m["n_docs"], "sum_dl": m["sum_dl"],
+                    "n_terms": m["n_terms"], "n_posting_entries": m.get("n_posting_entries", 0),
+                    "build_ms": m.get("build_ms", 0),
+                }
                 for m in sorted(seg_manifests, key=lambda m: m["seg_id"])
             ],
+            "metrics": {
+                "sum_build_ms": sum(m.get("build_ms", 0) for m in seg_manifests),
+                "max_segment_build_ms": max((m.get("build_ms", 0) for m in seg_manifests), default=0),
+                "total_posting_entries": sum(m.get("n_posting_entries", 0) for m in seg_manifests),
+            },
         },
     )
     return IndexInfo(index_dir, n_docs, avgdl, n_segments, build_fp)

@@ -109,6 +109,9 @@ class SegmentBuilder:
         return None
 
     def build_segment(self, seg_id: int, group: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.monotonic()
         out_dir = seg_dir(self.index_dir, seg_id)
         spec = self.spec
         sort_keys = [(c, "ascending") for c in spec.id_cols]
@@ -191,6 +194,8 @@ class SegmentBuilder:
                 "n_docs": int(n_docs),
                 "sum_dl": int(dl.sum()),
                 "n_terms": int(len(term_starts)),
+                "n_posting_entries": int(len(e_ord)),
+                "build_ms": int((_time.monotonic() - _t0) * 1000),
                 "files": ["docs.parquet", "postings.parquet"],
             },
         )
