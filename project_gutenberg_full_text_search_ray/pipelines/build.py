@@ -273,6 +273,7 @@ def build_index(
                     "seg_id": m["seg_id"], "n_docs": m["n_docs"], "sum_dl": m["sum_dl"],
                     "n_terms": m["n_terms"], "n_posting_entries": m.get("n_posting_entries", 0),
                     "build_ms": m.get("build_ms", 0),
+                    "id0_min": m.get("id0_min"), "id0_max": m.get("id0_max"),
                 }
                 for m in sorted(seg_manifests, key=lambda m: m["seg_id"])
             ],

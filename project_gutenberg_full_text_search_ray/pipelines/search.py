@@ -271,19 +271,61 @@ class FullTextSearchEngine:
             id_cols=self.spec.id_cols,
         )
 
+    def prune_segments(self, filters: list[FilterSpec]) -> list[int]:
+        """Zone-map segment pruning: drop segments whose primary-identity
+        [min,max] range cannot satisfy an identity filter (point lookups — the
+        F1 ``etext(nr)`` analog — touch one segment on id-clustered corpora;
+        unclustered corpora degrade gracefully to the full list)."""
+        id0 = self.spec.id_cols[0]
+        keep = []
+        segs = self.manifest["segments"]
+        for s in segs:
+            lo, hi = s.get("id0_min"), s.get("id0_max")
+            if lo is None or hi is None:
+                keep.append(s["seg_id"])
+                continue
+            ok = True
+            for f in filters:
+                if f.col != id0:
+                    continue
+                if f.op == "==" and not (lo <= f.value <= hi):
+                    ok = False
+                elif f.op == "in" and not any(lo <= v <= hi for v in f.value):
+                    ok = False
+                elif f.op == ">=" and hi < f.value:
+                    ok = False
+                elif f.op == ">" and hi <= f.value:
+                    ok = False
+                elif f.op == "<=" and lo > f.value:
+                    ok = False
+                elif f.op == "<" and lo >= f.value:
+                    ok = False
+                elif f.op == "between" and (hi < f.value[0] or lo > f.value[1]):
+                    ok = False
+                elif f.op == "startswith" and isinstance(lo, str):
+                    p = str(f.value)
+                    if hi < p or lo[: len(p)] > p:
+                        ok = False
+                if not ok:
+                    break
+            if ok:
+                keep.append(s["seg_id"])
+        return keep
+
     def _run(self, q: SearchQuery, count_only: bool = False, k_override: int | None = None):
         k = k_override if k_override is not None else q.page * q.page_size
         if count_only:
             k = 1
         plan = self.build_plan(q, k)
-        if self.mode == "local" or len(self.seg_ids) == 1:
-            tables = [search_segment(seg_dir(self.index_dir, s), plan) for s in self.seg_ids]
-            seg_totals = {s: (int(t[SEG_TOTAL_COL][0].as_py()) if t.num_rows else 0) for s, t in zip(self.seg_ids, tables)}
+        seg_ids = self.prune_segments(q.filters) if q.filters else self.seg_ids
+        if self.mode == "local" or len(seg_ids) <= 4:
+            tables = [search_segment(seg_dir(self.index_dir, s), plan) for s in seg_ids]
+            seg_totals = {s: (int(t[SEG_TOTAL_COL][0].as_py()) if t.num_rows else 0) for s, t in zip(seg_ids, tables)}
             nonempty = [t for t in tables if t.num_rows]
             merged = pa.concat_tables(nonempty) if nonempty else None
             total = sum(seg_totals.values())
         else:
-            segs = rd.from_items([{"seg_id": s} for s in self.seg_ids])
+            segs = rd.from_items([{"seg_id": s} for s in seg_ids])
             res = segs.map_batches(
                 make_search_fn(plan, self.index_dir), batch_format="pyarrow", batch_size=1
             )

@@ -195,6 +195,11 @@ class SegmentBuilder:
                 "sum_dl": int(dl.sum()),
                 "n_terms": int(len(term_starts)),
                 "n_posting_entries": int(len(e_ord)),
+                # id-range zone map over the primary identity column (docs are
+                # identity-sorted): drives segment pruning for point/range
+                # lookups (F1/F2/F8/F9 analogs) on id-clustered corpora
+                "id0_min": table[spec.id_cols[0]][0].as_py() if n_docs else None,
+                "id0_max": table[spec.id_cols[0]][n_docs - 1].as_py() if n_docs else None,
                 "build_ms": int((_time.monotonic() - _t0) * 1000),
                 "files": ["docs.parquet", "postings.parquet"],
             },

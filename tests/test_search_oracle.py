@@ -208,3 +208,17 @@ def test_maxscore_equals_exhaustive(engine):
             order = np.lexsort((matched, -full))[:k]
             assert np.array_equal(sel, matched[order]), qs
             assert np.array_equal(sc, full[order]), qs
+
+
+def test_segment_pruning_point_lookup(engine, oracle):
+    """F1 point lookup prunes to a single segment on an id-clustered corpus
+    — and still returns exactly the oracle's rows."""
+    pruned = engine.prune_segments([FilterSpec("conv_id", "==", "conv-00000005")])
+    assert len(pruned) <= max(1, len(engine.seg_ids) // 2)
+    res, exp = run_both(engine, oracle, filters=[("conv_id", "==", "conv-00000005")],
+                        order=("column", "turn_idx", False), size=30)
+    assert_match(res, exp, check_scores=False)
+    # fully-out-of-range lookup: prunes everything, returns empty
+    assert engine.prune_segments([FilterSpec("conv_id", "==", "zzz")]) == []
+    r = engine.execute(engine.query().eq("conv_id", "zzz")[1, 10])
+    assert r.total == 0
