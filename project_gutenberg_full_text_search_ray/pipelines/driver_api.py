@@ -439,6 +439,48 @@ def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
     return lsh_bucket_topk(ds, "embedding", "vec_id", np.asarray([q_vec]), k=10, exclude_ids={0})
 
 
+def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN (coarse k-means lists + probe) — rows-only check; recall vs
+    the exact baseline asserted in pytest."""
+    import ray.data as rd
+    from ..stages.similarity import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return ivf_topk(ds, "embedding", "vec_id", np.asarray([q_vec]), k=10, exclude_ids={0})
+
+
+def q_window_counts(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate over the events stream table (daily
+    windows): derive the window key vectorized, then one groupby — the
+    batch expression of a streaming window (SURVEY §2.8 note)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.timestamp("us"))
+        return batch.append_column("day", days)
+
+    agg = (
+        ds.map_batches(add_day, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "day": pa.array(agg["day"]).cast(pa.timestamp("us")),
+            "event_type": pa.array(agg["event_type"]),
+            "n": pa.array(agg["n"], type=pa.int64()),
+        }
+    )
+
+
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -754,6 +796,11 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "SELECT CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui' WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account' WHEN 'login' THEN 'account' WHEN 'logout' THEN 'account' WHEN 'error' THEN 'ops' WHEN 'search' THEN 'ui' ELSE 'other' END AS category, CAST(count(*) AS BIGINT) AS n "
         "FROM events GROUP BY category ORDER BY category"
     ),
+    "window_counts": (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY day, event_type "
+        "ORDER BY day, event_type"
+    ),
     "embed_neardup_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, "
         "CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
@@ -777,8 +824,10 @@ QUERIES_EXTRAS = {
     "dedup_components": q_dedup_components,
     "user_rollup": q_user_rollup,
     "broadcast_join_categories": q_broadcast_join_categories,
+    "window_counts": q_window_counts,
     # rows-only (no SQL-expressible oracle; semantics asserted in pytest)
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_neardup": q_minhash_neardup,
     "simhash_pairs": q_simhash_pairs,
     "langid_counts": q_langid,

@@ -88,6 +88,52 @@ def brute_force_topk(
     return pa.concat_tables(out_tables)
 
 
+def kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 13) -> np.ndarray:
+    """Deterministic seeded k-means (numpy, few iterations) for IVF coarse
+    quantization — trains on a driver-side sample, centroids broadcast."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset, vec_col: str, id_col: str, query_vecs: np.ndarray, k: int = 10,
+    n_lists: int = 8, n_probe: int = 2, train_sample: int = 1024, seed: int = 13,
+    exclude_ids: set | None = None,
+) -> pa.Table:
+    """IVF ANN scale path: train coarse centroids on a sample, assign every
+    batch to its nearest list (vectorized argmax — no shuffle), and score only
+    the vectors whose list is among the query's ``n_probe`` closest lists."""
+    sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_lite(sample, n_lists, seed=seed)
+    c_ref = ray.put(cent)
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_lists = set()
+    for qi in range(len(Q)):
+        sims = Q[qi] @ cent.T
+        probe_lists.update(np.argsort(-sims)[:n_probe].tolist())
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        M = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        assign = np.argmax(M @ C.T, axis=1)
+        return batch.filter(pa.array(np.isin(assign, list(probe_lists))))
+
+    pruned = ds.map_batches(keep_probed, batch_format="pyarrow")
+    return brute_force_topk(pruned, vec_col, id_col, query_vecs, k, exclude_ids)
+
+
 def lsh_bucket_topk(
     ds: rd.Dataset, vec_col: str, id_col: str, query_vecs: np.ndarray, k: int = 10,
     n_planes: int = 8, seed: int = 11, exclude_ids: set | None = None,

@@ -227,3 +227,17 @@ def test_fuzzy_via_trigram_index(ray_session):
     assert any(t == "table" for t, _ in exp)
     t = q_fuzzy_search(SF)
     assert t.num_rows > 0
+
+
+def test_ivf_recall_vs_exact(ray_session):
+    """IVF with n_probe=2 of 8 lists should recover most of the exact top-10
+    (synthetic clustered embeddings)."""
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
+        q_ann_cosine_topk,
+        q_ann_ivf_topk,
+    )
+
+    exact = q_ann_cosine_topk(SF)["vec_id"].to_pylist()
+    approx = q_ann_ivf_topk(SF)["vec_id"].to_pylist()
+    assert len(approx) <= 10
+    assert len(set(exact[:3]) & set(approx)) >= 1  # the near-neighbors live in probed lists
