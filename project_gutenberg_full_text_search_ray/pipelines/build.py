@@ -263,6 +263,7 @@ def build_index(
             "analyzer": {"stopwords": analyzer.stopwords, "stem": analyzer.stem, "tag": analyzer.version_tag},
             "corpus": {"id_cols": list(spec.id_cols), "text_col": spec.text_col,
                        "meta_cols": list(spec.meta_cols), "name": spec.name},
+            "input_paths": paths,  # None for volatile Dataset inputs
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
@@ -285,3 +286,23 @@ def build_index(
         },
     )
     return IndexInfo(index_dir, n_docs, avgdl, n_segments, build_fp)
+
+
+def refresh_index(index_dir: str, **overrides) -> IndexInfo:
+    """S4 analog of the reference's ``refresh_mv_books_dc()`` cron entry
+    (/root/reference/tables/mv_books_dc.sql:502-514): re-run the build over
+    the inputs recorded in the committed manifest.  Unchanged inputs fast-path
+    on the fingerprint; changed inputs produce a new generation whose
+    manifest.json swap is the atomic "CONCURRENTLY" — readers opening the
+    index mid-refresh still see the previous committed generation."""
+    from ..corpus import CorpusSpec
+
+    m = read_json(os.path.join(index_dir, INDEX_MANIFEST))
+    if not m:
+        raise FileNotFoundError(f"no committed manifest in {index_dir}")
+    if not m.get("input_paths"):
+        raise ValueError("index was built from a volatile Dataset; rebuild explicitly")
+    c = m["corpus"]
+    spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"])
+    analyzer = Analyzer(stopwords=m["analyzer"]["stopwords"], stem=m["analyzer"]["stem"])
+    return build_index(list(m["input_paths"]), spec, index_dir, analyzer=analyzer, **overrides)
