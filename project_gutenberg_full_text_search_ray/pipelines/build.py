@@ -213,11 +213,33 @@ def build_index(
             .groupby(SEG_COL)
             .map_groups(build_segment_group, batch_format="pyarrow")
         )
-    # Global dictionary: the term-keyed shuffle runs over per-segment PARTIALS
-    # (vocabulary-sized, not token-sized — combiner pattern).  We shard by
-    # term-hash and merge each shard with Arrow-native group_by/sort_by (C++),
-    # which profiles ~30× faster than row-based aggregation here.  Each shard
-    # file is term-sorted → parquet row-group stats prune term lookups.
+    return _finalize_generation(
+        index_dir, term_partials, build_fp, analyzer, spec,
+        input_fp=input_fp, input_paths=paths,
+        n_segments=n_segments, store_positions=store_positions,
+    )
+
+
+def _finalize_generation(
+    index_dir: str,
+    term_partials: rd.Dataset,
+    build_fp: str,
+    analyzer: Analyzer,
+    spec: CorpusSpec,
+    *,
+    input_fp: str,
+    input_paths: list[str] | None,
+    n_segments: int,
+    store_positions: bool,
+) -> IndexInfo:
+    """Dictionary merge + manifest fold + generation commit (shared by fresh
+    builds and compaction).
+
+    The dictionary is the term-keyed shuffle, run over per-segment PARTIALS
+    (vocabulary-sized, not token-sized — combiner pattern).  We shard by
+    term-hash and merge each shard with Arrow-native group_by/sort_by (C++),
+    which profiles ~30× faster than row-based aggregation here.  Each shard
+    file is term-sorted → parquet row-group stats prune term lookups."""
     n_dict_shards = max(8, n_segments // 8)
 
     def add_term_shard(batch: pa.Table) -> pa.Table:
@@ -263,7 +285,7 @@ def build_index(
             "analyzer": {"stopwords": analyzer.stopwords, "stem": analyzer.stem, "tag": analyzer.version_tag},
             "corpus": {"id_cols": list(spec.id_cols), "text_col": spec.text_col,
                        "meta_cols": list(spec.meta_cols), "name": spec.name},
-            "input_paths": paths,  # None for volatile Dataset inputs
+            "input_paths": input_paths,  # None for volatile Dataset inputs
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
@@ -286,6 +308,63 @@ def build_index(
         },
     )
     return IndexInfo(index_dir, n_docs, avgdl, n_segments, build_fp)
+
+
+def compact_index(
+    index_dir: str,
+    out_dir: str,
+    *,
+    target_docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+) -> IndexInfo:
+    """Merge many small segments into fewer large ones (Lucene-style
+    compaction) WITHOUT re-tokenizing: member postings are decoded, ordinals
+    remapped through the merged identity sort, and re-encoded through the
+    same block writer.  Writes a NEW immutable generation at ``out_dir``;
+    the source index is untouched.  One Ray task per merge group."""
+    from ..stages.segment_merge import merge_segment_group
+    from ..state.manifest import load_index_manifest
+
+    m = load_index_manifest(index_dir)
+    c = m["corpus"]
+    spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"])
+    analyzer = Analyzer(stopwords=m["analyzer"]["stopwords"], stem=m["analyzer"]["stem"])
+    store_positions = bool(m.get("store_positions", True))
+
+    groups: list[list[int]] = []
+    acc: list[int] = []
+    acc_docs = 0
+    for s in m["segments"]:
+        acc.append(s["seg_id"])
+        acc_docs += s["n_docs"]
+        if acc_docs >= target_docs_per_segment:
+            groups.append(acc)
+            acc, acc_docs = [], 0
+    if acc:
+        groups.append(acc)
+
+    build_fp = fingerprint("compact", m["fingerprint"], f"tgt={target_docs_per_segment}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def merge_task(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            outs.append(
+                merge_segment_group(
+                    index_dir, out_dir, row["members"], row["new_seg_id"], spec,
+                    build_fp, store_positions=store_positions,
+                )
+            )
+        return pa.concat_tables(outs)
+
+    specs_ds = rd.from_items(
+        [{"new_seg_id": i, "members": g} for i, g in enumerate(groups)]
+    )
+    term_partials = specs_ds.map_batches(merge_task, batch_size=1, batch_format="pyarrow")
+    return _finalize_generation(
+        out_dir, term_partials, build_fp, analyzer, spec,
+        input_fp=m["input_fingerprint"], input_paths=m.get("input_paths"),
+        n_segments=len(groups), store_positions=store_positions,
+    )
 
 
 def refresh_index(index_dir: str, **overrides) -> IndexInfo:

@@ -61,6 +61,44 @@ def _delta_in_place(vals: np.ndarray, reset_at: np.ndarray) -> np.ndarray:
     return v.copy()
 
 
+def write_segment_files(
+    index_dir: str,
+    seg_id: int,
+    docs: pa.Table,
+    postings: pa.Table,
+    build_fp: str,
+    *,
+    id0_col: str,
+    extra: dict | None = None,
+) -> None:
+    """Atomic segment commit: write docs/postings to a tmp dir, stamp the
+    lineage manifest, rename over the target (shared by fresh builds and
+    segment merges)."""
+    out_dir = seg_dir(index_dir, seg_id)
+    n_docs = docs.num_rows
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
+    pq.write_table(postings, os.path.join(tmp_dir, "postings.parquet"), row_group_size=1024)
+    meta = {
+        "seg_id": seg_id,
+        "fingerprint": build_fp,
+        "status": "complete",
+        "n_docs": int(n_docs),
+        "sum_dl": int(pc.sum(docs["dl"]).as_py() or 0),
+        # id-range zone map over the primary identity column (docs are
+        # identity-sorted): drives segment pruning for point/range lookups
+        "id0_min": docs[id0_col][0].as_py() if n_docs else None,
+        "id0_max": docs[id0_col][n_docs - 1].as_py() if n_docs else None,
+        "files": ["docs.parquet", "postings.parquet"],
+    }
+    meta.update(extra or {})
+    atomic_write_json(os.path.join(tmp_dir, SEG_MANIFEST), meta)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+
+
 class SegmentBuilder:
     """Callable for ``map_groups`` — builds one segment, returns (term, df, cf)."""
 
@@ -179,33 +217,12 @@ class SegmentBuilder:
             }
         )
 
-        # ---- atomic write: tmp dir → rename over target
-        tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir, exist_ok=True)
-        pq.write_table(docs, os.path.join(tmp_dir, "docs.parquet"))
-        pq.write_table(postings, os.path.join(tmp_dir, "postings.parquet"), row_group_size=1024)
-        atomic_write_json(
-            os.path.join(tmp_dir, SEG_MANIFEST),
-            {
-                "seg_id": seg_id,
-                "fingerprint": self.build_fp,
-                "status": "complete",
-                "n_docs": int(n_docs),
-                "sum_dl": int(dl.sum()),
-                "n_terms": int(len(term_starts)),
-                "n_posting_entries": int(len(e_ord)),
-                # id-range zone map over the primary identity column (docs are
-                # identity-sorted): drives segment pruning for point/range
-                # lookups (F1/F2/F8/F9 analogs) on id-clustered corpora
-                "id0_min": table[spec.id_cols[0]][0].as_py() if n_docs else None,
-                "id0_max": table[spec.id_cols[0]][n_docs - 1].as_py() if n_docs else None,
-                "build_ms": int((_time.monotonic() - _t0) * 1000),
-                "files": ["docs.parquet", "postings.parquet"],
-            },
+        write_segment_files(
+            self.index_dir, seg_id, docs, postings, self.build_fp,
+            id0_col=spec.id_cols[0],
+            extra={"n_terms": int(len(term_starts)), "n_posting_entries": int(len(e_ord)),
+                   "build_ms": int((_time.monotonic() - _t0) * 1000)},
         )
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.replace(tmp_dir, out_dir)
 
         cf_per_term = (
             np.add.reduceat(tf.astype(np.int64), term_starts) if len(term_starts) else np.empty(0, np.int64)
