@@ -14,7 +14,7 @@ from .corpus import DOCUMENTS_SPEC, TRANSCRIPTS_SPEC, CorpusSpec
 from .crosswalks import Crosswalk
 from .functions.analyzer import DEFAULT_ANALYZER, Analyzer
 from .functions.querylang import parse_query
-from .pipelines.build import IndexInfo, build_index
+from .pipelines.build import IndexInfo, build_index, compact_index, refresh_index
 from .pipelines.search import (
     RANDOM,
     RELEVANCE,
@@ -33,6 +33,8 @@ __all__ = [
     "DEFAULT_ANALYZER",
     "parse_query",
     "build_index",
+    "compact_index",
+    "refresh_index",
     "IndexInfo",
     "FullTextSearchEngine",
     "SearchQuery",
