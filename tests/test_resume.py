@@ -142,3 +142,38 @@ def test_refresh_index(ray_session, small_corpus, tmp_path):
     # directory again to pick up new files — rebuild via build_index:
     info2 = _build(small_corpus, idx)
     assert info2.n_docs == info1.n_docs + 200
+
+
+def test_stemmed_analyzer_end_to_end(ray_session, small_corpus, tmp_path):
+    """Analyzer variants (stopwords+stem) flow through build → search and
+    stay rank-identical to the brute-force oracle under the same config."""
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import (
+        TRANSCRIPTS_SPEC,
+        Analyzer,
+        FullTextSearchEngine,
+        build_index,
+    )
+    from project_gutenberg_full_text_search_ray.oracle import BruteForceOracle
+
+    analyzer = Analyzer(stopwords=True, stem=True)
+    idx = str(tmp_path / "idx_stem")
+    build_index(small_corpus, TRANSCRIPTS_SPEC, idx, docs_per_segment=400,
+                min_segments=4, analyzer=analyzer)
+    eng = FullTextSearchEngine(idx)
+    assert eng.analyzer.stopwords and eng.analyzer.stem
+
+    import glob as _glob
+
+    tables = [pq.read_table(p) for p in sorted(_glob.glob(os.path.join(small_corpus, "*.parquet")))]
+    import pyarrow as pa
+
+    corpus = pa.concat_tables(tables)
+    oracle = BruteForceOracle(corpus, TRANSCRIPTS_SPEC, analyzer)
+    for qs in ["w00001 w00002", "w00003 or w00004", "the w00001"]:
+        res = eng.execute(eng.query().search(qs)[1, 20])
+        exp = oracle.search([qs], page_size=20)
+        assert res.total == exp.total, qs
+        got = list(zip(res.table["conv_id"].to_pylist(), res.table["turn_idx"].to_pylist()))
+        assert got == [(r["conv_id"], r["turn_idx"]) for r in exp.rows], qs
