@@ -35,6 +35,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("PGFTS_BENCH_CONVS", "120000"))
+BUILD_ONLY = os.environ.get("PGFTS_BENCH_ONLY_BUILD") == "1"
 TURNS = 8
 
 
@@ -75,12 +76,14 @@ def run_bench() -> dict:
 
     rd.range(100_000, override_num_blocks=NUM_CPUS * 2).map_batches(lambda b: b).materialize()
 
-    # ---- phase 1: headline transcript index build (best of 2 — the second
-    # run measures steady-state throughput with the page cache warm, which is
-    # what a long-lived ingest cluster actually sustains)
+    # ---- phase 1: headline transcript index build (best of N — later runs
+    # measure steady-state throughput with the page cache warm, which is what
+    # a long-lived ingest cluster actually sustains; N=3 in build-only mode
+    # damps co-tenant noise for the scaling-efficiency comparison)
+    n_reps = 3 if BUILD_ONLY else 2
     idx_dir = f"/tmp/pgfts_bench_idx/transcripts_cpus{NUM_CPUS}"
     best = None
-    for _ in range(2):
+    for _ in range(n_reps):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         info = build_index(path, TRANSCRIPTS_SPEC, idx_dir, force=True)
@@ -89,6 +92,19 @@ def run_bench() -> dict:
         best = dt if best is None or dt < best else best
     queries_sec["build_transcripts"] = round(best, 3)
     turns_per_sec = info.n_docs / best
+
+    if BUILD_ONLY:
+        ray.shutdown()
+        return {
+            "metric": "fts_index_build_only",
+            "value": round(best, 3),
+            "unit": "sec",
+            "queries": queries_sec,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_turns": info.n_docs,
+            "turns_per_sec": round(turns_per_sec, 1),
+        }
 
     # ---- phase 2: documents index build
     doc_idx = f"/tmp/pgfts_bench_idx/documents_cpus{NUM_CPUS}"
@@ -156,7 +172,7 @@ def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PGFTS_BENCH_ONLY_BUILD="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
