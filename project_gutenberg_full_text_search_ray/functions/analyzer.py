@@ -187,6 +187,88 @@ class Analyzer:
         return values.filter(mask), doc_index_full[nonempty], pos_full[nonempty]
 
 
+    def tokenize_column_fast(
+        self, texts: pa.Array | pa.ChunkedArray
+    ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        """Byte-scan tokenizer — exactly equivalent to the regex split for ANY
+        UTF-8 input (a token is a maximal run of ``[a-z0-9]`` BYTES, and every
+        byte of a multi-byte UTF-8 character is ≥ 0x80, i.e. a separator, just
+        like the regex treats the character): one Arrow ``utf8_lower`` then
+        pure numpy run-length extraction over the raw value buffer.
+
+        Measured: only ~20% faster than the Arrow RE2 kernel once warm and
+        slower on a cold process (large-temporary page faults), so the build
+        keeps ``tokenize_column_arrow``; this stays as the tested fallback /
+        reference for environments where the regex kernel is the bottleneck.
+        Default config only; falls back otherwise."""
+        if self.stopwords or self.stem:
+            return self.tokenize_column_arrow(texts)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lowered = pc.utf8_lower(pc.coalesce(texts, pa.scalar(""))).combine_chunks() \
+            if isinstance(texts, pa.ChunkedArray) else pc.utf8_lower(pc.coalesce(texts, pa.scalar("")))
+        if isinstance(lowered, pa.ChunkedArray):
+            lowered = lowered.combine_chunks()
+        n_docs = len(lowered)
+        if n_docs == 0:
+            return pa.array([], type=pa.string()), np.empty(0, np.int32), np.empty(0, np.int32)
+        if not pa.types.is_string(lowered.type):  # large_string etc. → safe path
+            return self.tokenize_column_arrow(texts)
+        bufs = lowered.buffers()
+        value_off = np.frombuffer(bufs[1], dtype=np.int32, count=n_docs + 1, offset=lowered.offset * 4).astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        lo, hi = value_off[0], value_off[-1]
+        b = data[lo:hi]
+        doc_offsets = value_off - lo
+        if len(b) == 0:
+            return pa.array([], type=pa.string()), np.empty(0, np.int32), np.empty(0, np.int32)
+
+        table = np.zeros(256, dtype=bool)
+        table[ord("a") : ord("z") + 1] = True
+        table[ord("0") : ord("9") + 1] = True
+        valid = table[b]
+        prev = np.empty_like(valid)
+        prev[0] = False
+        prev[1:] = valid[:-1]
+        # tokens never span documents: treat each doc's first byte as run start
+        doc_starts_idx = doc_offsets[:-1]
+        in_range = doc_starts_idx < len(b)
+        prev[doc_starts_idx[in_range]] = False
+        is_start = valid & ~prev
+        nxt = np.empty_like(valid)
+        nxt[-1] = False
+        nxt[:-1] = valid[1:]
+        is_end = valid & ~nxt
+        # a token also ends at its document's last byte even if the next
+        # document begins with a valid byte
+        ends_at = doc_offsets[1:] - 1
+        ok = (ends_at >= 0) & (ends_at < len(b))
+        is_end[ends_at[ok]] = valid[ends_at[ok]]
+        starts = np.flatnonzero(is_start)
+        ends = np.flatnonzero(is_end) + 1  # exclusive
+        # pair starts/ends: both sorted, same count (every start has an end)
+        if len(starts) != len(ends):  # pragma: no cover — defensive
+            return self.tokenize_column_arrow(texts)
+        lens = ends - starts
+        n_tok = len(starts)
+        if n_tok == 0:
+            return pa.array([], type=pa.string()), np.empty(0, np.int32), np.empty(0, np.int32)
+        # gather token bytes into one contiguous values buffer
+        gather = np.repeat(starts, lens) + (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        )
+        values = b[gather]
+        tok_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        terms = pa.StringArray.from_buffers(
+            n_tok, pa.py_buffer(tok_off.tobytes()), pa.py_buffer(values.tobytes())
+        )
+        doc_index = (np.searchsorted(doc_offsets, starts, side="right") - 1).astype(np.int32)
+        first_tok_of_doc = np.searchsorted(doc_index, np.arange(n_docs), side="left")
+        positions = (np.arange(n_tok, dtype=np.int32) - first_tok_of_doc[doc_index]).astype(np.int32)
+        return terms, doc_index, positions
+
+
 DEFAULT_ANALYZER = Analyzer()
 
 

@@ -158,3 +158,34 @@ class TestBM25:
     def test_scale_scores(self):
         s = np.array([0.00004, 0.00005, 1.23456789])
         assert list(scale_scores(s)) == [0, 1, 12346]
+
+
+class TestFastTokenizer:
+    def test_byte_scan_equivalence(self):
+        texts = [
+            "Hello, World! the quick brown fox", "", "a  b   c", "Spark-3.0 FAST!!",
+            None, "émigré café naïve", "中文 mixed ascii42", "x", " ", "tail42", "9z z9",
+        ]
+        col = pa.array(texts, type=pa.string())
+        t1, d1, p1 = DEFAULT_ANALYZER.tokenize_column_arrow(col)
+        t2, d2, p2 = DEFAULT_ANALYZER.tokenize_column_fast(col)
+        assert t1.to_pylist() == t2.to_pylist()
+        assert list(d1) == list(d2)
+        assert list(p1) == list(p2)
+
+    @given(st.lists(st.text(max_size=25), max_size=12))
+    @settings(max_examples=40, deadline=None)
+    def test_byte_scan_equivalence_property(self, texts):
+        col = pa.array(texts, type=pa.string())
+        t1, d1, p1 = DEFAULT_ANALYZER.tokenize_column_arrow(col)
+        t2, d2, p2 = DEFAULT_ANALYZER.tokenize_column_fast(col)
+        assert t1.to_pylist() == t2.to_pylist()
+        assert list(d1) == list(d2)
+        assert list(p1) == list(p2)
+
+    def test_sliced_input(self):
+        col = pa.array(["aa bb", "cc dd", "ee ff"]).slice(1, 2)
+        t1, d1, p1 = DEFAULT_ANALYZER.tokenize_column_arrow(col)
+        t2, d2, p2 = DEFAULT_ANALYZER.tokenize_column_fast(col)
+        assert t1.to_pylist() == t2.to_pylist()
+        assert list(d1) == list(d2) and list(p1) == list(p2)
