@@ -123,6 +123,7 @@ def build_index(
     analyzer: Analyzer = DEFAULT_ANALYZER,
     docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
     min_segments: int = 128,
+    min_rows_per_segment: int = 512,
     store_positions: bool = True,
     input_fp: str | None = None,
     force: bool = False,
@@ -151,7 +152,7 @@ def build_index(
     # the cluster provides parallelism; at sandbox scale keep a deterministic
     # floor (independent of CPU count so 8-vs-32-CPU scaling runs do IDENTICAL
     # work), capped so minuscule corpora don't shatter.
-    target_rows = max(512, min(docs_per_segment, -(-n_rows // max(1, min_segments))))
+    target_rows = max(min_rows_per_segment, min(docs_per_segment, -(-n_rows // max(1, min_segments))))
 
     if paths is not None:
         # Shuffle-free build: segments align with file/row-group ranges.

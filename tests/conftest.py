@@ -61,3 +61,22 @@ def oracle(transcripts_table):
     from project_gutenberg_full_text_search_ray.oracle import BruteForceOracle
 
     return BruteForceOracle(transcripts_table, TRANSCRIPTS_SPEC)
+
+
+@pytest.fixture(scope="session")
+def engine_multi(ray_session, transcripts_table, tmp_path_factory):
+    """Engine over MANY segments — exercises the ray-fan-out merge path
+    (the session `engine` fixture has 1 segment → local shortcut)."""
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import TRANSCRIPTS_SPEC, FullTextSearchEngine, build_index
+
+    d = tmp_path_factory.mktemp("index_multi")
+    src = str(d / "corpus.parquet")
+    pq.write_table(transcripts_table, src, row_group_size=100)
+    idx = str(d / "idx")
+    build_index(src, TRANSCRIPTS_SPEC, idx, docs_per_segment=200,
+                min_segments=8, min_rows_per_segment=100)
+    eng = FullTextSearchEngine(idx)
+    assert len(eng.seg_ids) >= 8
+    return eng
