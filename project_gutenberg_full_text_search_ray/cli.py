@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("search")
     s.add_argument("index_dir")
     s.add_argument("query")
+    s.add_argument("--type", choices=["fts", "fuzzy", "contains"], default="fts")
     s.add_argument("--page", type=int, default=1)
     s.add_argument("--size", type=int, default=28)
     s.add_argument("--filter", action="append", default=[], help="col:op:value")
@@ -77,7 +78,13 @@ def main(argv: list[str] | None = None) -> int:
 
     _ray_up()
     eng = FullTextSearchEngine(args.index_dir)
-    q = eng.query().search(args.query)
+    q = eng.query()
+    if args.type == "fuzzy":
+        q = q.search_fuzzy(args.query)
+    elif args.type == "contains":
+        q = q.search_contains(args.query)
+    else:
+        q = q.search(args.query)
     for f in args.filter:
         parts = f.split(":", 2)
         col, op = parts[0], parts[1]

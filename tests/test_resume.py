@@ -177,3 +177,34 @@ def test_stemmed_analyzer_end_to_end(ray_session, small_corpus, tmp_path):
         assert res.total == exp.total, qs
         got = list(zip(res.table["conv_id"].to_pylist(), res.table["turn_idx"].to_pylist()))
         assert got == [(r["conv_id"], r["turn_idx"]) for r in exp.rows], qs
+
+
+def test_dataset_input_build_matches_parquet_build(ray_session, small_corpus, tmp_path):
+    """The Dataset-input path (groupby(__seg) shuffle) and the parquet path
+    (file-aligned, shuffle-free) must produce rank-identical engines — the
+    partitioning-invariance claim, tested end to end."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray import (
+        TRANSCRIPTS_SPEC,
+        FullTextSearchEngine,
+        build_index,
+    )
+
+    idx_p = str(tmp_path / "idx_parquet")
+    idx_d = str(tmp_path / "idx_dataset")
+    _build(small_corpus, idx_p)
+    ds = rd.read_parquet(sorted(_glob.glob(os.path.join(small_corpus, "*.parquet"))))
+    build_index(ds, TRANSCRIPTS_SPEC, idx_d, docs_per_segment=400, min_segments=4)
+    e1, e2 = FullTextSearchEngine(idx_p), FullTextSearchEngine(idx_d)
+    assert e1.n_docs == e2.n_docs
+    assert abs(e1.avgdl - e2.avgdl) < 1e-9
+    for qs in ["the", '"to be or not to be"', "w00001 or w00002", "the -w00003"]:
+        r1 = e1.execute(e1.query().search(qs)[1, 20])
+        r2 = e2.execute(e2.query().search(qs)[1, 20])
+        assert r1.total == r2.total, qs
+        assert r1.table.equals(r2.table), qs
