@@ -215,7 +215,12 @@ def load_postings(
 # ---------------------------------------------------------------- evaluation
 def _phrase_match(postings: dict[str, _TermPostings], phrase: Phrase) -> np.ndarray:
     """Sorted ords of docs where the phrase's terms occur at consecutive
-    positions (tsquery ``<->`` semantics over our position streams)."""
+    positions (tsquery ``<->`` semantics over our position streams).
+
+    Fully vectorized: for each phrase term k, build composite keys
+    ``doc << 32 | (pos − k)`` over the candidate docs (the key is the
+    would-be phrase START position); an occurrence exists iff a key survives
+    the intersection across all k.  No per-document Python loop."""
     plists = []
     for t in phrase.terms:
         tp = postings.get(t)
@@ -227,24 +232,28 @@ def _phrase_match(postings: dict[str, _TermPostings], phrase: Phrase) -> np.ndar
         cand = np.intersect1d(cand, tp.ords, assume_unique=True)
     if len(cand) == 0:
         return cand
-    keep = []
-    per_term = []
-    for tp in plists:
+
+    keys: np.ndarray | None = None
+    for k, tp in enumerate(plists):
         offs, flat = tp.positions()
         idx = np.searchsorted(tp.ords, cand)
-        per_term.append((offs, flat, idx))
-    for ci in range(len(cand)):
-        offs0, flat0, idx0 = per_term[0]
-        acc = flat0[offs0[idx0[ci]] : offs0[idx0[ci] + 1]]
-        for ti in range(1, len(per_term)):
-            offs, flat, idx = per_term[ti]
-            p = flat[offs[idx[ci]] : offs[idx[ci] + 1]]
-            acc = np.intersect1d(acc + 1, p, assume_unique=True)
-            if len(acc) == 0:
-                break
-        if len(acc):
-            keep.append(cand[ci])
-    return np.asarray(keep, dtype=np.int64)
+        starts = offs[idx]
+        lens = (offs[idx + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        gather = np.repeat(starts, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        )
+        pos_k = flat[gather]
+        doc_k = np.repeat(cand.astype(np.int64), lens)
+        ok = pos_k >= k
+        key = (doc_k[ok] << np.int64(32)) | (pos_k[ok] - k)
+        keys = key if keys is None else np.intersect1d(keys, key, assume_unique=True)
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.int64)
+    return np.unique(keys >> np.int64(32))
 
 
 def _atom_docs(postings: dict[str, _TermPostings], atom) -> np.ndarray:
