@@ -1,24 +1,31 @@
-"""Index build pipeline — the flagship Ray Data pipeline (SURVEY.md §3.3).
+"""Index build pipeline — the flagship Ray Data pipeline (SURVEY.md §3.3/§8).
 
 Replaces the reference's materialized-view + 33-index build
-(/root/reference/tables/mv_books_dc.sql:30-494, refresh :502-514) with:
+(/root/reference/tables/mv_books_dc.sql:30-494, refresh :502-514).
 
-    read_parquet(corpus, columns=pruned)                # prune at the read
-      → map_batches(assign __seg = hash(partition key) % S)   # vectorized
-      → groupby(__seg).map_groups(SegmentBuilder)       # THE heavy shuffle;
-          one group = one segment: sort, tokenize, build + write postings
-          (delta+VByte, block max-score metadata), atomic per-segment manifest
-      → groupby(term).aggregate(Sum(df), Sum(cf))       # dictionary shuffle
-          over per-segment PARTIALS only (combiner pattern — hot terms cost
-          S rows, not N postings)
-      → sort(term).write_parquet(dict/)                 # row-group-prunable
-    driver: fold per-segment manifests → corpus stats (N, avgdl) → commit
+Parquet inputs (the 100 TB path — SHUFFLE-FREE):
+
+    driver: parquet metadata → segment plan (pack row groups to ~target_rows)
+      → map_batches over segment specs (one task per segment):
+          pruned columnar read of own row-group range
+          → tokenize → lexsort → delta+VByte posting blocks w/ max-score meta
+          → atomic segment write + lineage manifest        # resumable
+      → dictionary merge: shard (term, df, cf) PARTIALS by term-hash,
+          Arrow group_by+sort per shard → dict/ parquet    # the ONLY shuffle,
+          vocabulary-sized (combiner pattern: hot term costs S rows, not N)
+    driver: fold seg manifests → corpus stats (N, avgdl) → commit
     manifest.json (generation commit point).
 
-Scale notes (100 TB): S = ceil(N / docs_per_segment) bounds every group;
-segments build embarrassingly parallel after one shuffle; the term shuffle
-moves only vocabulary-sized data. Resume = re-run with same inputs; completed
-segments are skipped via their lineage manifests.
+Doc partitioning is arbitrary for correctness — df/N/avgdl are global and
+tf/dl per-doc, so BM25 is partitioning-invariant (proved end-to-end by
+tests/test_resume.py::test_dataset_input_build_matches_parquet_build).
+
+Dataset inputs (no file provenance): falls back to
+``map_batches(assign __seg) → groupby(__seg).map_groups(SegmentBuilder)`` —
+one hash-partition shuffle, same segment artifacts.
+
+Resume = re-run with same inputs; completed segments are skipped via their
+fingerprinted lineage manifests (including the input read).
 """
 
 from __future__ import annotations
@@ -32,7 +39,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..corpus import CorpusSpec
 from ..functions.analyzer import DEFAULT_ANALYZER, Analyzer

@@ -32,10 +32,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.bm25 import idf as bm25_idf
 from ..functions.bm25 import tf_norm
 from ..functions.codec import vbyte_decode
-from ..functions.querylang import AndGroup, Not, ParsedQuery, Phrase, Term
+from ..functions.querylang import Not, ParsedQuery, Phrase, Term
 
 SEG_ID_COL = "__seg"
 SEG_TOTAL_COL = "__seg_total"
