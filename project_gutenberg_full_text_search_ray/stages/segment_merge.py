@@ -24,38 +24,57 @@ from ..functions.codec import vbyte_decode
 from .segment_build import SegmentBuilder, _delta_in_place, write_segment_files
 
 
+def _undelta_with_resets(deltas: np.ndarray, reset_starts: np.ndarray) -> np.ndarray:
+    """Inverse of ``_delta_in_place``: cumulative sums restarting at each
+    ``reset_starts`` index — fully vectorized (one cumsum + one repeat)."""
+    cs = np.cumsum(deltas)
+    base = cs[reset_starts] - deltas[reset_starts]
+    lens = np.diff(np.append(reset_starts, len(deltas)))
+    return cs - np.repeat(base, lens)
+
+
 def _decode_member_postings(postings_path: str) -> tuple:
-    """→ flat (terms[str per entry], old_ord, tf, pos_flat, ok_positions)."""
+    """→ flat (terms[pa.Array per entry], old_ord, tf, pos_flat, have_pos).
+
+    Vectorized across ALL blocks of the file: each VByte column is
+    concatenated and decoded in ONE pass, then un-delta'd with resets at the
+    block/entry boundaries — no per-block Python loop."""
     t = pq.read_table(postings_path)
-    t = t.sort_by([("term", "ascending"), ("block", "ascending")])
-    terms_col = t["term"].to_pylist()
-    n_col = t["n"].to_numpy(zero_copy_only=False)
-    ords_col = t["ords"].to_pylist()
-    tfs_col = t["tfs"].to_pylist()
-    pos_col = t["pos"].to_pylist()
-    entry_terms: list[str] = []
-    ord_parts, tf_parts, pos_parts = [], [], []
-    have_pos = True
-    for i, term in enumerate(terms_col):
-        n = int(n_col[i])
-        deltas = vbyte_decode(ords_col[i]).astype(np.int64)
-        ords = np.cumsum(deltas)
-        tfs = vbyte_decode(tfs_col[i]).astype(np.int32)
-        entry_terms.extend([term] * n)
-        ord_parts.append(ords)
-        tf_parts.append(tfs)
-        raw = pos_col[i]
-        if raw:
-            pdeltas = vbyte_decode(raw).astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            cs = np.cumsum(pdeltas)
-            base = cs[starts] - pdeltas[starts]
-            pos_parts.append(cs - np.repeat(base, tfs))
-        else:
-            have_pos = False
-    old_ord = np.concatenate(ord_parts) if ord_parts else np.empty(0, np.int64)
-    tf = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32)
-    pos_flat = np.concatenate(pos_parts) if (have_pos and pos_parts) else np.empty(0, np.int64)
+    t = t.sort_by([("term", "ascending"), ("block", "ascending")]).combine_chunks()
+    n_col = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total_entries = int(n_col.sum())
+    if total_entries == 0:
+        return (pa.array([], type=pa.string()), np.empty(0, np.int64),
+                np.empty(0, np.int32), np.empty(0, np.int64), True)
+    block_entry_starts = np.concatenate(([0], np.cumsum(n_col)[:-1]))
+
+    def concat_bin(col_name: str) -> bytes:
+        col = t[col_name]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bufs = arr.buffers()
+        width = 8 if pa.types.is_large_binary(arr.type) else 4
+        odt = np.int64 if width == 8 else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * width)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        return data[offs[0] : offs[-1]].tobytes()
+
+    # ords: per-block delta with absolute first value → decode all, reset cumsum per block
+    ord_deltas = vbyte_decode(concat_bin("ords")).astype(np.int64)
+    old_ord = _undelta_with_resets(ord_deltas, block_entry_starts)
+    tf = vbyte_decode(concat_bin("tfs")).astype(np.int32)
+    # entry terms: repeat each block's term over its n entries (Arrow take)
+    idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_col)
+    entry_terms = t["term"].take(pa.array(idx))
+    # positions: delta-per-entry stream; resets at every entry's first token
+    pos_bytes = concat_bin("pos")
+    if pos_bytes:
+        pos_deltas = vbyte_decode(pos_bytes).astype(np.int64)
+        entry_tok_starts = np.concatenate(([0], np.cumsum(tf.astype(np.int64))[:-1]))
+        pos_flat = _undelta_with_resets(pos_deltas, entry_tok_starts)
+        have_pos = len(pos_deltas) == int(tf.sum())
+    else:
+        pos_flat = np.empty(0, np.int64)
+        have_pos = False
     return entry_terms, old_ord, tf, pos_flat, have_pos
 
 
@@ -94,14 +113,16 @@ def merge_segment_group(
     dl = merged_docs["dl"].to_numpy(zero_copy_only=False).astype(np.int32)
 
     # flat entries across members with remapped ordinals
-    all_terms: list[str] = []
-    ord_parts, tf_parts, pos_parts, pos_len_parts = [], [], [], []
+    term_arrays: list[pa.Array] = []
+    ord_parts, tf_parts, pos_parts = [], [], []
     have_pos_all = store_positions
     for mi, s in enumerate(member_seg_ids):
         terms_m, old_ord, tf_m, pos_flat, have_pos = _decode_member_postings(
             os.path.join(seg_dir(index_dir_in, s), "postings.parquet")
         )
-        all_terms.extend(terms_m)
+        if isinstance(terms_m, pa.ChunkedArray):
+            terms_m = terms_m.combine_chunks()
+        term_arrays.append(terms_m)
         ord_parts.append(inv[member_offsets[mi] + old_ord])
         tf_parts.append(tf_m)
         have_pos_all &= have_pos
@@ -112,7 +133,7 @@ def merge_segment_group(
     tf_flat = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32)
     pos_all = np.concatenate(pos_parts) if (have_pos_all and pos_parts) else None
 
-    terms_pa = pa.array(all_terms, type=pa.string())
+    terms_pa = pa.concat_arrays([a.cast(pa.string()) for a in term_arrays]) if term_arrays else pa.array([], type=pa.string())
     enc = terms_pa.dictionary_encode()
     dict_arr = enc.dictionary
     sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
