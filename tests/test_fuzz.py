@@ -73,3 +73,23 @@ def test_fuzz_queries_rank_identical(engine, oracle, seed):
             assert res.table["score"].to_pylist() == pytest.approx(
                 [r["score"] for r in exp.rows], rel=1e-12, abs=1e-12
             ), ctx
+
+
+def test_fuzz_multiseg_ray_path(engine_multi, oracle):
+    """Same fuzzing through the multi-segment ray fan-out (MaxScore + zone
+    maps + merge all active)."""
+    rng = np.random.default_rng(4242)
+    for i in range(18):
+        qtext = _gen_query(rng)
+        filters = _gen_filters(rng)
+        size = int(rng.integers(5, 30))
+        q = engine_multi.query().search(qtext)
+        for f in filters:
+            q = q.where(FilterSpec(*f))
+        q = q.order_by(RELEVANCE)[1, size]
+        res = engine_multi.execute(q)
+        exp = oracle.search([qtext], filters=filters, page_size=size)
+        ctx = f"i={i} q={qtext!r} f={filters} size={size}"
+        assert res.total == exp.total, ctx
+        got = list(zip(res.table["conv_id"].to_pylist(), res.table["turn_idx"].to_pylist()))
+        assert got == [(r["conv_id"], r["turn_idx"]) for r in exp.rows], ctx
