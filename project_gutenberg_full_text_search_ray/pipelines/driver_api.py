@@ -481,6 +481,17 @@ def q_window_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """EXACT n-gram-Jaccard near-dup pairs (shingle-hash bucket candidates +
+    in-bucket verification) — rows-only; exactness asserted in pytest."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+                              threshold=0.3).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -829,6 +840,7 @@ QUERIES_EXTRAS = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid_counts": q_langid,
     "fingerprints": q_fingerprints,

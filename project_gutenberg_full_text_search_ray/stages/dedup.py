@@ -250,6 +250,74 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------------- exact n-gram Jaccard
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+) -> rd.Dataset:
+    """EXACT n-gram-Jaccard near-dup pairs (vs MinHash's probabilistic
+    candidates): docs sharing ≥1 shingle-hash bucket become candidates
+    (any pair with Jaccard > 0 shares a shingle, hence a bucket → recall is
+    exact down to Jaccard > 0), then true Jaccard is computed in-bucket and
+    thresholded.  One groupby on bucket ids; per-bucket pair work is bounded
+    by bucket occupancy (shingle-hash spreading), deduped by a second tiny
+    groupby."""
+
+    def explode_shingle_buckets(batch: pa.Table) -> pa.Table:
+        ids_out, bkt_out, text_out = [], [], []
+        for did, txt in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sh = shingle_hashes(analyzer.tokenize(txt or ""), k_shingle)
+            buckets = np.unique(sh % np.uint64(n_buckets))
+            for b in buckets:
+                ids_out.append(did)
+                bkt_out.append(int(b))
+                text_out.append(txt)
+        return pa.table(
+            {id_col: pa.array(ids_out), "bucket": pa.array(bkt_out, type=pa.int32()),
+             text_col: pa.array(text_out)}
+        )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jacc_i4": []})
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        ids = g[id_col].tolist()
+        sh = [shingles(analyzer.tokenize(t or ""), k_shingle) for t in g[text_col].tolist()]
+        ra, rb, rj = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jc = jaccard(sh[i], sh[j])
+                if jc >= threshold:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rj.append(int(np.floor(jc * 10000 + 0.5)))
+        return pd.DataFrame({"id_a": ra, "id_b": rb, "jacc_i4": rj})
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        ds.map_batches(explode_shingle_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+        .map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["pair"])
+    )
+
+
 # ------------------------------------------------------- connected components
 def connected_components(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
     """Duplicate-cluster representatives from a near-dup pair list:

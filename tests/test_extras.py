@@ -241,3 +241,34 @@ def test_ivf_recall_vs_exact(ray_session):
     approx = q_ann_ivf_topk(SF)["vec_id"].to_pylist()
     assert len(approx) <= 10
     assert len(set(exact[:3]) & set(approx)) >= 1  # the near-neighbors live in probed lists
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """Unlike MinHash-LSH, the shingle-bucket candidate generation is exact
+    for Jaccard > 0, so the result must EQUAL the brute-force pair set."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.functions.textstats import jaccard, shingles
+    from project_gutenberg_full_text_search_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    docs = []
+    for i in range(24):
+        words = base.split()
+        if i % 3 == 0:
+            words[i % len(words)] = f"sub{i}"
+        elif i % 3 == 1:
+            words = [f"w{i}_{j}" for j in range(15)]
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    got = ngram_jaccard_pairs(rd.from_items(docs), "text", "doc_id", threshold=0.5).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    sh = {d["doc_id"]: shingles(DEFAULT_ANALYZER.tokenize(d["text"])) for d in docs}
+    exp_pairs = {
+        (i, j)
+        for i in range(24)
+        for j in range(i + 1, 24)
+        if jaccard(sh[i], sh[j]) >= 0.5
+    }
+    assert got_pairs == exp_pairs  # exact, not probabilistic
+    assert len(exp_pairs) > 3
