@@ -597,7 +597,7 @@ def q_transcripts_flagship(sf_dir: str) -> pa.Table:
     path = transcripts_parquet(n_convs=n_convs, turns_per_conv=8, seed=42)
     fp = parquet_input_fingerprint([path])
     index_dir = os.path.join(INDEX_CACHE_ROOT, f"transcripts_{fp}")
-    build_index(path, __import__("project_gutenberg_full_text_search_ray").TRANSCRIPTS_SPEC if False else TRANSCRIPTS_SPEC, index_dir, docs_per_segment=2048)
+    build_index(path, TRANSCRIPTS_SPEC, index_dir, docs_per_segment=2048)
     eng = _ENGINES.get(index_dir)
     if eng is None:
         eng = FullTextSearchEngine(index_dir)
