@@ -33,7 +33,12 @@ QUERY_COL = "__query"
 def batch_search_dataset(engine, queries: dict[str, SearchQuery], k: int = 100) -> rd.Dataset:
     """→ Dataset of per-segment top-k rows for every query, tagged with
     ``__query``.  Lazy; consume with finalize_batch_results / write_parquet."""
-    plans: dict[str, SearchPlan] = {name: engine.build_plan(q, k) for name, q in queries.items()}
+    from dataclasses import replace
+
+    # uniform doc-store schema across the query set (outputs are concatenated)
+    plans: dict[str, SearchPlan] = {
+        name: replace(engine.build_plan(q, k), need_cols=None) for name, q in queries.items()
+    }
     plans_ref = ray.put(plans)
     index_dir = engine.index_dir
 

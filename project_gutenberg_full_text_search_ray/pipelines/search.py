@@ -261,8 +261,26 @@ class FullTextSearchEngine:
                 expanded = contains_expand(self.index_dir, cp)
                 queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
         terms = [t for pq_ in queries for t in pq_.positive_terms()]
+        # prune doc-store columns at the read (task mode): only what scoring,
+        # filters, ordering and the output projection actually touch
+        if any(f.op == "udf" for f in q.filters):
+            need_cols = None  # a udf predicate may touch anything
+        else:
+            need: dict[str, None] = {}
+            for c in ("dl", *self.spec.id_cols):
+                need.setdefault(c)
+            if q.crosswalk is not Crosswalk.MINI:
+                for c in self.spec.meta_cols:
+                    need.setdefault(c)
+            for f in q.filters:
+                if f.col:
+                    need.setdefault(f.col)
+            if q.order.kind == "column" and q.order.col:
+                need.setdefault(q.order.col)
+            need_cols = tuple(need)
         return SearchPlan(
             queries=tuple(queries),
+            need_cols=need_cols,
             filters=tuple(q.filters),
             order=q.order,
             k=k,
@@ -348,4 +366,6 @@ class FullTextSearchEngine:
 
     def _empty_result_table(self) -> pa.Table:
         d0 = pq.read_table(os.path.join(seg_dir(self.index_dir, self.seg_ids[0]), "docs.parquet")).slice(0, 0)
+        if "ord" in d0.column_names:
+            d0 = d0.drop_columns(["ord"])
         return d0.append_column(SCORE_COL, pa.array([], type=pa.float64()))

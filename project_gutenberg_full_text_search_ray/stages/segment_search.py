@@ -116,6 +116,9 @@ class SearchPlan:
     idf: dict[str, float] = field(default_factory=dict)
     avgdl: float = 1.0
     id_cols: tuple[str, ...] = ("doc_id",)
+    # doc-store columns actually needed (None = all): prune at the read —
+    # a MINI-projection query must not drag every metadata column off disk
+    need_cols: tuple[str, ...] | None = None
 
 
 # ---------------------------------------------------------------- postings
@@ -416,9 +419,10 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
     docs_path = os.path.join(seg_path, "docs.parquet")
     postings_path = os.path.join(seg_path, "postings.parquet")
     if cache is not None and docs_path in cache:
-        docs = cache[docs_path]
+        docs = cache[docs_path]  # warm actors keep the full doc store
     else:
-        docs = pq.read_table(docs_path)
+        cols = list(plan.need_cols) if (plan.need_cols is not None and cache is None) else None
+        docs = pq.read_table(docs_path, columns=cols)
         if cache is not None:
             cache[docs_path] = docs
     n_docs = docs.num_rows
@@ -487,6 +491,8 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
         scores_sel = np.zeros(len(sel), dtype=np.float64)
 
     out = docs.take(pa.array(sel))
+    if "ord" in out.column_names:
+        out = out.drop_columns(["ord"])  # internal ordinal — never user-facing
     out = out.append_column(SCORE_COL, pa.array(scores_sel, type=pa.float64()))
     out = out.append_column(SEG_TOTAL_COL, pa.array(np.full(len(sel), total, dtype=np.int64)))
     # count survives even when a page selects 0 rows from this segment but the
