@@ -1,0 +1,47 @@
+"""CLI facade smoke via subprocess (owns its own Ray session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_index(tmp_path_factory):
+    from project_gutenberg_full_text_search_ray.sources.transcripts import gen_transcripts
+
+    d = tmp_path_factory.mktemp("cli")
+    src = str(d / "corpus.parquet")
+    pq.write_table(gen_transcripts(60, 8, seed=5), src, row_group_size=200)
+    idx = str(d / "idx")
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-m", "project_gutenberg_full_text_search_ray.cli", "build", src, idx],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_docs"] == 480
+    return idx
+
+
+def _run_cli(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "project_gutenberg_full_text_search_ray.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_search_and_stats(cli_index):
+    r = _run_cli("search", cli_index, "the", "--size", "3", "--filter", "role:==:user")
+    assert r["total"] > 0 and len(r["rows"]) == 3
+    assert all(row["role"] == "user" for row in r["rows"])
+    c = _run_cli("search", cli_index, "the", "--count-only")
+    assert c["total"] >= r["total"]
+    s = _run_cli("stats", cli_index)
+    assert s["n_docs"] == 480
