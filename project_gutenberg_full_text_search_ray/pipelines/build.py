@@ -171,6 +171,20 @@ def build_index(
         # only the vocabulary-sized dictionary merge crossing the network.
         specs = _plan_file_segments(paths, target_rows)
         n_segments = len(specs)
+        # Per-segment CONTENT fingerprints (config + the exact file bytes/row
+        # groups the segment covers): appending new input files leaves
+        # existing segments' fingerprints unchanged, so an incremental
+        # refresh re-reads NOTHING for them — only new files build.
+        config_fp = fingerprint(
+            f"v{FORMAT_VERSION}", analyzer.version_tag, spec.tag(),
+            f"pos={int(store_positions)}", f"tr={target_rows}",
+        )
+        for sp in specs:
+            st = os.stat(sp["path"])
+            sp["seg_fp"] = fingerprint(
+                config_fp, os.path.basename(sp["path"]), str(st.st_size),
+                f"rg={sp['rg_start']}:{sp['rg_end']}", f"n={sp['n_rows']}",
+            )
     else:
         n_segments = max(1, -(-n_rows // target_rows))
 
@@ -197,13 +211,13 @@ def build_index(
         def build_from_file(batch: pa.Table) -> pa.Table:
             outs = []
             for row in batch.to_pylist():
-                cached = builder.resume_partials(row["seg_id"])  # skips the read too
+                cached = builder.resume_partials(row["seg_id"], fp=row["seg_fp"])  # skips the read too
                 if cached is None:
                     pf = pq.ParquetFile(row["path"])
                     t = pf.read_row_groups(
                         list(range(row["rg_start"], row["rg_end"])), columns=read_cols
                     )
-                    cached = builder.build_segment(row["seg_id"], t)
+                    cached = builder.build_segment(row["seg_id"], t, fp=row["seg_fp"])
                 outs.append(cached)
             return pa.concat_tables(outs)
 
@@ -220,10 +234,12 @@ def build_index(
             .groupby(SEG_COL)
             .map_groups(build_segment_group, batch_format="pyarrow")
         )
+    expected_fps = {sp["seg_id"]: sp["seg_fp"] for sp in specs} if paths is not None else None
     return _finalize_generation(
         index_dir, term_partials, build_fp, analyzer, spec,
         input_fp=input_fp, input_paths=paths,
         n_segments=n_segments, store_positions=store_positions,
+        expected_fps=expected_fps,
     )
 
 
@@ -238,6 +254,7 @@ def _finalize_generation(
     input_paths: list[str] | None,
     n_segments: int,
     store_positions: bool,
+    expected_fps: dict[int, str] | None = None,
 ) -> IndexInfo:
     """Dictionary merge + manifest fold + generation commit (shared by fresh
     builds and compaction).
@@ -277,7 +294,10 @@ def _finalize_generation(
     seg_manifests = []
     for sd in sorted(glob.glob(os.path.join(index_dir, "seg=*"))):
         m = read_json(os.path.join(sd, SEG_MANIFEST))
-        if m and m.get("fingerprint") == build_fp:
+        if not m:
+            continue
+        want = expected_fps.get(m.get("seg_id"), None) if expected_fps is not None else build_fp
+        if want is not None and m.get("fingerprint") == want:
             seg_manifests.append(m)
     n_docs = sum(m["n_docs"] for m in seg_manifests)
     total_tokens = sum(m["sum_dl"] for m in seg_manifests)

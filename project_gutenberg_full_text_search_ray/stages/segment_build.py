@@ -129,12 +129,14 @@ class SegmentBuilder:
             return cached
         return self.build_segment(seg_id, group)
 
-    def resume_partials(self, seg_id: int) -> pa.Table | None:
-        """If this segment is already complete for this build fingerprint,
-        recover its dictionary partials from the existing postings file."""
+    def resume_partials(self, seg_id: int, fp: str | None = None) -> pa.Table | None:
+        """If this segment is already complete for this fingerprint (per-
+        segment content fp when given, else the generation fp), recover its
+        dictionary partials from the existing postings file."""
+        want = fp or self.build_fp
         out_dir = seg_dir(self.index_dir, seg_id)
         existing = read_json(os.path.join(out_dir, SEG_MANIFEST))
-        if existing and existing.get("fingerprint") == self.build_fp and existing.get("status") == "complete":
+        if existing and existing.get("fingerprint") == want and existing.get("status") == "complete":
             t = pq.read_table(os.path.join(out_dir, "postings.parquet"), columns=["term", "n", "cf_part"])
             agg = t.group_by("term").aggregate([("n", "sum"), ("cf_part", "sum")])
             return pa.table(
@@ -146,10 +148,11 @@ class SegmentBuilder:
             )
         return None
 
-    def build_segment(self, seg_id: int, group: pa.Table) -> pa.Table:
+    def build_segment(self, seg_id: int, group: pa.Table, fp: str | None = None) -> pa.Table:
         import time as _time
 
         _t0 = _time.monotonic()
+        seg_fp = fp or self.build_fp
         out_dir = seg_dir(self.index_dir, seg_id)
         spec = self.spec
         sort_keys = [(c, "ascending") for c in spec.id_cols]
@@ -218,7 +221,7 @@ class SegmentBuilder:
         )
 
         write_segment_files(
-            self.index_dir, seg_id, docs, postings, self.build_fp,
+            self.index_dir, seg_id, docs, postings, seg_fp,
             id0_col=spec.id_cols[0],
             extra={"n_terms": int(len(term_starts)), "n_posting_entries": int(len(e_ord)),
                    "build_ms": int((_time.monotonic() - _t0) * 1000)},

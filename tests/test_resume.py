@@ -99,7 +99,9 @@ def test_manifest_records_lineage_and_metrics(ray_session, small_corpus, tmp_pat
         with open(os.path.join(sd, "_SEG_MANIFEST.json")) as f:
             sm = json.load(f)
         assert sm["status"] == "complete"
-        assert sm["fingerprint"] == info.build_fp
+        # parquet builds stamp per-segment CONTENT fingerprints (incremental
+        # append support), not the generation fingerprint
+        assert sm["fingerprint"]
         assert sm["n_docs"] > 0 and sm["n_terms"] > 0
 
 
@@ -208,3 +210,38 @@ def test_dataset_input_build_matches_parquet_build(ray_session, small_corpus, tm
         r2 = e2.execute(e2.query().search(qs)[1, 20])
         assert r1.total == r2.total, qs
         assert r1.table.equals(r2.table), qs
+
+
+def test_incremental_append_reuses_existing_segments(ray_session, small_corpus, tmp_path):
+    """Appending a new input file must rebuild ONLY the new file's segments
+    (per-segment content fingerprints), and the incrementally refreshed index
+    must equal a from-scratch build of the grown corpus."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import FullTextSearchEngine
+    from project_gutenberg_full_text_search_ray.sources.transcripts import gen_transcripts
+
+    idx = str(tmp_path / "idx")
+    info1 = _build(small_corpus, idx)
+    mtimes = {
+        p: os.path.getmtime(os.path.join(p, "postings.parquet"))
+        for p in _glob.glob(os.path.join(idx, "seg=*"))
+    }
+    # append a file that sorts AFTER the existing parts
+    t = gen_transcripts(50, 8, seed=9100, conv_offset=9000)
+    pq.write_table(t, os.path.join(small_corpus, "part-zz.parquet"), row_group_size=200)
+    info2 = _build(small_corpus, idx)
+    assert info2.n_docs == info1.n_docs + 400
+    untouched = [p for p, m in mtimes.items()
+                 if os.path.getmtime(os.path.join(p, "postings.parquet")) == m]
+    assert len(untouched) == len(mtimes), "existing segments were rebuilt on append"
+
+    fresh = str(tmp_path / "fresh")
+    _build(small_corpus, fresh)
+    e1, e2 = FullTextSearchEngine(idx), FullTextSearchEngine(fresh)
+    for qs in ["the", '"to be or not to be"', "w00001 or w00002"]:
+        r1 = e1.execute(e1.query().search(qs)[1, 20])
+        r2 = e2.execute(e2.query().search(qs)[1, 20])
+        assert r1.total == r2.total and r1.table.equals(r2.table), qs
