@@ -228,6 +228,26 @@ class FullTextSearchEngine:
         page_tbl = apply_crosswalk(page_tbl, q.crosswalk, self.spec, self._custom_transformer)
         return SearchResult(total=total, page=page, page_size=q.page_size, table=page_tbl)
 
+    def matches_dataset(self, q: SearchQuery) -> rd.Dataset:
+        """Stream EVERY matching doc as a Ray Dataset (no top-k, no driver
+        materialization) — corpus filtering by boolean/phrase search, the
+        training-data-pipeline primitive ("keep all turns matching X but not
+        Y").  Consume with ``.write_parquet`` / ``iter_batches`` /
+        downstream ``map_batches``; rows carry the BM25 score for weighting."""
+        from ..stages.segment_search import ALL_MATCHES
+
+        plan = self.build_plan(q, ALL_MATCHES)
+        seg_ids = self.prune_segments(q.filters) if q.filters else self.seg_ids
+        segs = rd.from_items([{"seg_id": s} for s in seg_ids])
+        fn = make_search_fn(plan, self.index_dir)
+
+        def run_and_strip(batch: pa.Table) -> pa.Table:
+            out = fn(batch)
+            drop = [c for c in (SEG_ID_COL, SEG_TOTAL_COL) if c in out.column_names]
+            return out.drop_columns(drop)
+
+        return segs.map_batches(run_and_strip, batch_format="pyarrow", batch_size=1)
+
     def top_docs(self, q: SearchQuery, n: int) -> pa.Table:
         """Top-n matched docs with scores (facet sampling, A7). Bypasses the
         page-size clamp; n caps per-segment and merged k."""

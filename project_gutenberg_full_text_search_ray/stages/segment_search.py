@@ -39,6 +39,7 @@ from ..functions.querylang import Not, ParsedQuery, Phrase, Term
 SEG_ID_COL = "__seg"
 SEG_TOTAL_COL = "__seg_total"
 SCORE_COL = "score"
+ALL_MATCHES = -1  # plan.k sentinel: return every matching doc (export mode)
 
 
 # ---------------------------------------------------------------- filters
@@ -469,6 +470,15 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
     if total == 0:
         sel = empty_sel
         scores_sel = np.empty(0, dtype=np.float64)
+    elif plan.k == ALL_MATCHES:
+        # export mode: every matching doc, scored, unordered (the consumer is
+        # a streaming Dataset sink, not a results page)
+        sel = matched
+        if plan.queries:
+            pos_terms = [t for q in plan.queries for t in q.positive_terms()]
+            scores_sel = score_docs(postings, matched, pos_terms, plan.idf, dl, plan.avgdl)
+        else:
+            scores_sel = np.zeros(len(sel), dtype=np.float64)
     elif plan.order.kind == "score":
         pos_terms = [t for q in plan.queries for t in q.positive_terms()]
         sel, scores_sel = topk_maxscore(

@@ -47,3 +47,26 @@ def test_search_service_matches_engine(engine_multi, oracle):
             assert svc.count(engine_multi.query().search(qs)) == r_engine.total
     finally:
         svc.shutdown()
+
+
+def test_matches_dataset_streams_all_matches(engine_multi, oracle, tmp_path):
+    """Export mode: every matching doc, as a streaming Dataset."""
+    import pyarrow.parquet as pq
+
+    q = engine_multi.query().search("the -w00001").eq("role", "user")
+    ds = engine_multi.matches_dataset(q)
+    got = ds.to_pandas()
+    exp = oracle.search(["the -w00001"], filters=[("role", "==", "user")],
+                        page_size=100, page=1)
+    assert len(got) == exp.total
+    got_ids = set(zip(got["conv_id"], got["turn_idx"]))
+    # recompute full oracle match set
+    all_exp = oracle.search(["the -w00001"], filters=[("role", "==", "user")],
+                            page_size=100)
+    # oracle paginates; use total + spot-check page-1 membership
+    assert all((r["conv_id"], r["turn_idx"]) in got_ids for r in all_exp.rows)
+    assert "score" in got.columns and (got["score"] > 0).all()
+    # and it sinks straight to parquet
+    out = str(tmp_path / "export")
+    engine_multi.matches_dataset(q).write_parquet(out)
+    assert pq.read_table(out).num_rows == exp.total
