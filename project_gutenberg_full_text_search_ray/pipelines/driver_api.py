@@ -308,6 +308,17 @@ def _docs_ds(sf_dir: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def q_export_matches(sf_dir: str) -> pa.Table:
+    """Export mode (matches_dataset): EVERY doc matching a boolean query +
+    filter, streamed as a Dataset — here collected to (doc_id, score) for the
+    oracle compare (order-insensitive)."""
+    eng = ensure_documents_index(sf_dir)
+    q = eng.query().search("table -vector").eq("lang", "en")
+    df = eng.matches_dataset(q).to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(df["doc_id"], type=pa.int64()),
+                     "score": _scaled(df["score"].tolist())})
+
+
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     from ..stages.dedup import exact_dedup
 
@@ -812,6 +823,12 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY day, event_type "
         "ORDER BY day, event_type"
     ),
+    "export_matches": _bm25_cte(["table"]) + (
+        " SELECT doc_id, CAST(floor(score_raw * 10000 + 0.5) AS BIGINT) AS score FROM scored"
+        " WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')"
+        " AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+        " ORDER BY doc_id"
+    ),
     "embed_neardup_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, "
         "CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
@@ -821,6 +838,7 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
 }
 
 QUERIES_EXTRAS = {
+    "export_matches": q_export_matches,
     "dedup_exact": q_dedup_exact,
     "dedup_prefix10": q_dedup_prefix10,
     "token_counts": q_token_counts,
