@@ -239,6 +239,10 @@ def _phrase_match(postings: dict[str, _TermPostings], phrase: Phrase) -> np.ndar
     keys: np.ndarray | None = None
     for k, tp in enumerate(plists):
         offs, flat = tp.positions()
+        if len(flat) < int(offs[-1]):
+            # index built with store_positions=False → phrase semantics are
+            # undecidable; match nothing (documented, pinned in tests)
+            return np.empty(0, dtype=np.int64)
         idx = np.searchsorted(tp.ords, cand)
         starts = offs[idx]
         lens = (offs[idx + 1] - starts).astype(np.int64)

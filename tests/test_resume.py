@@ -245,3 +245,25 @@ def test_incremental_append_reuses_existing_segments(ray_session, small_corpus, 
         r1 = e1.execute(e1.query().search(qs)[1, 20])
         r2 = e2.execute(e2.query().search(qs)[1, 20])
         assert r1.total == r2.total and r1.table.equals(r2.table), qs
+
+
+def test_positions_off_index(ray_session, small_corpus, tmp_path):
+    """store_positions=False: smaller index, term/boolean queries stay exact,
+    phrase queries (which need positions) match nothing — pinned behavior."""
+    from project_gutenberg_full_text_search_ray import FullTextSearchEngine, TRANSCRIPTS_SPEC, build_index
+
+    idx = str(tmp_path / "idx_nopos")
+    build_index(small_corpus, TRANSCRIPTS_SPEC, idx, docs_per_segment=400,
+                min_segments=4, store_positions=False)
+    idx_pos = str(tmp_path / "idx_pos")
+    _build(small_corpus, idx_pos)
+    e_no, e_yes = FullTextSearchEngine(idx), FullTextSearchEngine(idx_pos)
+    r1 = e_no.execute(e_no.query().search("the w00001")[1, 20])
+    r2 = e_yes.execute(e_yes.query().search("the w00001")[1, 20])
+    assert r1.total == r2.total and r1.table.equals(r2.table)
+    assert e_no.count(e_no.query().search('"to be or not to be"')) == 0
+    assert e_yes.count(e_yes.query().search('"to be or not to be"')) > 0
+    import glob as _glob, os as _os
+
+    sz = lambda d: sum(_os.path.getsize(p) for p in _glob.glob(_os.path.join(d, "seg=*", "postings.parquet")))
+    assert sz(idx) < sz(idx_pos)
