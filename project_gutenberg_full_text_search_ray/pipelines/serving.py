@@ -61,21 +61,40 @@ class SearcherWorker:
 
 
 class SearchService:
-    """Facade over the worker pool; mirrors engine.execute()/count()."""
+    """Facade over the worker pool; mirrors engine.execute()/count().
 
-    def __init__(self, engine, n_workers: int = 8):
+    ``replicas`` > 1 duplicates the whole segment-partitioned pool: one query
+    always fans out over every segment, so concurrent-query THROUGHPUT scales
+    with replicas (each query round-robins onto one replica), while latency
+    scales with workers-per-replica.  Size replicas × n_workers ≤ cores."""
+
+    def __init__(self, engine, n_workers: int = 8, replicas: int = 1):
+        import itertools
+        import threading
+
         self.engine = engine
         segs = engine.seg_ids
         n_workers = max(1, min(n_workers, len(segs)))
         parts: list[list[int]] = [[] for _ in range(n_workers)]
         for i, s in enumerate(segs):
             parts[i % n_workers].append(s)
-        self.workers = [SearcherWorker.remote(engine.index_dir, p) for p in parts]
-        ray.get([w.warm.remote() for w in self.workers])
+        self.pools = [
+            [SearcherWorker.remote(engine.index_dir, p) for p in parts]
+            for _ in range(max(1, replicas))
+        ]
+        ray.get([w.warm.remote() for pool in self.pools for w in pool])
+        self._rr = itertools.cycle(range(len(self.pools)))
+        self._lock = threading.Lock()
+
+    @property
+    def workers(self):  # backwards-compat: first replica
+        return self.pools[0] if self.pools else []
 
     def _run(self, q: SearchQuery, k: int):
         plan = self.engine.build_plan(q, k)
-        tables = ray.get([w.search.remote(plan) for w in self.workers])
+        with self._lock:
+            pool = self.pools[next(self._rr)]
+        tables = ray.get([w.search.remote(plan) for w in pool])
         merged = pa.concat_tables([t for t in tables if t.num_rows])
         if merged.num_rows == 0:
             return 0, self.engine._empty_result_table()
@@ -102,6 +121,7 @@ class SearchService:
         return self._run(q, 1)[0]
 
     def shutdown(self) -> None:
-        for w in self.workers:
-            ray.kill(w)
-        self.workers = []
+        for pool in self.pools:
+            for w in pool:
+                ray.kill(w)
+        self.pools = []

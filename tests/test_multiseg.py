@@ -36,7 +36,7 @@ def test_ray_fanout_rank_identity(engine_multi, oracle, texts, filters):
 def test_search_service_matches_engine(engine_multi, oracle):
     from project_gutenberg_full_text_search_ray.pipelines.serving import SearchService
 
-    svc = SearchService(engine_multi, n_workers=3)
+    svc = SearchService(engine_multi, n_workers=3, replicas=2)
     try:
         for qs in ["the quick brown fox", '"to be or not to be"', "w00001 or w00002 -the"]:
             q1 = engine_multi.query().search(qs)[1, 20]
