@@ -38,7 +38,7 @@ def _gen_filters(rng):
     return out
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzz_queries_rank_identical(engine, oracle, seed):
     rng = np.random.default_rng(1000 + seed)
     for i in range(25):
