@@ -157,7 +157,12 @@ class SegmentBuilder:
         spec = self.spec
         sort_keys = [(c, "ascending") for c in spec.id_cols]
         order = pc.sort_indices(group, sort_keys=sort_keys)
-        table = group.take(order)
+        order_np = order.to_numpy(zero_copy_only=False)
+        if np.array_equal(order_np, np.arange(len(order_np))):
+            table = group  # already identity-sorted (common for clean input
+            # layouts) — skip the full-table gather/copy
+        else:
+            table = group.take(order)
         n_docs = table.num_rows
 
         terms_pa, doc_idx, positions = self.analyzer.tokenize_column_arrow(table[spec.text_col])
