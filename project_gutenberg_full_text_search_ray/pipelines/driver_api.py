@@ -319,6 +319,40 @@ def q_export_matches(sf_dir: str) -> pa.Table:
                      "score": _scaled(df["score"].tolist())})
 
 
+def q_token_estimates(sf_dir: str) -> pa.Table:
+    """Token counting three ways (task brief: whitespace + BPE-ish): exact
+    analyzer tokens, whitespace split, and the chars/4 BPE-count heuristic —
+    all integer, all vectorized."""
+    def est(batch: pa.Table) -> pa.Table:
+        from ..functions.analyzer import DEFAULT_ANALYZER
+
+        _, di, _ = DEFAULT_ANALYZER.tokenize_column(batch["text"])
+        exact = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
+        ws = pc.list_value_length(pc.split_pattern(pc.coalesce(batch["text"], pa.scalar("")), " "))
+        chars = pc.utf8_length(pc.coalesce(batch["text"], pa.scalar("")))
+        bpe = pc.cast(pc.ceil(pc.divide(pc.cast(chars, pa.float64()), 4.0)), pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(exact),
+            "n_ws_tokens": ws.cast(pa.int64()) if not isinstance(ws, pa.ChunkedArray) else ws.combine_chunks().cast(pa.int64()),
+            "n_bpe_est": bpe if not isinstance(bpe, pa.ChunkedArray) else bpe.combine_chunks(),
+        })
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 100)), batch_format="pyarrow")
+        .map_batches(est, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"], type=pa.int64()),
+        "n_tokens": pa.array(t["n_tokens"], type=pa.int64()),
+        "n_ws_tokens": pa.array(t["n_ws_tokens"], type=pa.int64()),
+        "n_bpe_est": pa.array(t["n_bpe_est"], type=pa.int64()),
+    })
+
+
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     from ..stages.dedup import exact_dedup
 
@@ -829,6 +863,13 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         " AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
         " ORDER BY doc_id"
     ),
+    "token_estimates": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est "
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id"
+    ),
     "embed_neardup_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, "
         "CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
@@ -842,6 +883,7 @@ QUERIES_EXTRAS = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix10": q_dedup_prefix10,
     "token_counts": q_token_counts,
+    "token_estimates": q_token_estimates,
     "quality_scores": q_quality_scores,
     "contains_scan": q_contains_scan,
     "events_type_counts": q_events_type_counts,
