@@ -22,6 +22,12 @@ from .pipelines.search import (
     SearchQuery,
     SearchResult,
 )
+from .pipelines.batch_search import (
+    batch_search_dataset,
+    export_results_parquet,
+    finalize_batch_results,
+)
+from .pipelines.serving import SearchService
 from .stages.segment_search import FilterSpec
 
 __all__ = [
@@ -42,4 +48,8 @@ __all__ = [
     "FilterSpec",
     "RELEVANCE",
     "RANDOM",
+    "SearchService",
+    "batch_search_dataset",
+    "finalize_batch_results",
+    "export_results_parquet",
 ]
