@@ -83,17 +83,18 @@ class ParsedQuery:
         return not self.groups
 
 
-_LEX = re.compile(r'"([^"]*)"|(\S+)')
+_LEX = re.compile(r'(-?)"([^"]*)"|(\S+)')
 
 
 def parse_query(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> ParsedQuery:
     """Parse websearch-style text into a ParsedQuery (OR of AND-groups)."""
     raw_tokens: list[tuple[str, bool, bool]] = []  # (payload, is_phrase, negated)
     for m in _LEX.finditer(text or ""):
-        if m.group(1) is not None:
-            raw_tokens.append((m.group(1), True, False))
+        if m.group(2) is not None:
+            # quoted phrase, optionally negated with a leading '-': -"a b"
+            raw_tokens.append((m.group(2), True, m.group(1) == "-"))
             continue
-        tok = m.group(2)
+        tok = m.group(3)
         neg = False
         while tok.startswith("-") and len(tok) > 1:
             neg = not neg

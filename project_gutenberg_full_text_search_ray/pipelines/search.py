@@ -298,6 +298,13 @@ class FullTextSearchEngine:
             if q.order.kind == "column" and q.order.col:
                 need.setdefault(q.order.col)
             need_cols = tuple(need)
+        from ..stages.segment_search import ALL_MATCHES
+
+        if k < 1 and k != ALL_MATCHES:
+            # per-segment totals ride on result rows (SEG_TOTAL_COL), so a
+            # k=0 plan would silently lose counts; clamp like the reference
+            # clamps page_size to >= 1 (full_text_search.py:82)
+            k = 1
         return SearchPlan(
             queries=tuple(queries),
             need_cols=need_cols,

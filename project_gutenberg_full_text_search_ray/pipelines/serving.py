@@ -95,9 +95,10 @@ class SearchService:
         with self._lock:
             pool = self.pools[next(self._rr)]
         tables = ray.get([w.search.remote(plan) for w in pool])
-        merged = pa.concat_tables([t for t in tables if t.num_rows])
-        if merged.num_rows == 0:
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
             return 0, self.engine._empty_result_table()
+        merged = pa.concat_tables(tables)
         import pyarrow.compute as pc
 
         segsum = merged.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])

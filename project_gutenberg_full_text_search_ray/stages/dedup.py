@@ -61,7 +61,7 @@ def exact_dedup(
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         out = (
-            g.groupby(key_col, sort=False)[id_col]
+            g.groupby(key_col, sort=False, dropna=False)[id_col]
             .agg(["min", "size"])
             .reset_index(drop=True)
             .rename(columns={"min": "keep_id", "size": "n_dups"})

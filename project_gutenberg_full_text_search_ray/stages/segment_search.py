@@ -509,10 +509,8 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
         out = out.drop_columns(["ord"])  # internal ordinal — never user-facing
     out = out.append_column(SCORE_COL, pa.array(scores_sel, type=pa.float64()))
     out = out.append_column(SEG_TOTAL_COL, pa.array(np.full(len(sel), total, dtype=np.int64)))
-    # count survives even when a page selects 0 rows from this segment but the
-    # segment matched >0 docs: always emit at least one row in that case
-    if len(sel) == 0 and total > 0:  # pragma: no cover — k>=1 in practice
-        pass
+    # plan.k >= 1 is enforced at plan construction (build_plan clamps), so a
+    # segment that matched >0 docs always emits >=1 count-carrying row
     return out
 
 

@@ -31,7 +31,8 @@ def fingerprint(*parts: str) -> str:
 
 
 def parquet_input_fingerprint(paths: list[str]) -> str:
-    """Stable fingerprint of parquet inputs: name + size + num_rows per file.
+    """Stable fingerprint of parquet inputs: name + size + mtime_ns + num_rows
+    per file (mtime catches in-place rewrites that preserve size/rows).
     Directories expand to their *.parquet members."""
     import glob as _glob
 
@@ -47,7 +48,7 @@ def parquet_input_fingerprint(paths: list[str]) -> str:
     for p in sorted(expanded):
         st = os.stat(p)
         nrows = pq.read_metadata(p).num_rows
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{nrows}")
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}:{nrows}")
     return fingerprint(*parts)
 
 

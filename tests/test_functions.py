@@ -111,6 +111,15 @@ class TestQueryLang:
         assert parse_query("").is_empty
         assert parse_query("   ").is_empty
 
+    def test_negated_phrase(self):
+        # websearch_to_tsquery: -"a b" is a negated PHRASE, not NOT(a) AND b
+        q = parse_query('-"quick brown" fox')
+        assert q.groups[0].atoms == (Not(Phrase(("quick", "brown"))), Term("fox"))
+
+    def test_negated_single_word_phrase(self):
+        q = parse_query('-"spam" ham')
+        assert q.groups[0].atoms == (Not(Term("spam")), Term("ham"))
+
 
 class TestCodec:
     def test_empty(self):

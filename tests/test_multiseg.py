@@ -45,6 +45,12 @@ def test_search_service_matches_engine(engine_multi, oracle):
             assert r_svc.total == r_engine.total
             assert r_svc.table.equals(r_engine.table)
             assert svc.count(engine_multi.query().search(qs)) == r_engine.total
+        # zero-match query must not crash the service path (all workers
+        # return empty tables → no concat of an empty list)
+        qz = engine_multi.query().search("zzzznonexistentterm")[1, 20]
+        rz = svc.execute(qz)
+        assert rz.total == 0 and rz.table.num_rows == 0
+        assert svc.count(engine_multi.query().search("zzzznonexistentterm")) == 0
     finally:
         svc.shutdown()
 
