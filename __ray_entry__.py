@@ -49,6 +49,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from project_gutenberg_full_text_search_ray.pipelines.driver_api import ORACLE_SQL
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import oracle_sql_all
 
-    return dict(ORACLE_SQL)
+    return oracle_sql_all()

@@ -527,23 +527,32 @@ def q_window_counts(sf_dir: str) -> pa.Table:
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """EXACT n-gram-Jaccard near-dup pairs (shingle-hash bucket candidates +
-    in-bucket verification) — rows-only; exactness asserted in pytest."""
+    """EXACT n-gram-Jaccard near-dup pairs: shingle-hash buckets carry
+    (id, hash) only; TRUE Jaccard verified against the parquet doc store."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    out = ngram_jaccard_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id",
-                              threshold=0.3).to_pandas()
+    out = ngram_jaccard_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.3,
+        doc_source=os.path.join(sf_dir, "documents.parquet"),
+    ).to_pandas()
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                     "id_b": pa.array(out["id_b"], type=pa.int64()),
+                     "jacc_i4": pa.array(out["jacc_i4"], type=pa.int64())})
 
 
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.3).to_pandas()
+    out = minhash_lsh_pairs(
+        ds, "text", "doc_id", threshold=0.3,
+        doc_source=os.path.join(sf_dir, "documents.parquet"),
+    ).to_pandas()
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                     "id_b": pa.array(out["id_b"], type=pa.int64()),
+                     "jacc_i4": pa.array(out["jacc_i4"], type=pa.int64())})
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
@@ -591,24 +600,60 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def q_fuzzy_search(sf_dir: str) -> pa.Table:
-    """P2 FUZZY analog via the trigram index (stages/trigram.py): the
-    misspelled query term expands to dictionary terms by word_similarity and
-    runs as an OR-search — no vocabulary scan, no corpus scan."""
+    """P2 FUZZY via the trigram index (stages/trigram.py): the misspelled
+    query term expands to dictionary terms by word_similarity and runs as an
+    OR-search ranked by the best matched term's word_similarity (reference
+    ``_order_sql`` FUZZY ordering, full_text_search.py:277-295)."""
     eng = ensure_documents_index(sf_dir)
     q = eng.query().search_fuzzy("tabel")  # misspelling of 'table'
     top = eng.top_docs(q, 20)
-    return pa.table({"doc_id": top["doc_id"], "score": _scaled(top["score"].to_pylist())})
+    return pa.table({"doc_id": top["doc_id"], "sim_i4": _scaled(top["score"].to_pylist())})
+
+
+def _fuzzy_sql(qterm: str, min_sim: float = 0.4, max_exp: int = 8, k: int = 20) -> str:
+    """DuckDB twin of fuzzy_expand + max-word_similarity ranking: the same
+    padded-trigram sets, the same |shared|/|q-trigrams| similarity, the same
+    (sim DESC, term) expansion cutoff and (sim DESC, doc_id) result order."""
+    from ..stages.trigram import trigrams
+
+    qt = sorted(trigrams(qterm.lower()))
+    qt_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qt)
+    return (
+        f"WITH {_TOK}, vocab AS (SELECT DISTINCT term FROM tok), "
+        "tris AS (SELECT term, list_distinct(list_transform("
+        "range(1, length('  ' || term || ' ') - 1), "
+        "i -> substr('  ' || term || ' ', CAST(i AS INT), 3))) AS ts FROM vocab), "
+        f"sims AS (SELECT term, CAST(len(list_intersect(ts, [{qt_list}])) AS DOUBLE) / {len(qt)} AS sim FROM tris), "
+        f"expn AS (SELECT term, sim FROM sims WHERE sim >= {min_sim} "
+        f"ORDER BY sim DESC, term LIMIT {max_exp}), "
+        "docsim AS (SELECT t.doc_id, max(e.sim) AS sim FROM tok t JOIN expn e USING(term) GROUP BY t.doc_id) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(floor(sim * {SCORE_SCALE} + 0.5) AS BIGINT) AS sim_i4 "
+        f"FROM docsim ORDER BY sim DESC, doc_id LIMIT {k}"
+    )
 
 
 def q_contains_indexed(sf_dir: str) -> pa.Table:
     """P3 CONTAINS via the trigram index: single-token substring expands to
     the dictionary terms containing it (trigram candidates + exact verify),
-    then posting-list OR — equivalent to the naive scan but index-assisted
-    (pytest asserts equivalence on the matched doc set)."""
+    then posting-list OR over ALL matches — equivalent to the naive scan but
+    index-assisted; oracle = token-level contains() in DuckDB."""
     eng = ensure_documents_index(sf_dir)
     q = eng.query().search_contains("able")
-    top = eng.top_docs(q, 500)
-    ids = sorted(top["doc_id"].to_pylist())
+    df = eng.matches_dataset(q).to_pandas()
+    ids = sorted(df["doc_id"].tolist())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def q_contains_multi(sf_dir: str) -> pa.Table:
+    """P3 CONTAINS for a pattern SPANNING token boundaries via the index
+    (reference ILIKE '%q%', full_text_search.py:144-146): suffix/prefix edge
+    expansion + positional phrase candidates + literal substring verify
+    against the source parquet — same result as the naive scan, no corpus
+    scan on the hot path."""
+    eng = ensure_documents_index(sf_dir)
+    ds = eng.contains_multi_dataset("window merge")
+    ids = sorted(ds.to_pandas()["doc_id"].tolist())
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
@@ -629,17 +674,24 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
                      "feat0_i4": pa.array(feat0, type=pa.int64())})
 
 
-def q_transcripts_flagship(sf_dir: str) -> pa.Table:
-    """North-rule flagship on the transcript corpus (deterministic fixture
-    scaled by sf): build index → phrase+boolean search → top-k. Rows-only
-    driver check; rank-identity is asserted against the brute-force oracle in
-    pytest (tests/test_search_oracle.py)."""
-    from ..corpus import TRANSCRIPTS_SPEC
+_FLAGSHIP_CONVS = 500  # fixed fixture: 500 convs × 8 turns = 4k docs
+
+
+def _flagship_fixture() -> str:
     from ..sources.transcripts import transcripts_parquet
 
-    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    n_convs = max(50, n_docs)  # sf0.01 → 500 convs × 8 turns = 4k docs
-    path = transcripts_parquet(n_convs=n_convs, turns_per_conv=8, seed=42)
+    return transcripts_parquet(n_convs=_FLAGSHIP_CONVS, turns_per_conv=8, seed=42)
+
+
+def q_transcripts_flagship(sf_dir: str) -> pa.Table:
+    """North-rule flagship on the transcript corpus (deterministic fixture):
+    build index → phrase+boolean search → top-k.  Oracled: the same BM25 +
+    phrase-position CTE runs in DuckDB over the fixture parquet
+    (``_flagship_sql``); rank-identity additionally pinned against the
+    brute-force oracle in pytest (tests/test_search_oracle.py)."""
+    from ..corpus import TRANSCRIPTS_SPEC
+
+    path = _flagship_fixture()
     fp = parquet_input_fingerprint([path])
     index_dir = os.path.join(INDEX_CACHE_ROOT, f"transcripts_{fp}")
     build_index(path, TRANSCRIPTS_SPEC, index_dir, docs_per_segment=2048)
@@ -651,6 +703,49 @@ def q_transcripts_flagship(sf_dir: str) -> pa.Table:
     top = eng.top_docs(q, 50)
     return pa.table({"conv_id": top["conv_id"], "turn_idx": top["turn_idx"],
                      "score": _scaled(top["score"].to_pylist())})
+
+
+def _flagship_sql() -> str:
+    """DuckDB twin of q_transcripts_flagship over the SAME fixture parquet:
+    match = phrase("quick brown fox") OR term("ray"), filter role='user',
+    BM25 over the 4 positive terms with whole-corpus N/avgdl/df, order
+    (score DESC, conv_id, turn_idx) LIMIT 50.  Generates the fixture if
+    needed (idempotent, same path the query side uses)."""
+    path = _flagship_fixture()
+    terms = "'quick','brown','fox','ray'"
+    return (
+        "WITH base AS (SELECT conv_id, turn_idx, role, list_filter("
+        f"regexp_split_to_array(lower(text), '{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr "
+        f"FROM read_parquet('{path}/*.parquet')), "
+        "tok AS (SELECT conv_id, turn_idx, unnest(arr) AS term FROM base), "
+        "dl AS (SELECT conv_id, turn_idx, CAST(len(arr) AS DOUBLE) AS dl FROM base), "
+        "stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM base) AS n, "
+        "(SELECT CAST(COALESCE(sum(dl), 0) AS DOUBLE) FROM dl) / "
+        "(SELECT CAST(count(*) AS DOUBLE) FROM base) AS avgdl), "
+        "ptok AS (SELECT conv_id, turn_idx, arr[CAST(i AS INT)] AS term, CAST(i AS INT) AS i "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        "phrase AS (SELECT DISTINCT a.conv_id, a.turn_idx FROM ptok a "
+        "JOIN ptok b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx AND b.i = a.i + 1 "
+        "JOIN ptok c ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx AND c.i = a.i + 2 "
+        "WHERE a.term = 'quick' AND b.term = 'brown' AND c.term = 'fox'), "
+        "rayd AS (SELECT DISTINCT conv_id, turn_idx FROM tok WHERE term = 'ray'), "
+        "matched AS (SELECT * FROM phrase UNION SELECT * FROM rayd), "
+        f"tf AS (SELECT conv_id, turn_idx, term, CAST(count(*) AS DOUBLE) AS tf FROM tok "
+        f"WHERE term IN ({terms}) GROUP BY 1, 2, 3), "
+        f"df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM "
+        f"(SELECT DISTINCT term, conv_id, turn_idx FROM tok WHERE term IN ({terms})) GROUP BY term), "
+        "scored AS (SELECT tf.conv_id, tf.turn_idx, "
+        f"sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * ({K1} + 1)) / "
+        f"(tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS score_raw "
+        "FROM tf JOIN df USING(term) "
+        "JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx CROSS JOIN stats "
+        "WHERE EXISTS (SELECT 1 FROM matched m WHERE m.conv_id = tf.conv_id "
+        "AND m.turn_idx = tf.turn_idx) GROUP BY 1, 2) "
+        "SELECT s.conv_id AS conv_id, CAST(s.turn_idx AS INT) AS turn_idx, "
+        f"CAST(floor(s.score_raw * {SCORE_SCALE} + 0.5) AS BIGINT) AS score "
+        "FROM scored s JOIN base USING(conv_id, turn_idx) WHERE base.role = 'user' "
+        "ORDER BY s.score_raw DESC, s.conv_id, s.turn_idx LIMIT 50"
+    )
 
 
 def q_facet_lang_counts(sf_dir: str) -> pa.Table:
@@ -707,13 +802,19 @@ def q_regex_normalize(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_components(sf_dir: str) -> pa.Table:
-    """Near-dup clusters: MinHash-LSH pairs → connected components → (id, rep).
-    Rows-only driver check; component semantics pinned in pytest."""
-    from ..stages.dedup import connected_components, minhash_lsh_pairs
+    """Near-dup clusters: EXACT n-gram-Jaccard pairs → DISTRIBUTED connected
+    components (min-label propagation over a pairs Dataset) → (id, rep).
+    Deterministic end-to-end, so the oracle is a recursive-CTE transitive
+    closure over the same pair SQL."""
+    from ..stages.dedup import connected_components_ds, ngram_jaccard_pairs
 
-    pairs_ds = minhash_lsh_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.3)
-    pairs = pa.Table.from_pandas(pairs_ds.to_pandas(), preserve_index=False)
-    return connected_components(pairs)
+    pairs_ds = ngram_jaccard_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.3,
+        doc_source=os.path.join(sf_dir, "documents.parquet"),
+    )
+    out = connected_components_ds(pairs_ds).to_pandas().sort_values("id").reset_index(drop=True)
+    return pa.table({"id": pa.array(out["id"], type=pa.int64()),
+                     "rep": pa.array(out["rep"], type=pa.int64())})
 
 
 def q_user_rollup(sf_dir: str) -> pa.Table:
@@ -787,6 +888,158 @@ _PTOK_SQL = (
     "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
     f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr FROM documents"
 )
+
+# 3-token string shingles per doc + exact pairwise Jaccard ≥ threshold —
+# shared by the ngram_jaccard_pairs and dedup_components oracles.  Both
+# sides compute |I| / (|A|+|B|-|I|) as one double division of exact ints,
+# so the 1e-4-scaled floor is bit-identical.
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s "
+        "FROM base, UNNEST(range(1, len(arr) - 1)) AS r(i) WHERE len(arr) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "jpair AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.nsh + sb.nsh - ni) AS jc "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b) "
+        f", jkeep AS (SELECT id_a, id_b, jc FROM jpair WHERE jc >= {threshold})"
+    )
+
+
+_LANG_MARKERS_SQL = {
+    "de": "'der','die','das','und','ist','ein','eine','nicht','mit','zu'",
+    "en": "'the','and','of','to','in','is','it','that','was','for'",
+    "es": "'el','los','las','y','de','un','una','es','que','por'",
+    "fr": "'le','la','les','et','de','des','un','une','est','que'",
+}
+
+# FNV-1a 64-bit in DuckDB — bit-identical to functions/textstats.token_hashes
+# (verified value-for-value): fold codepoints through xor-then-multiply in
+# HUGEINT with an explicit mod-2^64 after each step.
+_M64 = "CAST(18446744073709551616 AS HUGEINT)"
+_UM64 = "CAST(18446744073709551616 AS UHUGEINT)"
+
+
+def _fnv_sql(t: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+        f"list_transform(range(1, length({t}) + 1), "
+        f"ci -> CAST(unicode(substr({t}, CAST(ci AS INT), 1)) AS HUGEINT))), "
+        "(acc, cp) -> (xor(CAST(acc AS UBIGINT), CAST(cp AS UBIGINT)) * "
+        f"CAST(1099511628211 AS HUGEINT)) % {_M64})"
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """DuckDB twin of stages/dedup.simhash_pairs: tf-weighted 64-bit SimHash
+    from FNV token hashes, pairs sharing ≥1 of 4 16-bit bands with Hamming ≤
+    max_hamming (band blocking is part of the operator's semantics)."""
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "t AS (SELECT doc_id, unnest(arr) AS term FROM base), "
+        "tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2), "
+        f"th AS (SELECT doc_id, c, CAST({_fnv_sql('term')} AS UBIGINT) AS h FROM tf), "
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS UBIGINT)) & 1 = 1 "
+        "THEN c ELSE -c END) AS v FROM th, UNNEST(range(0, 64)) AS r(b) GROUP BY 1, 2), "
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN "
+        "(CAST(1 AS HUGEINT) << CAST(b AS INT)) ELSE 0 END) AS UBIGINT) AS s "
+        "FROM bits GROUP BY 1) "
+        "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b, "
+        "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.s, b.s)) <= {max_hamming} "
+        "AND ((a.s & 65535 = b.s & 65535) OR ((a.s >> 16) & 65535 = (b.s >> 16) & 65535) "
+        "OR ((a.s >> 32) & 65535 = (b.s >> 32) & 65535) "
+        "OR ((a.s >> 48) & 65535 = (b.s >> 48) & 65535)) "
+        "ORDER BY id_a, id_b"
+    )
+
+
+def _minhash_pairs_sql(threshold: float, num_perm: int = 64, bands: int = 16,
+                       seed: int = 7) -> str:
+    """DuckDB twin of stages/dedup.minhash_lsh_pairs — the ENTIRE operator is
+    deterministic (seeded universal-hash permutations embedded as literals),
+    so even the banding is oracle-checkable: 3-token rolling shingle hashes
+    over FNV token hashes, 64 mod-p permutation minima, 16 xor-mixed band
+    keys, candidate pairs sharing ≥1 band, TRUE string-shingle Jaccard ≥
+    threshold (empty-shingle docs pair at Jaccard 1.0 like the Python
+    ``jaccard`` kernel)."""
+    from ..functions.textstats import minhash_params
+
+    rpb = num_perm // bands
+    p61 = (1 << 61) - 1
+    mix = 0x9E3779B97F4A7C15
+    mask = (1 << 63) - 1
+    a, b = minhash_params(num_perm, seed)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perm))
+    base_pow = [pow(1099511628211, k, 1 << 64) for k in (2, 1, 0)]
+    terms3 = " + ".join(
+        f"(CAST(a{j}.th AS UHUGEINT) * CAST({base_pow[j]} AS UHUGEINT)) % {_UM64}"
+        for j in range(3)
+    )
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "tokpos AS (SELECT doc_id, CAST(i AS INT) AS i, "
+        f"CAST({_fnv_sql('arr[CAST(i AS INT)]')} AS UBIGINT) AS th "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        f"shash AS (SELECT DISTINCT a0.doc_id, CAST(({terms3}) % {_UM64} AS UBIGINT) AS h "
+        "FROM tokpos a0 JOIN tokpos a1 ON a1.doc_id = a0.doc_id AND a1.i = a0.i + 1 "
+        "JOIN tokpos a2 ON a2.doc_id = a0.doc_id AND a2.i = a0.i + 2), "
+        f"perms(j, pa, pb) AS (VALUES {perm_rows}), "
+        "sig AS (SELECT s.doc_id, p.j, CAST(min((CAST(p.pa AS HUGEINT) * CAST(s.h AS HUGEINT) "
+        f"+ CAST(p.pb AS HUGEINT)) % {p61}) AS UBIGINT) AS sv "
+        "FROM shash s CROSS JOIN perms p GROUP BY 1, 2), "
+        f"bandh AS (SELECT doc_id, j // {rpb} AS band, "
+        f"bit_xor(CAST((CAST(sv AS UHUGEINT) * CAST({mix} AS UHUGEINT)) % {_UM64} AS UBIGINT)) "
+        f"& {mask} AS bh FROM sig GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
+        "FROM bandh x JOIN bandh y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), "
+        "sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s "
+        "FROM base, UNNEST(range(1, len(arr) - 1)) AS r(i) WHERE len(arr) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "jpair AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.nsh + sb.nsh - ni) AS jc "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b), "
+        "emptyd AS (SELECT doc_id FROM base WHERE len(arr) < 3), "
+        "outp AS (SELECT c.id_a, c.id_b, j.jc FROM cand c "
+        f"JOIN jpair j ON j.id_a = c.id_a AND j.id_b = c.id_b WHERE j.jc >= {threshold} "
+        "UNION ALL SELECT a.doc_id, b.doc_id, 1.0 FROM emptyd a JOIN emptyd b ON a.doc_id < b.doc_id) "
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        f"CAST(floor(jc * {SCORE_SCALE} + 0.5) AS BIGINT) AS jacc_i4 "
+        "FROM outp ORDER BY id_a, id_b"
+    )
+
+
+def _fingerprints_sql(limit_doc_id: int = 50) -> str:
+    """DuckDB twin of rolling_fingerprints + winnow (textstats.py): 4-token
+    Rabin-Karp rolling hashes over FNV token hashes (mod-2^64 wraparound via
+    UHUGEINT), sliding-window-5 minima, distinct count per doc."""
+    base_pow = [pow(1099511628211, k, 1 << 64) for k in (3, 2, 1, 0)]
+    terms = " + ".join(
+        f"(CAST(a{j}.th AS UHUGEINT) * CAST({base_pow[j]} AS UHUGEINT)) % {_UM64}"
+        for j in range(4)
+    )
+    return (
+        f"WITH base AS ({_PTOK_SQL} WHERE doc_id < {limit_doc_id}), "
+        "tokpos AS (SELECT doc_id, CAST(i AS INT) AS i, "
+        f"CAST({_fnv_sql('arr[CAST(i AS INT)]')} AS UBIGINT) AS th "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        f"roll AS (SELECT a0.doc_id, a0.i, CAST(({terms}) % {_UM64} AS UBIGINT) AS rh "
+        "FROM tokpos a0 JOIN tokpos a1 ON a1.doc_id = a0.doc_id AND a1.i = a0.i + 1 "
+        "JOIN tokpos a2 ON a2.doc_id = a0.doc_id AND a2.i = a0.i + 2 "
+        "JOIN tokpos a3 ON a3.doc_id = a0.doc_id AND a3.i = a0.i + 3), "
+        "win AS (SELECT doc_id, i, min(rh) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wm, "
+        "count(*) OVER (PARTITION BY doc_id) AS m FROM roll), "
+        "nf AS (SELECT doc_id, CASE WHEN max(m) <= 5 THEN 1 "
+        "ELSE count(DISTINCT wm) FILTER (WHERE i <= m - 4) END AS n_fingerprints "
+        "FROM win GROUP BY doc_id) "
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(nf.n_fingerprints, 0) AS BIGINT) AS n_fingerprints "
+        "FROM base b LEFT JOIN nf ON nf.doc_id = b.doc_id ORDER BY doc_id"
+    )
 
 ORACLE_SQL_EXTRAS: dict[str, str] = {
     "dedup_exact": (
@@ -876,6 +1129,47 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45 ORDER BY id_a, id_b"
     ),
+    "ngram_jaccard_pairs": _jaccard_pairs_sql(0.3) + (
+        " SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(floor(jc * 10000 + 0.5) AS BIGINT) AS jacc_i4 "
+        "FROM jkeep ORDER BY id_a, id_b"
+    ),
+    "dedup_components": _jaccard_pairs_sql(0.3).replace("WITH base", "WITH RECURSIVE base", 1) + (
+        ", edges AS (SELECT id_a AS u, id_b AS v FROM jkeep "
+        "UNION SELECT id_b, id_a FROM jkeep), "
+        "nodes AS (SELECT DISTINCT u AS id FROM edges), "
+        "reach AS (SELECT id, id AS lbl FROM nodes "
+        "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id) "
+        "SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT) AS rep "
+        "FROM reach GROUP BY id ORDER BY id"
+    ),
+    "langid_counts": (
+        f"WITH {_TOK}, h AS (SELECT d.doc_id, "
+        + ", ".join(
+            f"count(*) FILTER (t.term IN ({terms})) AS h_{lang}"
+            for lang, terms in _LANG_MARKERS_SQL.items()
+        )
+        + " FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id), "
+        "p AS (SELECT doc_id, CASE "
+        "WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' "
+        "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
+        "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' "
+        "WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS pred_lang FROM h) "
+        "SELECT pred_lang, CAST(count(*) AS BIGINT) AS n FROM p "
+        "GROUP BY pred_lang ORDER BY pred_lang"
+    ),
+    "contains_indexed": (
+        f"WITH {_TOK} SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id "
+        "FROM tok WHERE contains(term, 'able') ORDER BY doc_id"
+    ),
+    "fuzzy_search": _fuzzy_sql("tabel"),
+    "contains_multi": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+        "WHERE contains(text, 'window merge') ORDER BY doc_id"
+    ),
+    "simhash_pairs": _simhash_pairs_sql(max_hamming=12),
+    "fingerprints": _fingerprints_sql(limit_doc_id=50),
+    "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
 }
 
 QUERIES_EXTRAS = {
@@ -896,16 +1190,18 @@ QUERIES_EXTRAS = {
     "user_rollup": q_user_rollup,
     "broadcast_join_categories": q_broadcast_join_categories,
     "window_counts": q_window_counts,
-    # rows-only (no SQL-expressible oracle; semantics asserted in pytest)
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "minhash_neardup": q_minhash_neardup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid_counts": q_langid,
     "fingerprints": q_fingerprints,
     "fuzzy_search": q_fuzzy_search,
     "contains_indexed": q_contains_indexed,
+    "contains_multi": q_contains_multi,
+    "minhash_neardup": q_minhash_neardup,
+    # rows-only (no SQL-expressible oracle — randomized LSH planes / k-means
+    # iterations / sha256-seeded fake decode; semantics asserted in pytest)
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
     "transcripts_flagship": q_transcripts_flagship,
 }
@@ -932,3 +1228,11 @@ QUERIES = {
 }
 QUERIES.update(QUERIES_EXTRAS)
 ORACLE_SQL.update(ORACLE_SQL_EXTRAS)
+
+
+def oracle_sql_all() -> dict[str, str]:
+    """All oracle SQL, including entries whose SQL embeds a generated-fixture
+    path (built lazily so importing this module stays side-effect free)."""
+    out = dict(ORACLE_SQL)
+    out["transcripts_flagship"] = _flagship_sql()
+    return out

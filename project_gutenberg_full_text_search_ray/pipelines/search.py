@@ -248,6 +248,104 @@ class FullTextSearchEngine:
 
         return segs.map_batches(run_and_strip, batch_format="pyarrow", batch_size=1)
 
+    def contains_multi_dataset(
+        self, pattern: str, filters: list[FilterSpec] | None = None,
+        max_edge_expansions: int = 64, max_combos: int = 256,
+    ) -> rd.Dataset:
+        """P3 CONTAINS for patterns spanning token boundaries — the reference
+        ``ILIKE '%q%'`` over a GIN trigram index
+        (/root/reference/search/full_text_search.py:144-146,
+        tables/mv_books_dc.sql:472-487).  Index-assisted plan:
+
+        1. decompose the pattern at token boundaries: the FIRST fragment must
+           be a dictionary-term suffix, INNER fragments exact dictionary
+           terms, the LAST a prefix — expanded via the trigram index /
+           sorted-dictionary range scans (stages/trigram.py);
+        2. candidate docs = OR over (first × last) phrase combinations
+           through the positional posting lists (no corpus scan);
+        3. VERIFY the literal substring against the source text (candidates
+           re-fetched from the corpus parquet recorded in the manifest —
+           positions collapse separators, so "window, merge" phrase-matches
+           but must not substring-match "window merge").
+
+        Falls back to a full vectorized substring scan when the pattern has
+        no indexable shape (edge fragment too short + absent inner term) or
+        the combination count exceeds ``max_combos``.  Returns a streaming
+        Dataset of verified matching docs (export-mode semantics, like
+        ``matches_dataset``)."""
+        import pyarrow.compute as _pc
+
+        from ..functions.querylang import AndGroup, ParsedQuery, Phrase, Term
+        from ..stages.dedup import DocFetcher
+        from ..stages.trigram import contains_expand, prefix_terms, suffix_terms, term_exists
+
+        p = pattern.lower()
+        frags = self.analyzer.tokenize(p)
+        input_paths = self.manifest.get("input_paths")
+        if not input_paths:
+            raise ValueError(
+                "contains_multi needs manifest input_paths (index built from parquet)")
+        text_col = self.spec.text_col
+        id_cols = self.spec.id_cols
+
+        def full_scan() -> rd.Dataset:
+            ds = rd.read_parquet(input_paths, columns=[*id_cols, text_col])
+            return ds.map_batches(
+                lambda b: b.filter(_pc.match_substring(b[text_col], p)),
+                batch_format="pyarrow",
+            )
+
+        if len(frags) <= 1:
+            # single-token substring: today's contains_expand path is exact
+            terms = contains_expand(self.index_dir, p) if frags else []
+            if not terms:
+                return full_scan()
+            q = self.query()
+            q.queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in terms)))
+            for f in filters or []:
+                q = q.where(f)
+            return self.matches_dataset(q)
+
+        firsts = suffix_terms(self.index_dir, frags[0], max_expansions=max_edge_expansions)
+        lasts = prefix_terms(self.index_dir, frags[-1], max_expansions=max_edge_expansions)
+        inner = list(frags[1:-1])
+        if not firsts or not lasts or any(not term_exists(self.index_dir, t) for t in inner):
+            return full_scan() if (not firsts or not lasts) else rd.from_arrow(
+                self._empty_result_table())
+        if len(firsts) * len(lasts) > max_combos:
+            return full_scan()
+        groups = []
+        for a in firsts:
+            for b in lasts:
+                seq = (a, *inner, b)
+                groups.append(AndGroup((Phrase(seq) if len(seq) > 1 else Term(seq[0]),)))
+        q = self.query()
+        q.queries.append(ParsedQuery(tuple(groups)))
+        for f in filters or []:
+            q = q.where(f)
+        candidates = self.matches_dataset(q)
+        fetcher = DocFetcher(input_paths, id_cols[0], [text_col]) if len(id_cols) == 1 else None
+
+        def verify(batch: pa.Table) -> pa.Table:
+            if fetcher is not None:
+                texts = fetcher.fetch(batch[id_cols[0]].to_pylist())
+                keep = [p in (texts.get(i) or "") for i in batch[id_cols[0]].to_pylist()]
+            else:
+                # composite identity: filtered read on the leading id column,
+                # then match rows on the full identity
+                t = pq.read_table(
+                    input_paths, columns=[*id_cols, text_col],
+                    filters=[(id_cols[0], "in", list(set(batch[id_cols[0]].to_pylist())))],
+                )
+                lookup = {
+                    tuple(r[c] for c in id_cols): r[text_col] for r in t.to_pylist()
+                }
+                keys = zip(*[batch[c].to_pylist() for c in id_cols])
+                keep = [p in (lookup.get(tuple(kk)) or "") for kk in keys]
+            return batch.filter(pa.array(keep, type=pa.bool_()))
+
+        return candidates.map_batches(verify, batch_format="pyarrow")
+
     def top_docs(self, q: SearchQuery, n: int) -> pa.Table:
         """Top-n matched docs with scores (facet sampling, A7). Bypasses the
         page-size clamp; n caps per-segment and merged k."""
@@ -270,16 +368,28 @@ class FullTextSearchEngine:
 
     def build_plan(self, q: SearchQuery, k: int) -> SearchPlan:
         queries = list(q.queries)
+        term_weights: dict[str, float] = {}
         if q.fuzzy_terms or q.contains_patterns:
             from ..functions.querylang import AndGroup, ParsedQuery, Term
             from ..stages.trigram import contains_expand, fuzzy_expand
 
             for ft in q.fuzzy_terms:
-                expanded = [t for t, _ in fuzzy_expand(self.index_dir, ft)]
-                queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
+                expanded = fuzzy_expand(self.index_dir, ft)
+                for t, sim in expanded:
+                    term_weights[t] = max(term_weights.get(t, 0.0), sim)
+                queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t, _ in expanded)))
             for cp in q.contains_patterns:
                 expanded = contains_expand(self.index_dir, cp)
                 queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
+        # pure-FUZZY queries rank by word_similarity of the best matched
+        # expansion term (reference _order_sql, full_text_search.py:277-295);
+        # mixed fuzzy+text queries keep BM25 over all clauses
+        score_mode = (
+            "fuzzy_sim"
+            if q.fuzzy_terms and not q.queries and not q.contains_patterns
+            and q.order.kind == "score"
+            else "bm25"
+        )
         terms = [t for pq_ in queries for t in pq_.positive_terms()]
         # prune doc-store columns at the read (task mode): only what scoring,
         # filters, ordering and the output projection actually touch
@@ -314,6 +424,8 @@ class FullTextSearchEngine:
             idf=self.idf_map(terms),
             avgdl=self.avgdl,
             id_cols=self.spec.id_cols,
+            score_mode=score_mode,
+            term_weights=term_weights,
         )
 
     def prune_segments(self, filters: list[FilterSpec]) -> list[int]:

@@ -5,18 +5,14 @@ All operators follow the same Ray-Data shape:
 
   1. a vectorized / actor-pool ``map_batches`` stage computes per-doc keys or
      signatures (cheap, embarrassingly parallel);
-  2. ONE ``groupby`` shuffle co-locates candidate groups (key = content hash /
-     LSH band bucket / SimHash band), whose sizes are bounded by construction
-     (hash buckets), so skew cannot blow up a worker;
-  3. verification (exact equality / Jaccard / Hamming / cosine) runs inside
-     the group — pairwise work only within small candidate buckets, never
-     all-pairs across the corpus.
-
-Scale notes: at 10^12 docs the band groupby is the only all-to-all move and
-carries ~bytes/doc, not the documents themselves (signatures only); the
-verify stage re-reads text for candidate groups via the doc store.  At
-sandbox scale we keep text in the shuffled rows for simplicity — the split is
-noted per operator.
+  2. ONE ``groupby`` shuffle co-locates candidate groups — and the exchange
+     carries ONLY (id, key/signature) columns, never document text: at 10^12
+     docs the all-to-all moves ~tens of bytes per doc;
+  3. verification (exact equality / Jaccard / Hamming / cosine) re-fetches
+     the candidate documents from the doc store (a pruned, filtered parquet
+     read — candidates are a tiny fraction of the corpus) and computes the
+     true metric — pairwise work only within bounded candidate buckets,
+     never all-pairs across the corpus.
 """
 
 from __future__ import annotations
@@ -24,7 +20,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..functions.analyzer import DEFAULT_ANALYZER, Analyzer
@@ -39,39 +37,152 @@ from ..functions.textstats import (
 )
 
 
-def _hash_text_col(batch: pa.Table, text_expr_col: str) -> pa.Table:
-    from pandas.util import hash_array
+# ------------------------------------------------------------ doc-store fetch
+class DocFetcher:
+    """Targeted fetch of candidate rows by id — the 'doc store' side of the
+    dedup split (signatures shuffle; text is re-read only for candidates).
 
-    s = batch[text_expr_col].to_pandas().astype("string").fillna("")
-    h = hash_array(s.to_numpy(dtype=object), hash_key="0123456789abcdef", categorize=False)
-    return batch.append_column("__key_hash", pa.array(h.astype(np.uint64)))
+    ``source`` is a parquet file/dir path (filtered, column-pruned read with
+    row-group pushdown) or a ``ray.ObjectRef`` / ``pa.Table`` holding a small
+    corpus (tests, already-broadcast dims)."""
+
+    def __init__(self, source, id_col: str, columns: list[str]):
+        self.source = source
+        self.id_col = id_col
+        self.columns = columns
+
+    def fetch(self, ids: list) -> dict:
+        """Return {id: (col values...)} for the requested ids (single column →
+        bare value)."""
+        import pyarrow.parquet as pq
+
+        if isinstance(self.source, (str, list)):
+            t = pq.read_table(
+                self.source, columns=[self.id_col, *self.columns],
+                filters=[(self.id_col, "in", list(ids))],
+            )
+        else:
+            t = self.source
+            if isinstance(t, ray.ObjectRef):
+                t = ray.get(t)
+            t = t.select([self.id_col, *self.columns]).filter(
+                pc.is_in(t[self.id_col], pa.array(list(ids)))
+            )
+        out = {}
+        cols = [t[c].to_pylist() for c in self.columns]
+        for i, did in enumerate(t[self.id_col].to_pylist()):
+            out[did] = cols[0][i] if len(cols) == 1 else tuple(c[i] for c in cols)
+        return out
+
+
+def _pair_dedupe(pairs: rd.Dataset) -> rd.Dataset:
+    """Distinct (id_a, id_b) rows — the same pair surfaces from several bands
+    or buckets; result is tiny relative to the corpus."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
+def _bucket_pairs(g: pd.DataFrame, id_col: str, max_occupancy: int | None) -> pd.DataFrame:
+    """Candidate pairs from one bucket (sorted ids, a < b). Buckets above
+    ``max_occupancy`` are skipped — at scale a hot key (stopword shingle,
+    degenerate band) would otherwise cost O(occupancy²); skipped buckets are
+    a documented recall cut, and real near-dup pairs co-occur in their rare
+    buckets too."""
+    ids = sorted(set(g[id_col].tolist()))
+    if len(ids) < 2 or (max_occupancy is not None and len(ids) > max_occupancy):
+        empty = pd.Series([], dtype=g[id_col].dtype)
+        return pd.DataFrame({"id_a": empty, "id_b": empty})
+    ra, rb = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ra.append(ids[i])
+            rb.append(ids[j])
+    return pd.DataFrame({"id_a": ra, "id_b": rb})
+
+
+class VerifyJaccardStage:
+    """Stage over candidate-pair batches: fetch both documents from the doc
+    store, compute TRUE shingle-Jaccard, keep pairs ≥ threshold.  Passed to
+    ``map_batches`` as an INSTANCE (task pool — candidate-pair volume is
+    bursty and tiny next to the corpus, so elastic tasks beat a fixed actor
+    pool that would reserve CPUs for the whole pipeline's lifetime)."""
+
+    def __init__(self, source, id_col: str, text_col: str, k_shingle: int,
+                 threshold: float, analyzer: Analyzer = DEFAULT_ANALYZER):
+        self.fetcher = DocFetcher(source, id_col, [text_col])
+        self.k = k_shingle
+        self.threshold = threshold
+        self.analyzer = analyzer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        texts = self.fetcher.fetch(set(a) | set(b))
+        sh_cache: dict = {}
+
+        def sh(did):
+            if did not in sh_cache:
+                sh_cache[did] = shingles(self.analyzer.tokenize(texts.get(did) or ""), self.k)
+            return sh_cache[did]
+
+        ra, rb, rj = [], [], []
+        for x, y in zip(a, b):
+            jc = jaccard(sh(x), sh(y))
+            if jc >= self.threshold:
+                ra.append(x)
+                rb.append(y)
+                rj.append(int(np.floor(jc * 10000 + 0.5)))
+        return pa.table({"id_a": pa.array(ra, type=batch["id_a"].type),
+                         "id_b": pa.array(rb, type=batch["id_b"].type),
+                         "jacc_i4": pa.array(rj, type=pa.int64())})
 
 
 # --------------------------------------------------------------- exact dedup
-def exact_dedup(
-    ds: rd.Dataset, id_col: str, key_col: str
-) -> rd.Dataset:
-    """Exact dedup on ``key_col``: hash-partition the key, keep the smallest
-    ``id_col`` per key (SURVEY §2.7).  Returns (keep_id, n_dups) per group.
-    The shuffle key is the 64-bit key hash; equality is verified on the real
-    key inside the group (collision-safe)."""
+def _hash128(batch: pa.Table, key_col: str) -> pa.Table:
+    """Two independent 64-bit hashes of the key (128 bits total: collisions
+    at 10^12 docs are ~1e-14-probable, so the text itself never needs to move).
+    NULL keys get their own flag column — their own group, never merged with ''."""
+    from pandas.util import hash_array
+
+    s = batch[key_col].to_pandas().astype("string")
+    isnull = s.isna().to_numpy()
+    vals = s.fillna("").to_numpy(dtype=object)
+    h1 = hash_array(vals, hash_key="0123456789abcdef", categorize=False)
+    h2 = hash_array(vals, hash_key="fedcba9876543210", categorize=False)
+    return (
+        batch.append_column("__h1", pa.array(h1.astype(np.int64), type=pa.int64()))
+        .append_column("__h2", pa.array(h2.astype(np.int64), type=pa.int64()))
+        .append_column("__isnull", pa.array(isnull.astype(np.int8), type=pa.int8()))
+    )
+
+
+def exact_dedup_keyed(ds: rd.Dataset, id_col: str, key_col: str) -> rd.Dataset:
+    """The pre-shuffle stage of exact_dedup, exposed for tests: rows carry
+    ONLY (hash128, null-flag, id) into the exchange — never ``key_col``."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return _hash_text_col(batch, key_col)
+        return _hash128(batch, key_col)
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").select_columns(
+        ["__h1", "__h2", "__isnull", id_col]
+    )
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str, key_col: str) -> rd.Dataset:
+    """Exact dedup on ``key_col``: hash-partition on a 128-bit content hash,
+    keep the smallest ``id_col`` per key (SURVEY §2.7).  Returns
+    (keep_id, n_dups) per group.  The shuffle carries (hash, id) only — at
+    corpus scale the key bytes (document text) never enter the exchange."""
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby(key_col, sort=False, dropna=False)[id_col]
-            .agg(["min", "size"])
-            .reset_index(drop=True)
-            .rename(columns={"min": "keep_id", "size": "n_dups"})
-        )
-        return out
+        return pd.DataFrame({"keep_id": [g[id_col].min()], "n_dups": [len(g)]})
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .select_columns(["__key_hash", key_col, id_col])
-        .groupby("__key_hash")
+        exact_dedup_keyed(ds, id_col, key_col)
+        .groupby(["__h1", "__h2", "__isnull"])
         .map_groups(keep_first, batch_format="pandas")
     )
 
@@ -95,9 +206,8 @@ class MinHashStage:
             sigs.append(minhash_signature(shingle_hashes(toks, self.k), self.a, self.b))
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: batch[self.id_col],
                 "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
-                self.text_col: batch[self.text_col],
             }
         )
 
@@ -107,86 +217,56 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     *,
+    doc_source=None,
     num_perm: int = 64,
     bands: int = 16,
     k_shingle: int = 3,
     threshold: float = 0.5,
     concurrency: int = 4,
+    max_bucket_occupancy: int | None = 1024,
 ) -> rd.Dataset:
     """Near-duplicate pairs via MinHash + LSH banding:
-    shingle→minhash (actor pool) → explode (band, band_hash) → groupby band
-    bucket → verify true shingle-Jaccard within bucket → (id_a, id_b, jacc_i4).
-    """
-    rows_per_band = num_perm // bands
-    stage = MinHashStage(text_col, id_col, num_perm, k_shingle)
+    shingle→minhash (actor pool) → (id, band_key) rows → groupby band bucket
+    → candidate pairs → dedupe → verify TRUE shingle-Jaccard against the doc
+    store → (id_a, id_b, jacc_i4).
 
-    def sigs_fn(batch: pa.Table) -> pa.Table:
-        return stage(batch)
+    The band shuffle carries (id, band_key) ONLY — document text never enters
+    an exchange; verification re-fetches just the candidate docs via
+    ``doc_source`` (parquet path / small table; defaults to materializing
+    ``ds`` — fine for tests, pass the parquet path at scale)."""
+    rows_per_band = num_perm // bands
+    if doc_source is None:
+        doc_source = ray.put(pa.concat_tables(
+            ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs())))
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         sigs = batch["sig"].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_id, out_band, out_hash, out_text = [], [], [], []
+        out_id, out_key = [], []
         for i, sig in enumerate(sigs):
             s = np.asarray(sig, dtype=np.uint64)
             for b in range(bands):
                 chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
                 bh = int(np.bitwise_xor.reduce(chunk * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 63) - 1))
                 out_id.append(ids[i])
-                out_band.append(b)
-                out_hash.append(bh)
-                out_text.append(texts[i])
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "band_key": pa.array([f"{b}:{h}" for b, h in zip(out_band, out_hash)]),
-                text_col: pa.array(out_text),
-            }
-        )
+                out_key.append(f"{b}:{bh}")
+        return pa.table({id_col: pa.array(out_id, type=batch[id_col].type),
+                         "band_key": pa.array(out_key)})
 
-    analyzer = DEFAULT_ANALYZER
-
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jacc_i4": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        texts = g[text_col].tolist()
-        sh = [shingles(analyzer.tokenize(t or ""), k_shingle) for t in texts]
-        ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jc = jaccard(sh[i], sh[j])
-                if jc >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rj.append(int(np.floor(jc * 10000 + 0.5)))
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "jacc_i4": rj})
-
-    pairs = (
-        ds.map_batches(sigs_fn, batch_format="pyarrow", concurrency=concurrency)
+    candidates = (
+        # autoscaling actor pool (1, N): a FIXED pool of N would reserve N
+        # whole CPUs for the pipeline's lifetime and can deadlock the
+        # downstream task stages on a small cluster
+        ds.map_batches(MinHashStage, fn_constructor_kwargs={
+            "text_col": text_col, "id_col": id_col, "num_perm": num_perm, "k": k_shingle},
+            batch_format="pyarrow", concurrency=(1, concurrency))
         .map_batches(explode_bands, batch_format="pyarrow")
         .groupby("band_key")
-        .map_groups(verify_bucket, batch_format="pandas")
+        .map_groups(lambda g: _bucket_pairs(g, id_col, max_bucket_occupancy),
+                    batch_format="pandas")
     )
-
-    # distinct pairs (same pair can surface from several bands): tiny result →
-    # dedupe with one more groupby
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
-
-    return (
-        pairs.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["pair"])
-    )
+    verify = VerifyJaccardStage(doc_source, id_col, text_col, k_shingle, threshold)
+    return _pair_dedupe(candidates).map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- SimHash
@@ -196,12 +276,12 @@ def simhash_pairs(
 ) -> rd.Dataset:
     """SimHash near-dup pairs: 64-bit signature per doc, block on 4×16-bit
     bands (any doc pair within Hamming ≤ 16/band-count shares ≥1 exact band),
-    verify Hamming inside buckets."""
+    verify Hamming inside buckets.  Only (id, band_key, sig8bytes) is
+    shuffled — text stays at rest."""
 
     def sig_fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         sigs = [simhash64(analyzer.tokenize(t or "")) for t in batch[text_col].to_pylist()]
-        return pa.table({id_col: pa.array(ids), "sim": pa.array(sigs, type=pa.uint64())})
+        return pa.table({id_col: batch[id_col], "sim": pa.array(sigs, type=pa.uint64())})
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -212,7 +292,8 @@ def simhash_pairs(
                 oi.append(ids[i])
                 ob.append(f"{b}:{(s >> (16 * b)) & 0xFFFF}")
                 os_.append(s)
-        return pa.table({id_col: pa.array(oi), "band_key": pa.array(ob), "sim": pa.array(os_, type=pa.uint64())})
+        return pa.table({id_col: pa.array(oi, type=batch[id_col].type),
+                         "band_key": pa.array(ob), "sim": pa.array(os_, type=pa.uint64())})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -230,24 +311,13 @@ def simhash_pairs(
                     rh.append(h)
         return pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return (
+    pairs = (
         ds.map_batches(sig_fn, batch_format="pyarrow")
         .map_batches(explode, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(verify, batch_format="pandas")
-        .map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["pair"])
     )
+    return _pair_dedupe(pairs)
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
@@ -256,76 +326,51 @@ def ngram_jaccard_pairs(
     text_col: str,
     id_col: str,
     *,
+    doc_source=None,
     k_shingle: int = 3,
     threshold: float = 0.5,
-    n_buckets: int = 64,
+    max_bucket_occupancy: int | None = 1024,
     analyzer: Analyzer = DEFAULT_ANALYZER,
+    concurrency: int = 4,
 ) -> rd.Dataset:
     """EXACT n-gram-Jaccard near-dup pairs (vs MinHash's probabilistic
-    candidates): docs sharing ≥1 shingle-hash bucket become candidates
-    (any pair with Jaccard > 0 shares a shingle, hence a bucket → recall is
-    exact down to Jaccard > 0), then true Jaccard is computed in-bucket and
-    thresholded.  One groupby on bucket ids; per-bucket pair work is bounded
-    by bucket occupancy (shingle-hash spreading), deduped by a second tiny
-    groupby."""
+    candidates): docs sharing ≥1 shingle-hash become candidates — the bucket
+    key is the raw 64-bit shingle hash, so bucket occupancy equals the
+    shingle's doc frequency (any pair with Jaccard > 0 shares a shingle,
+    hence a bucket → recall is exact down to Jaccard > 0, modulo buckets
+    skipped by ``max_bucket_occupancy``).  The shuffle carries
+    (id, shingle_hash) only; TRUE Jaccard is verified against the doc store."""
+    if doc_source is None:
+        doc_source = ray.put(pa.concat_tables(
+            ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs())))
 
-    def explode_shingle_buckets(batch: pa.Table) -> pa.Table:
-        ids_out, bkt_out, text_out = [], [], []
+    def explode_shingle_hashes(batch: pa.Table) -> pa.Table:
+        ids_out: list = []
+        sh_out: list = []
         for did, txt in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             sh = shingle_hashes(analyzer.tokenize(txt or ""), k_shingle)
-            buckets = np.unique(sh % np.uint64(n_buckets))
-            for b in buckets:
+            for h in sh.view(np.int64):  # reinterpret uint64 as int64 group key
                 ids_out.append(did)
-                bkt_out.append(int(b))
-                text_out.append(txt)
-        return pa.table(
-            {id_col: pa.array(ids_out), "bucket": pa.array(bkt_out, type=pa.int32()),
-             text_col: pa.array(text_out)}
-        )
+                sh_out.append(int(h))
+        return pa.table({id_col: pa.array(ids_out, type=batch[id_col].type),
+                         "sh": pa.array(sh_out, type=pa.int64())})
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jacc_i4": []})
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sh = [shingles(analyzer.tokenize(t or ""), k_shingle) for t in g[text_col].tolist()]
-        ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jc = jaccard(sh[i], sh[j])
-                if jc >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rj.append(int(np.floor(jc * 10000 + 0.5)))
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "jacc_i4": rj})
-
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return (
-        ds.map_batches(explode_shingle_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify_bucket, batch_format="pandas")
-        .map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["pair"])
+    candidates = (
+        ds.map_batches(explode_shingle_hashes, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(lambda g: _bucket_pairs(g, id_col, max_bucket_occupancy),
+                    batch_format="pandas")
     )
+    verify = VerifyJaccardStage(doc_source, id_col, text_col, k_shingle, threshold)
+    return _pair_dedupe(candidates).map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- connected components
 def connected_components(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
     """Duplicate-cluster representatives from a near-dup pair list:
-    min-label propagation to fixpoint → (id, rep) with rep = min id of the
-    component.  Driver-side union-find here (pair lists are tiny relative to
-    the corpus — they already passed an LSH+verify filter); the documented
-    scale path is the same min-label propagation as iterated
-    groupby(id).min(label) rounds over a pairs Dataset."""
+    union-find → (id, rep) with rep = min id of the component.  Driver-side
+    variant for small (post-LSH) pair lists; ``connected_components_ds`` is
+    the distributed min-label-propagation form."""
     a = pairs[id_a].to_pylist()
     b = pairs[id_b].to_pylist()
     parent: dict = {}
@@ -350,42 +395,186 @@ def connected_components(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b"
     return pa.table({"id": pa.array(ids), "rep": pa.array(reps)})
 
 
+def connected_components_ds(
+    pairs: rd.Dataset, id_a: str = "id_a", id_b: str = "id_b", *, max_rounds: int = 64,
+) -> rd.Dataset:
+    """Distributed connected components over a pairs Dataset: iterated
+    min-label propagation — each round every node's current min label is
+    offered to all its neighbors (tagged-union of label rows + adjacency
+    rows, one groupby to attach-and-offer, one groupby-min to fold; rounds =
+    graph diameter).  No joins: the same groupby(id) co-locates a node's
+    label row with its adjacency rows.  Labels only decrease, so the exact
+    sum of labels is a convergence fixpoint detector (one tiny aggregate per
+    round).  Returns (id, rep)."""
+
+    def fwd(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch[id_a], "peer": batch[id_b]})
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch[id_b], "peer": batch[id_a]})
+
+    edges = pairs.select_columns([id_a, id_b])
+    adj = edges.map_batches(fwd, batch_format="pyarrow").union(
+        edges.map_batches(rev, batch_format="pyarrow")
+    ).materialize()
+    # labels start as self-labels over every endpoint
+    labels = (
+        adj.map_batches(lambda b: pa.table({"id": b["id"], "lbl": b["id"]}),
+                        batch_format="pyarrow")
+        .groupby("id").min("lbl")
+        .map_batches(lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+
+    def as_label_row(batch: pa.Table) -> pa.Table:
+        null_peer = pa.nulls(batch.num_rows, type=batch["id"].type)
+        return pa.table({"id": batch["id"], "lbl": batch["lbl"], "peer": null_peer})
+
+    def as_adj_row(batch: pa.Table) -> pa.Table:
+        null_lbl = pa.nulls(batch.num_rows, type=batch["id"].type)
+        return pa.table({"id": batch["id"], "lbl": null_lbl, "peer": batch["peer"]})
+
+    def offer(g: pd.DataFrame) -> pd.DataFrame:
+        lbls = g["lbl"].dropna()
+        if lbls.empty:  # node with edges but no label row cannot happen; guard
+            return pd.DataFrame({"id": [], "lbl": []})
+        lbl = lbls.min()
+        peers = g["peer"].dropna().tolist()
+        ids = [g["id"].iloc[0], *peers]
+        return pd.DataFrame({"id": ids, "lbl": [lbl] * len(ids)})
+
+    prev = int(labels.sum("lbl") or 0)
+    for _ in range(max_rounds):
+        combined = labels.map_batches(as_label_row, batch_format="pyarrow").union(
+            adj.map_batches(as_adj_row, batch_format="pyarrow")
+        )
+        labels = (
+            combined.groupby("id").map_groups(offer, batch_format="pandas")
+            .groupby("id").min("lbl")
+            .map_batches(lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+        cur = int(labels.sum("lbl") or 0)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(lambda b: pa.table({"id": b["id"], "rep": b["lbl"]}),
+                              batch_format="pyarrow")
+
+
 # --------------------------------------------------------------- embeddings
 def embedding_neardup_pairs(
     ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.98,
-    block: int = 2048,
+    concurrency: int = 2,
 ) -> pa.Table:
-    """Embedding-cosine near-dup pairs.  Sandbox path: materialize the (small)
-    normalized matrix and do blocked numpy matmuls.  Scale path (documented):
-    LSH-bucket by sign-projection first (see similarity.lsh_bucket_topk) and
-    run this only within buckets."""
-    t = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    import ray
+    """EXACT embedding-cosine near-dup pairs, distributed: the normalized
+    matrix lives in the OBJECT STORE (block refs — never collected on the
+    driver); each ``map_batches`` task scores its own batch against the full
+    matrix (one numpy matmul) and emits only its qualifying pairs.  Work is
+    O(N²/B) per task, memory is O(N·dim) shared via the object store.
+    Inherently all-pairs — for corpus scale use
+    ``embedding_neardup_pairs_lsh`` (bucketed, approximate)."""
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    refs_handle = ray.put(refs)
 
-    tables = [ray.get(r) for r in t]
-    tbl = pa.concat_tables(tables)
-    ids = np.asarray(tbl[id_col].to_pylist())
-    M = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Mn = M / norms
-    ra, rb, rc = [], [], []
-    for i0 in range(0, len(ids), block):
-        sims = Mn[i0 : i0 + block] @ Mn.T
-        for ii in range(sims.shape[0]):
-            gi = i0 + ii
-            js = np.flatnonzero(sims[ii] >= threshold)
-            js = js[js > gi]
+    class ScoreBlock:
+        def __init__(self):
+            tables = [t for t in ray.get(ray.get(refs_handle)) if t.num_rows]
+            tbl = pa.concat_tables(tables)
+            ids = np.asarray(tbl[id_col].to_pylist())
+            M = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+            order = np.argsort(ids)
+            self.ids = ids[order]
+            norms = np.linalg.norm(M[order], axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            self.Mn = M[order] / norms
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = np.asarray(batch[id_col].to_pylist())
+            B = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            bn = np.linalg.norm(B, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            sims = (B / bn) @ self.Mn.T
+            ra, rb, rc = [], [], []
+            for ii in range(sims.shape[0]):
+                js = np.flatnonzero(sims[ii] >= threshold)
+                for j in js:
+                    if self.ids[j] <= bids[ii]:  # emit a < b once, no self
+                        continue
+                    ra.append(int(bids[ii]))
+                    rb.append(int(self.ids[j]))
+                    rc.append(int(np.floor(sims[ii, j] * 10000 + 0.5)))
+            return pa.table({"id_a": pa.array(ra, type=pa.int64()),
+                             "id_b": pa.array(rb, type=pa.int64()),
+                             "cos_i4": pa.array(rc, type=pa.int64())})
+
+    out = ds.map_batches(ScoreBlock, batch_format="pyarrow",
+                         concurrency=(1, concurrency)).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                     "id_b": pa.array(out["id_b"], type=pa.int64()),
+                     "cos_i4": pa.array(out["cos_i4"], type=pa.int64())})
+
+
+def embedding_neardup_pairs_lsh(
+    ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.9,
+    n_planes: int = 16, bands: int = 4, seed: int = 11,
+    max_bucket_occupancy: int | None = 4096,
+) -> rd.Dataset:
+    """Scale path: banded sign-LSH bucketing (like MinHash bands — a pair is
+    a candidate if ANY band of hyperplane signs matches exactly), exact
+    cosine verified in-bucket.  One groupby whose rows carry
+    (id, band_key, vec); approximate — recall rises with bands and falls
+    with tighter buckets (asserted ≥ baseline in pytest)."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+    per_band = n_planes // bands
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        M = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        dim = M.shape[1]
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        bits = ((M / n) @ planes_by_dim[dim]) > 0
+        ids = batch[id_col].to_pylist()
+        vecs = batch[vec_col].to_pylist()
+        oi, ok, ov = [], [], []
+        for i in range(len(ids)):
+            for b in range(bands):
+                code = 0
+                for p in range(per_band):
+                    code = (code << 1) | int(bits[i, b * per_band + p])
+                oi.append(ids[i])
+                ok.append(f"{b}:{code}")
+                ov.append(vecs[i])
+        return pa.table({id_col: pa.array(oi, type=batch[id_col].type),
+                         "band_key": pa.array(ok),
+                         vec_col: pa.array(ov, type=batch[vec_col].type)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2 or (max_bucket_occupancy is not None and len(g) > max_bucket_occupancy):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_i4": []})
+        ids = g[id_col].to_numpy()
+        M = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (M / n) @ (M / n).T
+        ra, rb, rc = [], [], []
+        for i in range(len(ids)):
+            js = np.flatnonzero(sims[i, i + 1 :] >= threshold) + i + 1
             for j in js:
-                ra.append(int(ids[gi]))
-                rb.append(int(ids[j]))
-                rc.append(int(np.floor(sims[ii, j] * 10000 + 0.5)))
-    return pa.table(
-        {
-            "id_a": pa.array(ra, type=pa.int64()),
-            "id_b": pa.array(rb, type=pa.int64()),
-            "cos_i4": pa.array(rc, type=pa.int64()),
-        }
+                ra.append(ids[i])
+                rb.append(ids[j])
+                rc.append(int(np.floor(sims[i, j] * 10000 + 0.5)))
+        return pd.DataFrame({"id_a": ra, "id_b": rb, "cos_i4": rc})
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(verify, batch_format="pandas")
     )
+    return _pair_dedupe(pairs)

@@ -120,6 +120,12 @@ class SearchPlan:
     # doc-store columns actually needed (None = all): prune at the read —
     # a MINI-projection query must not drag every metadata column off disk
     need_cols: tuple[str, ...] | None = None
+    # "bm25" | "fuzzy_sim".  fuzzy_sim ranks by max word_similarity of the
+    # matched expansion terms (reference FUZZY ``_order_sql`` orders by
+    # word_similarity, full_text_search.py:277-295 — NOT by rank of the
+    # expansion); term_weights carries term → similarity
+    score_mode: str = "bm25"
+    term_weights: dict[str, float] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------- postings
@@ -330,6 +336,27 @@ def score_docs(
     return scores
 
 
+def score_docs_maxsim(
+    postings: dict[str, _TermPostings],
+    matched: np.ndarray,
+    term_weights: dict[str, float],
+) -> np.ndarray:
+    """FUZZY scoring: score(doc) = max over expansion terms present in the
+    doc of that term's word_similarity to the query (reference orders FUZZY
+    results by ``word_similarity``, full_text_search.py:277-295)."""
+    scores = np.zeros(len(matched), dtype=np.float64)
+    for term in sorted(term_weights):
+        tp = postings.get(term)
+        w = float(term_weights[term])
+        if tp is None or len(tp.ords) == 0:
+            continue
+        idx = np.searchsorted(tp.ords, matched)
+        idx_c = np.minimum(idx, len(tp.ords) - 1)
+        present = tp.ords[idx_c] == matched
+        np.maximum(scores, np.where(present, w, 0.0), out=scores)
+    return scores
+
+
 def topk_maxscore(
     postings: dict[str, _TermPostings],
     matched: np.ndarray,
@@ -478,11 +505,17 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
         # export mode: every matching doc, scored, unordered (the consumer is
         # a streaming Dataset sink, not a results page)
         sel = matched
-        if plan.queries:
+        if plan.queries and plan.score_mode == "fuzzy_sim":
+            scores_sel = score_docs_maxsim(postings, matched, plan.term_weights)
+        elif plan.queries:
             pos_terms = [t for q in plan.queries for t in q.positive_terms()]
             scores_sel = score_docs(postings, matched, pos_terms, plan.idf, dl, plan.avgdl)
         else:
             scores_sel = np.zeros(len(sel), dtype=np.float64)
+    elif plan.order.kind == "score" and plan.score_mode == "fuzzy_sim":
+        scores_all = score_docs_maxsim(postings, matched, plan.term_weights)
+        order = np.lexsort((matched, -scores_all))[: min(plan.k, total)]
+        sel, scores_sel = matched[order], scores_all[order]
     elif plan.order.kind == "score":
         pos_terms = [t for q in plan.queries for t in q.positive_terms()]
         sel, scores_sel = topk_maxscore(

@@ -87,6 +87,45 @@ def fuzzy_expand(
     return scored[:max_expansions]
 
 
+def prefix_terms(index_dir: str, frag: str, *, max_expansions: int = 64) -> list[str]:
+    """Dictionary terms starting with ``frag`` — a RANGE scan
+    [frag, frag+MAXCHAR) over the term-sorted dictionary parquet (row-group
+    stats prune to the matching shard/groups; no vocabulary materialization)."""
+    dict_dir = os.path.join(index_dir, "dict")
+    hi = frag + "\U0010ffff"
+    t = pq.read_table(dict_dir, columns=["term"],
+                      filters=[("term", ">=", frag), ("term", "<=", hi)])
+    terms = [x for x in t["term"].to_pylist() if x.startswith(frag)]
+    terms.sort()
+    return terms[:max_expansions]
+
+
+def suffix_terms(index_dir: str, frag: str, *, max_expansions: int = 64) -> list[str]:
+    """Dictionary terms ending with ``frag``.  Uses the trigram index when the
+    fragment carries its boundary trigram (pg_trgm pads terms with a trailing
+    space, so a suffix of length ≥ 2 has the distinctive ``"xy "`` trigram);
+    shorter fragments fall back to a vectorized ends_with scan of the
+    dictionary (vocabulary-sized, columnar)."""
+    if len(frag) >= 2:
+        boundary = f"{frag[-2:]} "  # last two chars + padding space
+        cand = _candidates(index_dir, {boundary})
+        terms = [t for t in set(cand["term"].to_pylist()) if t.endswith(frag)]
+        terms.sort()
+        return terms[:max_expansions]
+    dict_dir = os.path.join(index_dir, "dict")
+    t = pq.read_table(dict_dir, columns=["term"])
+    mask = pc.ends_with(t["term"], pattern=frag)
+    terms = t["term"].filter(mask).to_pylist()
+    terms.sort()
+    return terms[:max_expansions]
+
+
+def term_exists(index_dir: str, term: str) -> bool:
+    dict_dir = os.path.join(index_dir, "dict")
+    t = pq.read_table(dict_dir, columns=["term"], filters=[("term", "==", term)])
+    return t.num_rows > 0
+
+
 def contains_expand(index_dir: str, pattern: str, *, max_expansions: int = 64) -> list[str]:
     """P3 CONTAINS (single-token patterns): dictionary terms containing
     ``pattern`` as a substring — trigram-candidate fetch + exact verify, the

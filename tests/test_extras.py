@@ -272,3 +272,133 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
     }
     assert got_pairs == exp_pairs  # exact, not probabilistic
     assert len(exp_pairs) > 3
+
+
+def test_dedup_shuffles_carry_no_text(ray_session):
+    """Scale invariant: the exchanged rows of exact-dedup and the candidate
+    stages of MinHash carry (hash/sig, id) only — never the document text."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        MinHashStage,
+        exact_dedup_keyed,
+    )
+
+    docs = [{"doc_id": i, "text": f"some document body {i}"} for i in range(8)]
+    keyed = exact_dedup_keyed(rd.from_items(docs), "doc_id", "text")
+    assert set(keyed.schema().names) == {"__h1", "__h2", "__isnull", "doc_id"}
+
+    batch = pa.table({"doc_id": [1, 2], "text": ["a b c d", "e f g h"]})
+    sigs = MinHashStage("text", "doc_id")(batch)
+    assert set(sigs.column_names) == {"doc_id", "sig"}  # text dropped pre-shuffle
+
+
+def test_exact_dedup_null_keys_kept(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import exact_dedup
+
+    t = pa.table({"doc_id": [1, 2, 3, 4, 5], "text": ["a", "a", None, None, "b"]})
+    out = exact_dedup(rd.from_arrow(t), "doc_id", "text").to_pandas().sort_values("keep_id")
+    assert out.to_dict("records") == [
+        {"keep_id": 1, "n_dups": 2},
+        {"keep_id": 3, "n_dups": 2},  # NULL group kept, distinct from ''
+        {"keep_id": 5, "n_dups": 1},
+    ]
+
+
+def test_ngram_bucket_occupancy_cap(ray_session):
+    """Hot shingle buckets above the occupancy cap are skipped (bounded
+    per-bucket pair work); an adversarial corpus where EVERY doc shares every
+    shingle yields zero pairs at cap=1 but all pairs uncapped."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = [{"doc_id": i, "text": "same exact shared text everywhere"} for i in range(6)]
+    ds = rd.from_items(docs)
+    capped = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5,
+                                 max_bucket_occupancy=1).to_pandas()
+    assert len(capped) == 0
+    full = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5).to_pandas()
+    assert len(full) == 15  # all C(6,2) identical-doc pairs
+
+
+def test_connected_components_ds_long_chain(ray_session):
+    """Distributed min-label propagation must converge on a chain whose
+    diameter needs several rounds, matching driver-side union-find."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        connected_components,
+        connected_components_ds,
+    )
+
+    # chain 0-1-2-...-9 plus a separate triangle 100-101-102
+    pairs = pa.table({
+        "id_a": list(range(9)) + [100, 101, 100],
+        "id_b": list(range(1, 10)) + [101, 102, 102],
+    })
+    exp = connected_components(pairs).to_pandas().sort_values("id").reset_index(drop=True)
+    got = (
+        connected_components_ds(rd.from_arrow(pairs)).to_pandas()
+        .rename(columns={"rep": "rep"}).sort_values("id").reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(exp.astype("int64"))
+    assert set(got[got["id"] < 50]["rep"]) == {0} and set(got[got["id"] >= 50]["rep"]) == {100}
+
+
+def test_embedding_lsh_neardup_recall(ray_session):
+    """Banded sign-LSH near-dup must find planted near-identical vectors and
+    emit only pairs the exact path also emits."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = [{"vec_id": i, "embedding": rng.standard_normal(16).tolist()} for i in range(50)]
+    for src, dst in [(3, 30), (7, 40), (11, 45)]:
+        vecs[dst]["embedding"] = [v * 1.02 + 0.001 for v in vecs[src]["embedding"]]
+    exact = embedding_neardup_pairs(rd.from_items(vecs), "embedding", "vec_id", threshold=0.98)
+    exact_pairs = set(zip(exact["id_a"].to_pylist(), exact["id_b"].to_pylist()))
+    lsh = embedding_neardup_pairs_lsh(
+        rd.from_items(vecs), "embedding", "vec_id", threshold=0.98).to_pandas()
+    lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    assert lsh_pairs <= exact_pairs  # precision 100%
+    assert len(exact_pairs) >= 3
+    assert len(lsh_pairs) >= 0.66 * len(exact_pairs)  # recall on planted dups
+
+
+def test_contains_multi_token_boundary(ray_session, tmp_path):
+    """Multi-token CONTAINS must equal ILIKE '%q%': positions collapse
+    separators, so 'window, merge' phrase-matches but the literal substring
+    verify rejects it; suffix/prefix edge fragments match mid-token."""
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import build_index, FullTextSearchEngine
+    from project_gutenberg_full_text_search_ray.corpus import CorpusSpec
+
+    texts = [
+        "the window merge operator works",        # match
+        "close the window, merge the branch",     # phrase-candidate, NOT a substring match
+        "a rewindow merged thing",                # edge frags mid-token both sides: matches
+        "use rewindow merge here",                # suffix edge: 'rewindow' ends with 'window'? yes -> 'window merge' substring? 'rewindow merge' contains 'window merge' -> match
+        "nothing relevant here",
+        "window  merge with two spaces",          # phrase-candidate, not substring
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    src = str(tmp_path / "mini.parquet")
+    pq.write_table(t, src)
+    spec = CorpusSpec(id_cols=("doc_id",), text_col="text", meta_cols=(), name="mini")
+    idx = str(tmp_path / "idx")
+    build_index(src, spec, idx, docs_per_segment=3)
+    eng = FullTextSearchEngine(idx)
+    got = sorted(eng.contains_multi_dataset("window merge").to_pandas()["doc_id"].tolist())
+    exp = sorted(i for i, s in enumerate(texts) if "window merge" in s)
+    assert got == exp == [0, 2, 3]
+    # single-token fragment path still exact
+    got1 = sorted(eng.contains_multi_dataset("indow").to_pandas()["doc_id"].tolist())
+    assert got1 == sorted(i for i, s in enumerate(texts) if "indow" in s)
