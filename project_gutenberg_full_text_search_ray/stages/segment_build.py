@@ -254,6 +254,7 @@ class SegmentBuilder:
         dl: np.ndarray,
         pos_delta: np.ndarray | None,
         tok_offsets: np.ndarray,
+        pos_entry_bytes: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> pa.Table:
         """Slice posting entries into ≤block_size-doc blocks and VByte-encode
         each column in ONE pass, carving per-block byte ranges zero-copy."""
@@ -314,7 +315,12 @@ class SegmentBuilder:
 
         ords_col = bin_col(ord_bytes, ord_off, block_start, block_end)
         tfs_col = bin_col(tf_bytes, tf_off, block_start, block_end)
-        if self.store_positions and pos_delta is not None:
+        if self.store_positions and pos_entry_bytes is not None:
+            # merge path: already-encoded per-entry position bytes — slice
+            # per-block byte ranges straight off the entry byte offsets
+            blob, entry_boff = pos_entry_bytes
+            pos_col = bin_col(blob, entry_boff, block_start, block_end)  # py_buffer is zero-copy on ndarray
+        elif self.store_positions and pos_delta is not None:
             pos_bytes = vbyte_encode(pos_delta)
             pos_lens = vbyte_lengths(pos_delta)
             pos_off = np.concatenate(([0], np.cumsum(pos_lens)))

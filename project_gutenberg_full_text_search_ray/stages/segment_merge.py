@@ -34,21 +34,26 @@ def _undelta_with_resets(deltas: np.ndarray, reset_starts: np.ndarray) -> np.nda
 
 
 def _decode_member_postings(postings_path: str) -> tuple:
-    """→ flat (terms[pa.Array per entry], old_ord, tf, pos_flat, have_pos).
+    """→ flat (terms[pa.Array per entry], old_ord, tf, pos_raw[uint8],
+    entry_byte_off[int64], have_pos).
 
-    Vectorized across ALL blocks of the file: each VByte column is
-    concatenated and decoded in ONE pass, then un-delta'd with resets at the
-    block/entry boundaries — no per-block Python loop."""
+    ords/tfs are VByte-decoded in ONE vectorized pass each.  The POSITION
+    stream is NOT decoded: its per-entry delta encoding restarts at every
+    entry (positions are doc-relative — remapping ordinals never changes
+    them), so merge only needs each entry's BYTE RANGE, found by scanning the
+    VByte terminator bits — one cheap pass over bytes instead of
+    decode → un-delta → gather → re-delta → re-encode over int64s."""
     t = pq.read_table(postings_path)
     t = t.sort_by([("term", "ascending"), ("block", "ascending")]).combine_chunks()
     n_col = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     total_entries = int(n_col.sum())
     if total_entries == 0:
         return (pa.array([], type=pa.string()), np.empty(0, np.int64),
-                np.empty(0, np.int32), np.empty(0, np.int64), True)
+                np.empty(0, np.int32), np.empty(0, np.uint8),
+                np.zeros(1, np.int64), True)
     block_entry_starts = np.concatenate(([0], np.cumsum(n_col)[:-1]))
 
-    def concat_bin(col_name: str) -> bytes:
+    def concat_bin(col_name: str) -> np.ndarray:
         col = t[col_name]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         bufs = arr.buffers()
@@ -56,26 +61,31 @@ def _decode_member_postings(postings_path: str) -> tuple:
         odt = np.int64 if width == 8 else np.int32
         offs = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * width)
         data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-        return data[offs[0] : offs[-1]].tobytes()
+        return data[offs[0] : offs[-1]]
 
     # ords: per-block delta with absolute first value → decode all, reset cumsum per block
-    ord_deltas = vbyte_decode(concat_bin("ords")).astype(np.int64)
+    ord_deltas = vbyte_decode(concat_bin("ords").tobytes()).astype(np.int32)
     old_ord = _undelta_with_resets(ord_deltas, block_entry_starts)
-    tf = vbyte_decode(concat_bin("tfs")).astype(np.int32)
+    tf = vbyte_decode(concat_bin("tfs").tobytes()).astype(np.int32)
     # entry terms: repeat each block's term over its n entries (Arrow take)
     idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_col)
     entry_terms = t["term"].take(pa.array(idx))
-    # positions: delta-per-entry stream; resets at every entry's first token
-    pos_bytes = concat_bin("pos")
-    if pos_bytes:
-        pos_deltas = vbyte_decode(pos_bytes).astype(np.int64)
-        entry_tok_starts = np.concatenate(([0], np.cumsum(tf.astype(np.int64))[:-1]))
-        pos_flat = _undelta_with_resets(pos_deltas, entry_tok_starts)
-        have_pos = len(pos_deltas) == int(tf.sum())
+    # positions: terminator-bit scan → per-entry byte offsets, no decode
+    pos_raw = np.ascontiguousarray(concat_bin("pos"))
+    if len(pos_raw):
+        ends = np.flatnonzero(pos_raw & 0x80)  # last byte index of each value
+        tok_off = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+        have_pos = len(ends) == int(tok_off[-1])
+        if have_pos:
+            entry_byte_off = np.empty(total_entries + 1, dtype=np.int64)
+            entry_byte_off[0] = 0
+            entry_byte_off[1:] = ends[tok_off[1:] - 1] + 1
+        else:
+            entry_byte_off = np.zeros(1, np.int64)
     else:
-        pos_flat = np.empty(0, np.int64)
         have_pos = False
-    return entry_terms, old_ord, tf, pos_flat, have_pos
+        entry_byte_off = np.zeros(1, np.int64)
+    return entry_terms, old_ord, tf, pos_raw, entry_byte_off, have_pos
 
 
 def merge_segment_group(
@@ -103,8 +113,8 @@ def merge_segment_group(
     perm = pc.sort_indices(
         concat, sort_keys=[(c, "ascending") for c in spec.id_cols]
     ).to_numpy(zero_copy_only=False).astype(np.int64)
-    inv = np.empty(n_docs, dtype=np.int64)
-    inv[perm] = np.arange(n_docs)
+    inv = np.empty(n_docs, dtype=np.int32)  # ords < 2^31 per segment
+    inv[perm] = np.arange(n_docs, dtype=np.int32)
     merged_docs = concat.take(pa.array(perm))
     merged_docs = merged_docs.set_column(
         merged_docs.schema.get_field_index("ord"), "ord",
@@ -114,10 +124,12 @@ def merge_segment_group(
 
     # flat entries across members with remapped ordinals
     term_arrays: list[pa.Array] = []
-    ord_parts, tf_parts, pos_parts = [], [], []
+    ord_parts, tf_parts = [], []
+    pos_blob_parts, pos_off_parts = [], []
     have_pos_all = store_positions
+    blob_base = 0
     for mi, s in enumerate(member_seg_ids):
-        terms_m, old_ord, tf_m, pos_flat, have_pos = _decode_member_postings(
+        terms_m, old_ord, tf_m, pos_raw, entry_boff, have_pos = _decode_member_postings(
             os.path.join(seg_dir(index_dir_in, s), "postings.parquet")
         )
         if isinstance(terms_m, pa.ChunkedArray):
@@ -127,11 +139,15 @@ def merge_segment_group(
         tf_parts.append(tf_m)
         have_pos_all &= have_pos
         if have_pos:
-            pos_parts.append(pos_flat)
+            pos_blob_parts.append(pos_raw)
+            pos_off_parts.append(entry_boff[:-1] + blob_base)
+            blob_base += len(pos_raw)
 
-    e_ord_flat = np.concatenate(ord_parts) if ord_parts else np.empty(0, np.int64)
+    e_ord_flat = np.concatenate(ord_parts) if ord_parts else np.empty(0, np.int32)
     tf_flat = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32)
-    pos_all = np.concatenate(pos_parts) if (have_pos_all and pos_parts) else None
+    pos_all: tuple | None = None
+    if have_pos_all and pos_blob_parts:
+        pos_all = (np.concatenate(pos_blob_parts), np.concatenate(pos_off_parts))
 
     terms_pa = pa.concat_arrays([a.cast(pa.string()) for a in term_arrays]) if term_arrays else pa.array([], type=pa.string())
     enc = terms_pa.dictionary_encode()
@@ -142,25 +158,40 @@ def merge_segment_group(
     term_rank = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
     sorted_terms = dict_arr.take(pa.array(sort_ord))
 
-    entry_perm = np.lexsort((e_ord_flat, term_rank))
+    # one composite-key argsort (term_rank << 32 | new_ord) instead of a
+    # two-key lexsort — ~2× less key bandwidth over the entry space
+    composite = (term_rank.astype(np.uint64) << np.uint64(32)) | e_ord_flat.astype(
+        np.uint32).astype(np.uint64)
+    entry_perm = np.argsort(composite, kind="stable")
     t_s = term_rank[entry_perm]
     e_ord = e_ord_flat[entry_perm].astype(np.uint32)
     tf = tf_flat[entry_perm]
 
-    # reorder the variable-length position stream to the new entry order
-    pos_delta = None
+    # reorder the position stream to the new entry order at the BYTE level:
+    # per-entry delta encoding restarts at each entry and positions are
+    # doc-relative, so each entry's encoded bytes move verbatim — one uint8
+    # gather instead of decode/re-delta/re-encode over int64s
+    pos_entry_bytes: tuple[np.ndarray, np.ndarray] | None = None
     tok_offsets = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
     if pos_all is not None:
-        old_tok_off = np.concatenate(([0], np.cumsum(tf_flat, dtype=np.int64)))
-        starts = old_tok_off[entry_perm]
-        lens = tf_flat[entry_perm].astype(np.int64)
-        # gather indices: for each new entry, range(starts[i], starts[i]+lens[i])
-        base = np.repeat(starts, lens)
-        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        blob, entry_start = pos_all
+        entry_len = np.empty(len(entry_start), dtype=np.int64)
+        entry_len[:-1] = entry_start[1:] - entry_start[:-1]
+        entry_len[-1] = len(blob) - entry_start[-1] if len(entry_start) else 0
+        # (member-seam diffs are correct: each member's last entry ends
+        # exactly at its blob end, which is the next member's globalized
+        # first offset)
+        starts_p = entry_start[entry_perm]
+        lens_p = entry_len[entry_perm]
+        base = np.repeat(starts_p, lens_p)
+        within = np.arange(int(lens_p.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens_p)[:-1])), lens_p
         )
-        pos_sorted = pos_all[base + within].astype(np.uint64)
-        pos_delta = _delta_in_place(pos_sorted, tok_offsets[:-1])
+        new_blob = blob[base + within]
+        new_off = np.empty(len(lens_p) + 1, dtype=np.int64)
+        new_off[0] = 0
+        np.cumsum(lens_p, out=new_off[1:])
+        pos_entry_bytes = (new_blob, new_off)
 
     term_first = np.empty(len(t_s), dtype=bool)
     if len(t_s):
@@ -174,9 +205,11 @@ def merge_segment_group(
         df = np.empty(0, dtype=np.int64)
         present_term_ids = np.empty(0, dtype=np.int64)
 
-    builder = SegmentBuilder(index_dir_out, spec, None, build_fp, store_positions=pos_delta is not None)
+    builder = SegmentBuilder(index_dir_out, spec, None, build_fp,
+                             store_positions=pos_entry_bytes is not None)
     postings = builder._build_postings_table(
-        sorted_terms, present_term_ids, term_starts, df, e_ord, tf, dl, pos_delta, tok_offsets
+        sorted_terms, present_term_ids, term_starts, df, e_ord, tf, dl, None, tok_offsets,
+        pos_entry_bytes=pos_entry_bytes,
     )
     write_segment_files(
         index_dir_out, new_seg_id, merged_docs, postings, build_fp,
