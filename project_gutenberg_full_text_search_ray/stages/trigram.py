@@ -35,24 +35,39 @@ def trigrams(word: str) -> set[str]:
 
 
 def ensure_trigram_index(index_dir: str) -> str:
-    """Derive (tri, term) from the dictionary once; idempotent + atomic."""
+    """Derive (tri, term) from the dictionary once; idempotent + atomic.
+
+    Built as a Ray Data pipeline — map over dictionary shards (tasks, one
+    per shard batch), one vocabulary-sized ``sort("tri")`` exchange, sharded
+    parquet out — so a 10⁸-term dictionary never materializes on the driver.
+    Files are globally range-partitioned by ``tri`` after the sort, so a
+    lookup's ``filters=[("tri", "in", ...)]`` prunes to its own row groups."""
     out = os.path.join(index_dir, TRIGRAM_DIR)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    import ray.data as rd
+
     dict_dir = os.path.join(index_dir, "dict")
-    terms = pq.read_table(dict_dir, columns=["term"])["term"].to_pylist()
-    tri_col: list[str] = []
-    term_col: list[str] = []
-    for t in terms:
-        for g in trigrams(t):
-            tri_col.append(g)
-            term_col.append(t)
-    table = pa.table({"tri": pa.array(tri_col, type=pa.string()), "term": pa.array(term_col, type=pa.string())})
-    table = table.sort_by("tri")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        tri_col: list[str] = []
+        term_col: list[str] = []
+        for t in batch["term"].to_pylist():
+            for g in trigrams(t):
+                tri_col.append(g)
+                term_col.append(t)
+        return pa.table({"tri": pa.array(tri_col, type=pa.string()),
+                         "term": pa.array(term_col, type=pa.string())})
+
     tmp = f"{out}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(table, os.path.join(tmp, "trigrams.parquet"), row_group_size=8192)
+    (
+        rd.read_parquet(dict_dir, columns=["term"])
+        .map_batches(explode, batch_format="pyarrow")
+        .sort("tri")
+        .write_parquet(tmp, row_group_size=8192)
+    )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
     shutil.rmtree(out, ignore_errors=True)
@@ -62,10 +77,7 @@ def ensure_trigram_index(index_dir: str) -> str:
 
 def _candidates(index_dir: str, query_trigrams: set[str]) -> pa.Table:
     tri_dir = ensure_trigram_index(index_dir)
-    t = pq.read_table(
-        os.path.join(tri_dir, "trigrams.parquet"),
-        filters=[("tri", "in", sorted(query_trigrams))],
-    )
+    t = pq.read_table(tri_dir, filters=[("tri", "in", sorted(query_trigrams))])
     return t
 
 
