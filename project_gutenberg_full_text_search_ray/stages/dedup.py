@@ -77,38 +77,107 @@ class DocFetcher:
 
 def _pair_dedupe(pairs: rd.Dataset) -> rd.Dataset:
     """Distinct (id_a, id_b) rows — the same pair surfaces from several bands
-    or buckets; result is tiny relative to the corpus."""
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    or buckets.  Implemented as a built-in grouped COUNT (vectorized
+    sort-based aggregate): NEVER ``map_groups`` here — one Python call per
+    pair group is minutes of pure interpreter overhead at 10⁶ candidates."""
+    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
-def _bucket_pairs(g: pd.DataFrame, id_col: str, max_occupancy: int | None) -> pd.DataFrame:
-    """Candidate pairs from one bucket (sorted ids, a < b). Buckets above
-    ``max_occupancy`` are skipped — at scale a hot key (stopword shingle,
-    degenerate band) would otherwise cost O(occupancy²); skipped buckets are
-    a documented recall cut, and real near-dup pairs co-occur in their rare
-    buckets too."""
-    ids = sorted(set(g[id_col].tolist()))
-    if len(ids) < 2 or (max_occupancy is not None and len(ids) > max_occupancy):
-        empty = pd.Series([], dtype=g[id_col].dtype)
-        return pd.DataFrame({"id_a": empty, "id_b": empty})
-    ra, rb = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            ra.append(ids[i])
-            rb.append(ids[j])
-    return pd.DataFrame({"id_a": ra, "id_b": rb})
+def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize and strip 0-row blocks.  Ray Data bypasses map UDFs on
+    empty blocks, leaving SCHEMA-LESS empties in the stream; a hash-join
+    aggregator whose partition receives only those sees a table without the
+    key column and dies with ArrowInvalid.  Every join input goes through
+    here (refs stay in the object store — zero-copy block inspection only)."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    keep = [r for r in refs if ray.get(r).num_rows > 0]
+    if len(keep) == len(refs):
+        return mat
+    if not keep:
+        return mat  # fully empty: callers guard on .count() == 0 before joining
+    return rd.from_arrow_refs(keep)
+
+
+def _join_args() -> dict:
+    """Join sizing that cannot starve a small cluster: partitions scale with
+    CPUs and aggregator actors take fractional CPUs so chained joins +
+    groupbys never reserve every slot (a fixed 16×1-CPU aggregator pool
+    deadlocks a 4-CPU test session)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return {
+        "num_partitions": max(2, min(16, cpus // 2)),
+        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+    }
+
+
+def _candidate_pairs(
+    keyed: rd.Dataset, id_col: str, key_col: str, max_occupancy: int | None,
+) -> rd.Dataset:
+    """Distinct candidate pairs (id_a < id_b) among ids sharing a key —
+    fully vectorized: grouped COUNT → eligible-key semi-join (drops the
+    singleton keys that dominate the key space) → self-join on the key →
+    arrow filter.  Buckets above ``max_occupancy`` are skipped: a hot key
+    (stopword shingle, degenerate band) would otherwise cost O(occupancy²);
+    real near-dup pairs co-occur in their rare buckets too."""
+    counts = keyed.groupby(key_col).count()
+    hi = max_occupancy
+
+    def eligible_keys(b: pa.Table) -> pa.Table:
+        # filter ONLY — schema must stay identical to the input: Ray passes
+        # EMPTY blocks through map_batches without calling the UDF, so a
+        # schema-changing UDF yields mixed-schema datasets that crash the
+        # join aggregators; the projection below is a logical op instead
+        m = pc.greater_equal(b["count()"], 2)
+        if hi is not None:
+            m = pc.and_(m, pc.less_equal(b["count()"], hi))
+        return b.filter(m)
+
+    # materialized: consumed by the emptiness guard AND the semi-join below
+    # (Ray's hash-shuffle join crashes on a fully-EMPTY side — schema never
+    # reaches the aggregators — so a 0-eligible-key run must short-circuit)
+    elig = _drop_empty_blocks(
+        counts.map_batches(eligible_keys, batch_format="pyarrow").select_columns([key_col])
+    )
+    id_type = keyed.schema().base_schema.field(id_col).type
+    if elig.count() == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], type=id_type),
+                                       "id_b": pa.array([], type=id_type)}))
+    ja = _join_args()
+    # materialize the pruned side: the self-join consumes it twice, and the
+    # eligible subset is small (singleton keys — the vast majority — are gone)
+    keyed_m = _drop_empty_blocks(keyed)
+    pruned = _drop_empty_blocks(
+        keyed_m.join(elig, join_type="inner", on=(key_col,), **ja))
+    if pruned.count() == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], type=id_type),
+                                       "id_b": pa.array([], type=id_type)}))
+    joined = pruned.join(pruned, join_type="inner", on=(key_col,),
+                         left_suffix="_a", right_suffix="_b", **ja)
+
+    ordered = (
+        joined.map_batches(  # filter only: schema-preserving (empty-block bypass)
+            lambda b: b.filter(pc.less(b[f"{id_col}_a"], b[f"{id_col}_b"])),
+            batch_format="pyarrow")
+        .select_columns([f"{id_col}_a", f"{id_col}_b"])
+        .rename_columns({f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+    )
+    return _pair_dedupe(ordered)
 
 
 class VerifyJaccardStage:
-    """Stage over candidate-pair batches: fetch both documents from the doc
-    store, compute TRUE shingle-Jaccard, keep pairs ≥ threshold.  Passed to
-    ``map_batches`` as an INSTANCE (task pool — candidate-pair volume is
-    bursty and tiny next to the corpus, so elastic tasks beat a fixed actor
-    pool that would reserve CPUs for the whole pipeline's lifetime)."""
+    """Actor stage over candidate-pair batches: fetch both documents from the
+    doc store, compute TRUE shingle-Jaccard, keep pairs ≥ threshold.  Used as
+    an AUTOSCALING actor pool (``concurrency=(1, N)``) so the per-actor
+    shingle-set cache persists across batches — a doc appearing in thousands
+    of candidate pairs is fetched + tokenized once per actor, not once per
+    batch.  The cache is size-capped (clear-on-overflow: candidate batches
+    are key-clustered, so cheap eviction barely costs hit rate)."""
+
+    CACHE_CAP = 200_000
 
     def __init__(self, source, id_col: str, text_col: str, k_shingle: int,
                  threshold: float, analyzer: Analyzer = DEFAULT_ANALYZER):
@@ -116,21 +185,23 @@ class VerifyJaccardStage:
         self.k = k_shingle
         self.threshold = threshold
         self.analyzer = analyzer
+        self.sh_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_pylist()
         b = batch["id_b"].to_pylist()
-        texts = self.fetcher.fetch(set(a) | set(b))
-        sh_cache: dict = {}
-
-        def sh(did):
-            if did not in sh_cache:
-                sh_cache[did] = shingles(self.analyzer.tokenize(texts.get(did) or ""), self.k)
-            return sh_cache[did]
-
+        missing = (set(a) | set(b)) - self.sh_cache.keys()
+        if missing:
+            if len(self.sh_cache) + len(missing) > self.CACHE_CAP:
+                self.sh_cache.clear()
+            texts = self.fetcher.fetch(missing)
+            for did in missing:
+                self.sh_cache[did] = shingles(
+                    self.analyzer.tokenize(texts.get(did) or ""), self.k)
+        sh = self.sh_cache
         ra, rb, rj = [], [], []
         for x, y in zip(a, b):
-            jc = jaccard(sh(x), sh(y))
+            jc = jaccard(sh[x], sh[y])
             if jc >= self.threshold:
                 ra.append(x)
                 rb.append(y)
@@ -222,7 +293,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k_shingle: int = 3,
     threshold: float = 0.5,
-    concurrency: int = 4,
+    concurrency: int = 8,
     max_bucket_occupancy: int | None = 1024,
 ) -> rd.Dataset:
     """Near-duplicate pairs via MinHash + LSH banding:
@@ -253,7 +324,7 @@ def minhash_lsh_pairs(
         return pa.table({id_col: pa.array(out_id, type=batch[id_col].type),
                          "band_key": pa.array(out_key)})
 
-    candidates = (
+    keyed = (
         # autoscaling actor pool (1, N): a FIXED pool of N would reserve N
         # whole CPUs for the pipeline's lifetime and can deadlock the
         # downstream task stages on a small cluster
@@ -261,12 +332,15 @@ def minhash_lsh_pairs(
             "text_col": text_col, "id_col": id_col, "num_perm": num_perm, "k": k_shingle},
             batch_format="pyarrow", concurrency=(1, concurrency))
         .map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(lambda g: _bucket_pairs(g, id_col, max_bucket_occupancy),
-                    batch_format="pandas")
     )
-    verify = VerifyJaccardStage(doc_source, id_col, text_col, k_shingle, threshold)
-    return _pair_dedupe(candidates).map_batches(verify, batch_format="pyarrow")
+    candidates = _candidate_pairs(keyed, id_col, "band_key", max_bucket_occupancy)
+    return candidates.map_batches(
+        VerifyJaccardStage,
+        fn_constructor_kwargs={"source": doc_source, "id_col": id_col,
+                               "text_col": text_col, "k_shingle": k_shingle,
+                               "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
+    )
 
 
 # --------------------------------------------------------------- SimHash
@@ -295,29 +369,49 @@ def simhash_pairs(
         return pa.table({id_col: pa.array(oi, type=batch[id_col].type),
                          "band_key": pa.array(ob), "sim": pa.array(os_, type=pa.uint64())})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sims = g["sim"].tolist()
-        ra, rb, rh = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming64(int(sims[i]), int(sims[j]))
-                if h <= max_hamming:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rh.append(h)
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
-
-    pairs = (
-        ds.map_batches(sig_fn, batch_format="pyarrow")
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+    keyed = ds.map_batches(sig_fn, batch_format="pyarrow").map_batches(
+        explode, batch_format="pyarrow")
+    counts = keyed.groupby("band_key").count()
+    elig = _drop_empty_blocks(
+        counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["count()"], 2)),
+            batch_format="pyarrow").select_columns(["band_key"])
     )
-    return _pair_dedupe(pairs)
+    id_type = keyed.schema().base_schema.field(id_col).type
+
+    def empty_out() -> rd.Dataset:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], type=id_type),
+                                       "id_b": pa.array([], type=id_type),
+                                       "hamming": pa.array([], type=pa.int64())}))
+
+    if elig.count() == 0:
+        return empty_out()
+    ja = _join_args()
+    pruned = _drop_empty_blocks(
+        _drop_empty_blocks(keyed).join(elig, join_type="inner", on=("band_key",), **ja))
+    if pruned.count() == 0:
+        return empty_out()
+    joined = pruned.join(pruned, join_type="inner", on=("band_key",),
+                         left_suffix="_a", right_suffix="_b", **ja)
+
+    def ham(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b[f"{id_col}_a"], b[f"{id_col}_b"]))
+        sa = t["sim_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = t["sim_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.bitwise_xor(sa, sb)
+        # vectorized popcount: xor'd uint64s viewed as bytes, unpacked, summed
+        h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1) \
+            if len(x) else np.empty(0, dtype=np.int64)
+        keep = h <= max_hamming
+        t = t.filter(pa.array(keep))
+        return pa.table({"id_a": t[f"{id_col}_a"], "id_b": t[f"{id_col}_b"],
+                         "hamming": pa.array(h[keep].astype(np.int64))})
+
+    pairs = joined.map_batches(ham, batch_format="pyarrow")
+    return (
+        pairs.groupby(["id_a", "id_b"]).min("hamming")
+        .rename_columns({"min(hamming)": "hamming"})
+    )
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
@@ -331,7 +425,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket_occupancy: int | None = 1024,
     analyzer: Analyzer = DEFAULT_ANALYZER,
-    concurrency: int = 4,
+    concurrency: int = 8,
 ) -> rd.Dataset:
     """EXACT n-gram-Jaccard near-dup pairs (vs MinHash's probabilistic
     candidates): docs sharing ≥1 shingle-hash become candidates — the bucket
@@ -355,14 +449,15 @@ def ngram_jaccard_pairs(
         return pa.table({id_col: pa.array(ids_out, type=batch[id_col].type),
                          "sh": pa.array(sh_out, type=pa.int64())})
 
-    candidates = (
-        ds.map_batches(explode_shingle_hashes, batch_format="pyarrow")
-        .groupby("sh")
-        .map_groups(lambda g: _bucket_pairs(g, id_col, max_bucket_occupancy),
-                    batch_format="pandas")
+    keyed = ds.map_batches(explode_shingle_hashes, batch_format="pyarrow")
+    candidates = _candidate_pairs(keyed, id_col, "sh", max_bucket_occupancy)
+    return candidates.map_batches(
+        VerifyJaccardStage,
+        fn_constructor_kwargs={"source": doc_source, "id_col": id_col,
+                               "text_col": text_col, "k_shingle": k_shingle,
+                               "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
     )
-    verify = VerifyJaccardStage(doc_source, id_col, text_col, k_shingle, threshold)
-    return _pair_dedupe(candidates).map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- connected components
@@ -397,15 +492,21 @@ def connected_components(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b"
 
 def connected_components_ds(
     pairs: rd.Dataset, id_a: str = "id_a", id_b: str = "id_b", *, max_rounds: int = 64,
+    driver_threshold: int = 200_000,
 ) -> rd.Dataset:
-    """Distributed connected components over a pairs Dataset: iterated
-    min-label propagation — each round every node's current min label is
-    offered to all its neighbors (tagged-union of label rows + adjacency
-    rows, one groupby to attach-and-offer, one groupby-min to fold; rounds =
-    graph diameter).  No joins: the same groupby(id) co-locates a node's
-    label row with its adjacency rows.  Labels only decrease, so the exact
-    sum of labels is a convergence fixpoint detector (one tiny aggregate per
-    round).  Returns (id, rep)."""
+    """Connected components over a pairs Dataset → (id, rep).
+
+    Hybrid: pair lists at or below ``driver_threshold`` rows run driver-side
+    union-find (near-dup pair lists have already been shrunk by LSH+verify;
+    a handful of label-propagation ROUNDS of cluster-wide joins costs far
+    more than one linear pass over a small edge list).  Larger graphs run
+    the distributed path: iterated min-label propagation — each round every
+    node's current min label is offered to all its neighbors (one hash join
+    to attach labels to edges + one grouped MIN to fold offers; rounds =
+    graph diameter; everything vectorized, no per-node Python).  Labels only
+    decrease, so the exact sum of labels is a convergence fixpoint detector
+    (one tiny aggregate per round).  Pass ``driver_threshold=0`` to force
+    the distributed path."""
 
     def fwd(batch: pa.Table) -> pa.Table:
         return pa.table({"id": batch[id_a], "peer": batch[id_b]})
@@ -413,55 +514,45 @@ def connected_components_ds(
     def rev(batch: pa.Table) -> pa.Table:
         return pa.table({"id": batch[id_b], "peer": batch[id_a]})
 
-    edges = pairs.select_columns([id_a, id_b])
-    adj = edges.map_batches(fwd, batch_format="pyarrow").union(
-        edges.map_batches(rev, batch_format="pyarrow")
-    ).materialize()
-    # labels start as self-labels over every endpoint
-    labels = (
-        adj.map_batches(lambda b: pa.table({"id": b["id"], "lbl": b["id"]}),
-                        batch_format="pyarrow")
-        .groupby("id").min("lbl")
-        .map_batches(lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),
-                     batch_format="pyarrow")
-        .materialize()
+    edges = pairs.select_columns([id_a, id_b]).materialize()
+    if driver_threshold and edges.count() <= driver_threshold:
+        tables = [t for t in ray.get(edges.to_arrow_refs())
+                  if t.num_rows and id_a in t.column_names]
+        if not tables:
+            return rd.from_arrow(pa.table({"id": [], "rep": []}))
+        return rd.from_arrow(connected_components(pa.concat_tables(tables), id_a, id_b))
+
+    adj = _drop_empty_blocks(
+        edges.map_batches(fwd, batch_format="pyarrow").union(
+            edges.map_batches(rev, batch_format="pyarrow"))
     )
-
-    def as_label_row(batch: pa.Table) -> pa.Table:
-        null_peer = pa.nulls(batch.num_rows, type=batch["id"].type)
-        return pa.table({"id": batch["id"], "lbl": batch["lbl"], "peer": null_peer})
-
-    def as_adj_row(batch: pa.Table) -> pa.Table:
-        null_lbl = pa.nulls(batch.num_rows, type=batch["id"].type)
-        return pa.table({"id": batch["id"], "lbl": null_lbl, "peer": batch["peer"]})
-
-    def offer(g: pd.DataFrame) -> pd.DataFrame:
-        lbls = g["lbl"].dropna()
-        if lbls.empty:  # node with edges but no label row cannot happen; guard
-            return pd.DataFrame({"id": [], "lbl": []})
-        lbl = lbls.min()
-        peers = g["peer"].dropna().tolist()
-        ids = [g["id"].iloc[0], *peers]
-        return pd.DataFrame({"id": ids, "lbl": [lbl] * len(ids)})
+    if adj.count() == 0:  # no edges → no components (join would choke on empty)
+        id_type = pairs.schema().base_schema.field(id_a).type
+        return rd.from_arrow(pa.table({"id": pa.array([], type=id_type),
+                                       "rep": pa.array([], type=id_type)}))
+    # labels start as self-labels over every endpoint; schema manipulation is
+    # logical (select/rename) so empty-block UDF bypass can't poison the join
+    labels = _drop_empty_blocks(
+        adj.select_columns(["id"]).map_batches(
+            lambda b: b.append_column("lbl", b["id"]), batch_format="pyarrow")
+        .groupby("id").min("lbl").rename_columns({"min(lbl)": "lbl"})
+    )
 
     prev = int(labels.sum("lbl") or 0)
     for _ in range(max_rounds):
-        combined = labels.map_batches(as_label_row, batch_format="pyarrow").union(
-            adj.map_batches(as_adj_row, batch_format="pyarrow")
-        )
-        labels = (
-            combined.groupby("id").map_groups(offer, batch_format="pandas")
-            .groupby("id").min("lbl")
-            .map_batches(lambda b: pa.table({"id": b["id"], "lbl": b["min(lbl)"]}),
-                         batch_format="pyarrow")
-            .materialize()
+        # each node offers its current label to every neighbor (one hash join
+        # + one grouped MIN per round — no per-node Python)
+        offers = adj.join(labels, join_type="inner", on=("id",), **_join_args())
+        offered = offers.select_columns(["peer", "lbl"]).rename_columns({"peer": "id"})
+        labels = _drop_empty_blocks(
+            labels.union(offered)
+            .groupby("id").min("lbl").rename_columns({"min(lbl)": "lbl"})
         )
         cur = int(labels.sum("lbl") or 0)
         if cur == prev:
             break
         prev = cur
-    return labels.map_batches(lambda b: pa.table({"id": b["id"], "rep": b["lbl"]}),
-                              batch_format="pyarrow")
+    return labels.rename_columns({"lbl": "rep"})
 
 
 # --------------------------------------------------------------- embeddings

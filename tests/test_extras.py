@@ -341,7 +341,7 @@ def test_connected_components_ds_long_chain(ray_session):
     })
     exp = connected_components(pairs).to_pandas().sort_values("id").reset_index(drop=True)
     got = (
-        connected_components_ds(rd.from_arrow(pairs)).to_pandas()
+        connected_components_ds(rd.from_arrow(pairs), driver_threshold=0).to_pandas()
         .rename(columns={"rep": "rep"}).sort_values("id").reset_index(drop=True)
     )
     assert got.astype("int64").equals(exp.astype("int64"))
