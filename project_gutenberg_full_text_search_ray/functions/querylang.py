@@ -83,6 +83,24 @@ class ParsedQuery:
         return not self.groups
 
 
+def scope_to_field(q: ParsedQuery, fld: str) -> ParsedQuery:
+    """Rewrite every term of a parsed query to the per-field posting key
+    ``<field>\\x1f<term>`` — field-scoped match AND field-local scoring
+    (reference per-field tsvectors, mv_books_dc.sql:135-194)."""
+    from ..corpus import field_term
+
+    def conv_atom(a: Atom) -> Atom:
+        if isinstance(a, Not):
+            return Not(conv_atom(a.atom))
+        if isinstance(a, Phrase):
+            return Phrase(tuple(field_term(fld, t) for t in a.terms))
+        return Term(field_term(fld, a.term))
+
+    return ParsedQuery(tuple(
+        AndGroup(tuple(conv_atom(a) for a in g.atoms)) for g in q.groups
+    ))
+
+
 _LEX = re.compile(r'(-?)"([^"]*)"|(\S+)')
 
 

@@ -302,6 +302,12 @@ def _finalize_generation(
     n_docs = sum(m["n_docs"] for m in seg_manifests)
     total_tokens = sum(m["sum_dl"] for m in seg_manifests)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    field_totals: dict[str, int] = {}
+    for m in seg_manifests:
+        for f, v in (m.get("sum_dl_fields") or {}).items():
+            field_totals[f] = field_totals.get(f, 0) + int(v)
+    avgdl_fields = {f: ((v / n_docs) or 1.0) if n_docs else 1.0
+                    for f, v in field_totals.items()}
 
     atomic_write_json(
         os.path.join(index_dir, INDEX_MANIFEST),
@@ -311,11 +317,13 @@ def _finalize_generation(
             "input_fingerprint": input_fp,
             "analyzer": {"stopwords": analyzer.stopwords, "stem": analyzer.stem, "tag": analyzer.version_tag},
             "corpus": {"id_cols": list(spec.id_cols), "text_col": spec.text_col,
-                       "meta_cols": list(spec.meta_cols), "name": spec.name},
+                       "meta_cols": list(spec.meta_cols), "name": spec.name,
+                       "field_cols": list(spec.field_cols)},
             "input_paths": input_paths,  # None for volatile Dataset inputs
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
+            "avgdl_fields": avgdl_fields,
             "n_segments": n_segments,
             "store_positions": store_positions,
             "segments": [
@@ -353,7 +361,8 @@ def compact_index(
 
     m = load_index_manifest(index_dir)
     c = m["corpus"]
-    spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"])
+    spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"],
+                      tuple(c.get("field_cols") or ()))
     analyzer = Analyzer(stopwords=m["analyzer"]["stopwords"], stem=m["analyzer"]["stem"])
     store_positions = bool(m.get("store_positions", True))
 
@@ -409,6 +418,7 @@ def refresh_index(index_dir: str, **overrides) -> IndexInfo:
     if not m.get("input_paths"):
         raise ValueError("index was built from a volatile Dataset; rebuild explicitly")
     c = m["corpus"]
-    spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"])
+    spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"],
+                      tuple(c.get("field_cols") or ()))
     analyzer = Analyzer(stopwords=m["analyzer"]["stopwords"], stem=m["analyzer"]["stem"])
     return build_index(list(m["input_paths"]), spec, index_dir, analyzer=analyzer, **overrides)

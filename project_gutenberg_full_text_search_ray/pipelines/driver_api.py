@@ -32,7 +32,7 @@ from ..functions.bm25 import B, K1, SCORE_SCALE
 from ..pipelines.build import build_index
 from ..pipelines.search import RANDOM, FullTextSearchEngine
 from ..stages.segment_search import FilterSpec
-from ..state.manifest import parquet_input_fingerprint
+from ..state.manifest import fingerprint, parquet_input_fingerprint
 
 INDEX_CACHE_ROOT = "/tmp/pgfts_indices"
 _ENGINES: dict[str, FullTextSearchEngine] = {}
@@ -645,6 +645,70 @@ def q_contains_indexed(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def ensure_head_field_index(sf_dir: str) -> FullTextSearchEngine:
+    """documents index with an extra PER-FIELD text column ``head`` (first 8
+    analyzer tokens) — exercises per-field postings: field-local tf/df/dl/
+    avgdl under '<field>\\x1fterm' posting keys (reference per-field
+    tsvectors, mv_books_dc.sql:135-194)."""
+    import ray.data as rd
+
+    from ..corpus import CorpusSpec
+    from ..functions.analyzer import DEFAULT_ANALYZER
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    fp = parquet_input_fingerprint([path])
+    index_dir = os.path.join(INDEX_CACHE_ROOT, f"documents_head_{fp}")
+    eng = _ENGINES.get(index_dir)
+    if eng is None:
+        spec = CorpusSpec(("doc_id",), "text", ("lang", "source", "n_chars"),
+                          "documents_head", field_cols=("head",))
+
+        def add_head(batch: pa.Table) -> pa.Table:
+            heads = [" ".join(DEFAULT_ANALYZER.tokenize(t or "")[:8])
+                     for t in batch["text"].to_pylist()]
+            return batch.append_column("head", pa.array(heads, type=pa.string()))
+
+        ds = rd.read_parquet(path).map_batches(add_head, batch_format="pyarrow")
+        build_index(ds, spec, index_dir, docs_per_segment=4096,
+                    input_fp=fingerprint(fp, "head8"))
+        eng = FullTextSearchEngine(index_dir)
+        _ENGINES[index_dir] = eng
+    return eng
+
+
+def q_field_search(sf_dir: str) -> pa.Table:
+    """Per-field ranked search: 'table scan' scored against the HEAD field's
+    postings only — field-local tf, df, dl and avgdl (NOT a filtered
+    whole-text rank)."""
+    eng = ensure_head_field_index(sf_dir)
+    q = eng.query().search("table scan", field="head")
+    top = eng.top_docs(q, 20)
+    return pa.table({"doc_id": top["doc_id"], "score": _scaled(top["score"].to_pylist())})
+
+
+_FIELD_SEARCH_SQL = (
+    f"WITH base AS (SELECT doc_id, (list_filter(regexp_split_to_array(lower(text), "
+    f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> ''))[1:8] AS arr FROM documents), "
+    "htok AS (SELECT doc_id, unnest(arr) AS term FROM base), "
+    "hdl AS (SELECT doc_id, CAST(len(arr) AS DOUBLE) AS dl FROM base), "
+    "stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n, "
+    "(SELECT CAST(COALESCE(sum(dl), 0) AS DOUBLE) FROM hdl) / "
+    "(SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM htok "
+    "WHERE term IN ('table','scan') GROUP BY 1, 2), "
+    "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM htok "
+    "WHERE term IN ('table','scan') GROUP BY term), "
+    "scored AS (SELECT tf.doc_id, "
+    f"sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * ({K1} + 1)) / "
+    f"(tf.tf + {K1} * (1 - {B} + {B} * hdl.dl / stats.avgdl))) AS score_raw, "
+    "count(DISTINCT tf.term) AS nmatched "
+    "FROM tf JOIN df USING(term) JOIN hdl USING(doc_id) CROSS JOIN stats "
+    "GROUP BY tf.doc_id) "
+    f"SELECT doc_id, CAST(floor(score_raw * {SCORE_SCALE} + 0.5) AS BIGINT) AS score "
+    "FROM scored WHERE nmatched = 2 ORDER BY score_raw DESC, doc_id LIMIT 20"
+)
+
+
 def q_contains_multi(sf_dir: str) -> pa.Table:
     """P3 CONTAINS for a pattern SPANNING token boundaries via the index
     (reference ILIKE '%q%', full_text_search.py:144-146): suffix/prefix edge
@@ -1170,6 +1234,7 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     "simhash_pairs": _simhash_pairs_sql(max_hamming=12),
     "fingerprints": _fingerprints_sql(limit_doc_id=50),
     "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
+    "field_search": _FIELD_SEARCH_SQL,
 }
 
 QUERIES_EXTRAS = {
@@ -1198,6 +1263,7 @@ QUERIES_EXTRAS = {
     "contains_indexed": q_contains_indexed,
     "contains_multi": q_contains_multi,
     "minhash_neardup": q_minhash_neardup,
+    "field_search": q_field_search,
     # rows-only (no SQL-expressible oracle — randomized LSH planes / k-means
     # iterations / sha256-seeded fake decode; semantics asserted in pytest)
     "ann_lsh_topk": q_ann_lsh_topk,

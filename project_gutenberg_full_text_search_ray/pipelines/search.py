@@ -69,14 +69,23 @@ class SearchQuery:
     _analyzer: Analyzer | None = None
 
     # -- search clauses (P1/P4); chained calls AND together
-    def search(self, text: str, field_filter: tuple[str, str] | None = None) -> "SearchQuery":
+    def search(self, text: str, field_filter: tuple[str, str] | None = None,
+               field: str | None = None) -> "SearchQuery":
         from ..functions.analyzer import DEFAULT_ANALYZER
+        from ..functions.querylang import scope_to_field
 
-        self.queries.append(parse_query(text, self._analyzer or DEFAULT_ANALYZER))
+        parsed = parse_query(text, self._analyzer or DEFAULT_ANALYZER)
+        if field is not None:
+            # PER-FIELD search (reference per-field tsvectors,
+            # mv_books_dc.sql:135-194): terms rewrite to the field's posting
+            # keyspace — match, tf, df, dl and avgdl are all field-local, so
+            # rank == rank against the field vector (full_text_search.py:
+            # 277-279), not a metadata-filtered whole-text rank
+            parsed = scope_to_field(parsed, field)
+        self.queries.append(parsed)
         if field_filter is not None:
-            # field-scoped search: the reference's 7 per-field tsvectors map to
-            # categorical scope columns here (SURVEY.md §1.4) — e.g.
-            # field_filter=("role","assistant")
+            # metadata-scoped search (SURVEY.md §1.4 flat scope columns) —
+            # e.g. field_filter=("role","assistant")
             self.filters.append(FilterSpec(field_filter[0], "==", field_filter[1]))
         return self
 
@@ -194,12 +203,17 @@ class FullTextSearchEngine:
         self.mode = mode  # "ray" (segment tasks) | "local" (driver loop; tests)
         self.manifest = load_index_manifest(index_dir)
         c = self.manifest["corpus"]
-        self.spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"])
+        self.spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"],
+                      tuple(c.get("field_cols") or ()))
         self.analyzer = Analyzer(
             stopwords=self.manifest["analyzer"]["stopwords"], stem=self.manifest["analyzer"]["stem"]
         )
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"]) or 1.0
+        self.avgdl_fields = {
+            f: (float(v) or 1.0)
+            for f, v in (self.manifest.get("avgdl_fields") or {}).items()
+        }
         self.seg_ids = [s["seg_id"] for s in self.manifest["segments"]]
         self._df_cache: dict[str, int] = {}
         self._custom_transformer: Transformer | None = None
@@ -399,6 +413,8 @@ class FullTextSearchEngine:
             need: dict[str, None] = {}
             for c in ("dl", *self.spec.id_cols):
                 need.setdefault(c)
+            for f in self.spec.field_cols:  # per-field dl for field-local BM25
+                need.setdefault(f"dl__{f}")
             if q.crosswalk is not Crosswalk.MINI:
                 for c in self.spec.meta_cols:
                     need.setdefault(c)
@@ -423,6 +439,7 @@ class FullTextSearchEngine:
             k=k,
             idf=self.idf_map(terms),
             avgdl=self.avgdl,
+            avgdl_fields=self.avgdl_fields,
             id_cols=self.spec.id_cols,
             score_mode=score_mode,
             term_weights=term_weights,

@@ -87,6 +87,12 @@ def write_segment_files(
         "status": "complete",
         "n_docs": int(n_docs),
         "sum_dl": int(pc.sum(docs["dl"]).as_py() or 0),
+        # per-field dl totals (derived from any dl__<field> doc columns) —
+        # folded into per-field avgdl at manifest-commit time
+        "sum_dl_fields": {
+            c[len("dl__"):]: int(pc.sum(docs[c]).as_py() or 0)
+            for c in docs.column_names if c.startswith("dl__")
+        },
         # id-range zone map over the primary identity column (docs are
         # identity-sorted): drives segment pruning for point/range lookups
         "id0_min": docs[id0_col][0].as_py() if n_docs else None,
@@ -168,6 +174,32 @@ class SegmentBuilder:
         terms_pa, doc_idx, positions = self.analyzer.tokenize_column_arrow(table[spec.text_col])
         dl = np.bincount(doc_idx, minlength=n_docs).astype(np.int32) if len(doc_idx) else np.zeros(n_docs, np.int32)
 
+        # per-field postings (C1 per-field tsvector analog): each extra text
+        # column's tokens enter the SAME posting structure under prefixed
+        # "<field>\x1f<term>" keys with their own positions and a field-local
+        # dl column — field-scoped queries then score against field-local
+        # tf/df/dl/avgdl
+        dl_fields: dict[str, np.ndarray] = {}
+        if spec.field_cols:
+            from ..corpus import FIELD_SEP
+
+            t_parts, d_parts, p_parts = [terms_pa], [doc_idx], [positions]
+            for f in spec.field_cols:
+                tf_, df_, pf_ = self.analyzer.tokenize_column_arrow(table[f])
+                dl_fields[f] = (
+                    np.bincount(df_, minlength=n_docs).astype(np.int32)
+                    if len(df_) else np.zeros(n_docs, np.int32)
+                )
+                if len(tf_):
+                    pref = pc.binary_join_element_wise(
+                        pa.scalar(f + FIELD_SEP), tf_, pa.scalar(""))
+                    t_parts.append(pref.combine_chunks() if isinstance(pref, pa.ChunkedArray) else pref)
+                    d_parts.append(df_)
+                    p_parts.append(pf_)
+            terms_pa = pa.concat_arrays([a.cast(pa.string()) for a in t_parts])
+            doc_idx = np.concatenate(d_parts)
+            positions = np.concatenate(p_parts)
+
         # ---- postings: everything vectorized — Arrow dictionary-encode for
         # term ids, lexsort, run-length entries, single-pass VByte with
         # per-block byte slicing (no per-term Python loop).
@@ -221,6 +253,7 @@ class SegmentBuilder:
                 "ord": pa.array(np.arange(n_docs, dtype=np.int32)),
                 **{c: table[c] for c in spec.id_cols},
                 "dl": pa.array(dl),
+                **{f"dl__{f}": pa.array(v) for f, v in dl_fields.items()},
                 **{c: table[c] for c in spec.meta_cols},
             }
         )

@@ -126,6 +126,9 @@ class SearchPlan:
     # expansion); term_weights carries term → similarity
     score_mode: str = "bm25"
     term_weights: dict[str, float] = field(default_factory=dict)
+    # per-field avgdl for "<field>\x1fterm" posting keys (field-local BM25
+    # normalization — reference per-field tsvectors)
+    avgdl_fields: dict[str, float] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------- postings
@@ -309,6 +312,14 @@ def evaluate_query(
     return out
 
 
+FIELD_SEP = "\x1f"  # mirrors corpus.FIELD_SEP (kept local: plan is the unit)
+
+
+def _term_field(term: str) -> str | None:
+    i = term.find(FIELD_SEP)
+    return term[:i] if i >= 0 else None
+
+
 def score_docs(
     postings: dict[str, _TermPostings],
     matched: np.ndarray,
@@ -316,23 +327,33 @@ def score_docs(
     idf_map: dict[str, float],
     dl: np.ndarray,
     avgdl: float,
+    dl_fields: dict[str, np.ndarray] | None = None,
+    avgdl_fields: dict[str, float] | None = None,
 ) -> np.ndarray:
     """BM25 over matched ords; fp64, terms iterated in sorted order (fixed
-    summation order ⇒ bit-reproducible across parallelism levels)."""
+    summation order ⇒ bit-reproducible across parallelism levels).  Terms
+    with a field prefix normalize against that FIELD's dl/avgdl."""
     scores = np.zeros(len(matched), dtype=np.float64)
-    mdl = dl[matched].astype(np.float64)
+    mdl_cache: dict[str | None, np.ndarray] = {None: dl[matched].astype(np.float64)}
     for term in sorted(set(positive_terms)):
         tp = postings.get(term)
         w = idf_map.get(term, 0.0)
         if tp is None or len(tp.ords) == 0 or w == 0.0:
             continue
+        fld = _term_field(term)
+        if fld is not None and fld not in mdl_cache:
+            fdl = (dl_fields or {}).get(fld)
+            mdl_cache[fld] = (fdl[matched].astype(np.float64)
+                              if fdl is not None else mdl_cache[None])
+        mdl = mdl_cache[fld if fld in mdl_cache else None]
+        av = (avgdl_fields or {}).get(fld, avgdl) if fld is not None else avgdl
         idx = np.searchsorted(tp.ords, matched)
         idx_c = np.minimum(idx, len(tp.ords) - 1)
         present = tp.ords[idx_c] == matched
         if not present.any():
             continue
         tfv = tp.tfs[idx_c[present]].astype(np.float64)
-        scores[present] += w * tf_norm(tfv, mdl[present], avgdl)
+        scores[present] += w * tf_norm(tfv, mdl[present], av)
     return scores
 
 
@@ -365,6 +386,8 @@ def topk_maxscore(
     dl: np.ndarray,
     avgdl: float,
     k: int,
+    dl_fields: dict[str, np.ndarray] | None = None,
+    avgdl_fields: dict[str, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore-style top-k: rank-identical to exhaustive ``score_docs`` +
     lexsort, but prunes the candidate set as terms accumulate.
@@ -381,17 +404,25 @@ def topk_maxscore(
     Returns (selected ords, their scores) ordered by (score DESC, ord ASC).
     """
     terms = sorted(set(positive_terms))
+
+    def term_dl_av(t: str) -> tuple[np.ndarray, float]:
+        fld = _term_field(t)
+        if fld is not None and dl_fields and fld in dl_fields:
+            return dl_fields[fld], (avgdl_fields or {}).get(fld, avgdl)
+        return dl, avgdl
+
     infos = []
     for t in terms:
         tp = postings.get(t)
         w = idf_map.get(t, 0.0)
         if tp is None or len(tp.ords) == 0 or w == 0.0:
             continue
+        t_dl, t_av = term_dl_av(t)
         ub = w * float(
             tf_norm(
                 np.array([tp.tfs.max()], dtype=np.float64),
-                np.array([float(dl[tp.ords].min())]),
-                avgdl,
+                np.array([float(t_dl[tp.ords].min())]),
+                t_av,
             )[0]
         )
         infos.append((t, tp, w, ub))
@@ -411,15 +442,22 @@ def topk_maxscore(
 
     cand = matched
     scores = np.zeros(len(cand), dtype=np.float64)
-    cdl = dl[cand].astype(np.float64)
+    all_dls = {id(dl): dl}
+    cdl_by: dict[int, np.ndarray] = {id(dl): dl[cand].astype(np.float64)}
     kth = -np.inf
     for i, (t, tp, w, ub) in enumerate(infos):
+        t_dl, t_av = term_dl_av(t)
+        key = id(t_dl)
+        if key not in cdl_by:
+            all_dls[key] = t_dl
+            cdl_by[key] = t_dl[cand].astype(np.float64)
+        cdl = cdl_by[key]
         idx = np.searchsorted(tp.ords, cand)
         idx_c = np.minimum(idx, len(tp.ords) - 1)
         present = tp.ords[idx_c] == cand
         if present.any():
             tfv = tp.tfs[idx_c[present]].astype(np.float64)
-            scores[present] += w * tf_norm(tfv, cdl[present], avgdl)
+            scores[present] += w * tf_norm(tfv, cdl[present], t_av)
         if len(cand) > 4 * k:
             # current k-th best lower bound
             if len(scores) > k:
@@ -429,7 +467,9 @@ def topk_maxscore(
             if not keep.all():
                 cand = cand[keep]
                 scores = scores[keep]
-                cdl = cdl[keep]
+                # rebuild per-field candidate-dl gathers against the pruned set
+                cdl_by = {key_: all_dls[key_][cand].astype(np.float64)
+                          for key_ in cdl_by}
     order = np.lexsort((cand, -scores))[:k]
     return cand[order], scores[order]
 
@@ -459,6 +499,10 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
             cache[docs_path] = docs
     n_docs = docs.num_rows
     dl = docs["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dl_fields = {
+        c[len("dl__"):]: docs[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in docs.column_names if c.startswith("dl__")
+    }
 
     # 1. boolean retrieval (AND across .search() clauses — P4)
     if plan.queries:
@@ -509,7 +553,8 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
             scores_sel = score_docs_maxsim(postings, matched, plan.term_weights)
         elif plan.queries:
             pos_terms = [t for q in plan.queries for t in q.positive_terms()]
-            scores_sel = score_docs(postings, matched, pos_terms, plan.idf, dl, plan.avgdl)
+            scores_sel = score_docs(postings, matched, pos_terms, plan.idf, dl, plan.avgdl,
+                                    dl_fields, plan.avgdl_fields)
         else:
             scores_sel = np.zeros(len(sel), dtype=np.float64)
     elif plan.order.kind == "score" and plan.score_mode == "fuzzy_sim":
@@ -519,7 +564,8 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
     elif plan.order.kind == "score":
         pos_terms = [t for q in plan.queries for t in q.positive_terms()]
         sel, scores_sel = topk_maxscore(
-            postings, matched, pos_terms, plan.idf, dl, plan.avgdl, min(plan.k, total)
+            postings, matched, pos_terms, plan.idf, dl, plan.avgdl, min(plan.k, total),
+            dl_fields, plan.avgdl_fields,
         )
     elif plan.order.kind == "random":
         ids = [tuple(docs[c][int(o)].as_py() for c in plan.id_cols) for o in matched]

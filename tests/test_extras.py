@@ -402,3 +402,46 @@ def test_contains_multi_token_boundary(ray_session, tmp_path):
     # single-token fragment path still exact
     got1 = sorted(eng.contains_multi_dataset("indow").to_pandas()["doc_id"].tolist())
     assert got1 == sorted(i for i, s in enumerate(texts) if "indow" in s)
+
+
+def test_per_field_postings_semantics(ray_session, tmp_path):
+    """Per-field postings: field-scoped queries match only the field's
+    tokens, support phrases within the field, and score with FIELD-local
+    stats (a term frequent in bodies but rare in titles gets title-local
+    idf when field-scoped)."""
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import build_index, FullTextSearchEngine
+    from project_gutenberg_full_text_search_ray.corpus import CorpusSpec
+
+    rows = [
+        # body mentions 'alpha' everywhere; title has it only in doc 0
+        {"doc_id": 0, "body": "alpha beta gamma alpha", "title": "alpha report"},
+        {"doc_id": 1, "body": "alpha delta epsilon", "title": "summary notes"},
+        {"doc_id": 2, "body": "alpha zeta", "title": "quarterly report data"},
+        {"doc_id": 3, "body": "unrelated words here", "title": "report data alpha"},
+    ]
+    t = pa.table({k: [r[k] for r in rows] for k in ("doc_id", "body", "title")})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(t, src)
+    spec = CorpusSpec(("doc_id",), "body", (), "fielded", field_cols=("title",))
+    idx = str(tmp_path / "idx")
+    build_index(src, spec, idx, docs_per_segment=2)
+    eng = FullTextSearchEngine(idx)
+
+    # field-scoped term: only docs whose TITLE has 'alpha'
+    r = eng.execute(eng.query().search("alpha", field="title")[1, 10])
+    assert sorted(r.table["doc_id"].to_pylist()) == [0, 3]
+    # whole-text (body) search unaffected by titles
+    r2 = eng.execute(eng.query().search("alpha")[1, 10])
+    assert sorted(r2.table["doc_id"].to_pylist()) == [0, 1, 2]
+    # phrase WITHIN the field (positions are field-local)
+    r3 = eng.execute(eng.query().search('"report data"', field="title")[1, 10])
+    assert sorted(r3.table["doc_id"].to_pylist()) == [2, 3]
+    # field-local dl normalization: doc 0's title (2 tokens) beats doc 3's
+    # (3 tokens) for the same tf=1 of 'alpha'
+    r4 = eng.execute(eng.query().search("alpha", field="title")[1, 10])
+    assert r4.table["doc_id"].to_pylist()[0] == 0
+    # mixed clause: body clause AND title clause (AND across .search calls)
+    r5 = eng.execute(eng.query().search("alpha").search("report", field="title")[1, 10])
+    assert sorted(r5.table["doc_id"].to_pylist()) == [0, 2]
