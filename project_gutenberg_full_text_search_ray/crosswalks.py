@@ -52,6 +52,99 @@ def nested_crosswalk(t: pa.Table, spec: CorpusSpec) -> pa.Table:
     return out.append_column("payload", payload)
 
 
+DEFAULT_FORMAT_PREFS: tuple[str, ...] = (
+    "epub3.images", "epub.images", "epub.noimages", "kindle.images",
+    "pdf.images", "pdf.noimages", "html",
+)
+AUDIO_FORMAT_PREFS: tuple[str, ...] = ("index", "html")
+
+
+def opds_like_crosswalk(
+    t: pa.Table,
+    spec: CorpusSpec,
+    *,
+    variants_col: str = "formats",
+    format_prefs: tuple[str, ...] = DEFAULT_FORMAT_PREFS,
+    audio_prefs: tuple[str, ...] = AUDIO_FORMAT_PREFS,
+    is_audio_col: str | None = None,
+    base_url: str = "https://example.org/",
+    default_href: Callable[[dict], str] | None = None,
+) -> pa.Table:
+    """OPDS-publication projection with the reference's FALLBACK semantics
+    (/root/reference/search/crosswalks.py:144-204):
+
+    * ordered format-preference chain over a ``list<struct>`` variants
+      column — first variant whose ``filetype`` equals the most-preferred
+      available format wins (audio rows use the audio chain);
+    * relative ``filename``s resolve against ``base_url``; absolute http(s)
+      pass through;
+    * at least one acquisition link is GUARANTEED — rows with no matching
+      variant get the default-href fallback (:180-186);
+    * cover selection prefers ``cover.medium``, else the first ``cover``
+      (:190-205).
+
+    Applied to the final result page (≤ page_size rows), like the
+    reference's per-row ``_transform`` — not a corpus-scale stage."""
+    import json
+
+    n = t.num_rows
+    variants = (t[variants_col].to_pylist() if variants_col in t.column_names
+                else [None] * n)
+    audio = (t[is_audio_col].to_pylist() if is_audio_col and is_audio_col in t.column_names
+             else [False] * n)
+    id_vals = [t[c].to_pylist() for c in spec.id_cols]
+
+    def href_of(fn: str) -> str:
+        if fn.startswith(("http://", "https://")):
+            return fn
+        return base_url.rstrip("/") + "/" + fn.lstrip("/")
+
+    payloads: list[str] = []
+    for i in range(n):
+        fmts = variants[i] or []
+        prefs = audio_prefs if audio[i] else format_prefs
+        links: list[dict] = []
+        for want in prefs:
+            for f in fmts:
+                fn = (f or {}).get("filename")
+                if not fn:
+                    continue
+                if ((f.get("filetype") or "").strip().lower()) != want:
+                    continue
+                link = {
+                    "rel": "http://opds-spec.org/acquisition/open-access",
+                    "href": href_of(fn),
+                    "type": (f.get("mediatype") or "").strip() or "application/epub+zip",
+                }
+                if f.get("extent"):
+                    link["length"] = f["extent"]
+                links.append(link)
+                break
+            if links:
+                break
+        if not links:  # OPDS requires ≥1 acquisition link — synthesize default
+            row_ids = {c: id_vals[j][i] for j, c in enumerate(spec.id_cols)}
+            href = (default_href(row_ids) if default_href
+                    else href_of("items/" + "-".join(str(v) for v in row_ids.values())))
+            links.append({"rel": "http://opds-spec.org/acquisition/open-access",
+                          "href": href, "type": "text/html"})
+        images: list[dict] = []
+        for f in fmts:
+            ft = (f or {}).get("filetype") or ""
+            fn = (f or {}).get("filename")
+            if fn and ("cover.medium" in ft or ("cover" in ft and not images)):
+                images.append({"href": href_of(fn), "type": "image/jpeg"})
+                if "cover.medium" in ft:
+                    break
+        doc = {"links": links}
+        if images:
+            doc["images"] = images  # first plain cover + cover.medium, like :190-205
+        payloads.append(json.dumps(doc, sort_keys=True))
+
+    out = t.select([c for c in (*spec.id_cols, SCORE_COL) if c in t.column_names])
+    return out.append_column("opds", pa.array(payloads, type=pa.string()))
+
+
 Transformer = Callable[[pa.Table, CorpusSpec], pa.Table]
 
 

@@ -209,6 +209,9 @@ def build_index(
         read_cols = spec.read_cols
 
         def build_from_file(batch: pa.Table) -> pa.Table:
+            from ..stages.segment_build import limit_worker_arrow_threads
+
+            limit_worker_arrow_threads()
             outs = []
             for row in batch.to_pylist():
                 cached = builder.resume_partials(row["seg_id"], fp=row["seg_fp"])  # skips the read too
@@ -227,6 +230,9 @@ def build_index(
     else:
 
         def build_segment_group(group: pa.Table) -> pa.Table:
+            from ..stages.segment_build import limit_worker_arrow_threads
+
+            limit_worker_arrow_threads()
             return builder(group)
 
         term_partials = (
@@ -382,6 +388,9 @@ def compact_index(
     os.makedirs(out_dir, exist_ok=True)
 
     def merge_task(batch: pa.Table) -> pa.Table:
+        from ..stages.segment_build import limit_worker_arrow_threads
+
+        limit_worker_arrow_threads()
         outs = []
         for row in batch.to_pylist():
             outs.append(

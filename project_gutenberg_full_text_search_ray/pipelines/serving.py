@@ -28,6 +28,9 @@ from ..stages.segment_search import SEG_ID_COL, SEG_TOTAL_COL, SearchPlan, Segme
 @ray.remote
 class SearcherWorker:
     def __init__(self, index_dir: str, seg_ids: list[int]):
+        from ..stages.segment_build import limit_worker_arrow_threads
+
+        limit_worker_arrow_threads()  # N workers × full-size Arrow pools thrash
         self.inner = SegmentSearchActor(index_dir)
         self.seg_ids = seg_ids
 

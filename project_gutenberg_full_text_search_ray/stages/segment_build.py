@@ -40,6 +40,20 @@ SEG_COL = "__seg"
 DEFAULT_BLOCK_SIZE = 1024
 
 
+def limit_worker_arrow_threads() -> None:
+    """Call at the top of every CPU-heavy Ray task/actor method that uses
+    Arrow kernels.  Arrow sizes its default thread pool to ALL cores in
+    EVERY worker process, so N concurrent tasks spawn N×cores threads and
+    collapse under context-switch thrash (measured: 8 parallel segment
+    merges 28 s → 4.5 s wall once capped).  The parallelism axis is Ray
+    tasks; inside a task, one thread is right."""
+    import pyarrow as _pa
+
+    if _pa.cpu_count() != 1:
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(1)
+
+
 @dataclass
 class SegmentBuildResult:
     seg_id: int

@@ -99,7 +99,9 @@ def merge_segment_group(
 ) -> pa.Table:
     """Merge member segments into one; returns (term, df, cf) partials."""
     import os
+    import time as _time
 
+    _t0 = _time.monotonic()
     from ..state.manifest import seg_dir
 
     docs_tables = []
@@ -215,7 +217,8 @@ def merge_segment_group(
         index_dir_out, new_seg_id, merged_docs, postings, build_fp,
         id0_col=spec.id_cols[0],
         extra={"n_terms": int(len(term_starts)), "n_posting_entries": int(len(e_ord)),
-               "merged_from": list(member_seg_ids)},
+               "merged_from": list(member_seg_ids),
+               "build_ms": int((_time.monotonic() - _t0) * 1000)},
     )
     cf_per_term = (
         np.add.reduceat(tf.astype(np.int64), term_starts) if len(term_starts) else np.empty(0, np.int64)

@@ -598,7 +598,9 @@ def make_search_fn(plan: SearchPlan, index_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         from ..state.manifest import seg_dir
+        from .segment_build import limit_worker_arrow_threads
 
+        limit_worker_arrow_threads()
         tables = []
         for seg_id in batch["seg_id"].to_pylist():
             t = search_segment(seg_dir(index_dir, int(seg_id)), plan)

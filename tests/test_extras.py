@@ -445,3 +445,45 @@ def test_per_field_postings_semantics(ray_session, tmp_path):
     # mixed clause: body clause AND title clause (AND across .search calls)
     r5 = eng.execute(eng.query().search("alpha").search("report", field="title")[1, 10])
     assert sorted(r5.table["doc_id"].to_pylist()) == [0, 2]
+
+
+def test_opds_like_crosswalk_fallbacks():
+    """OPDS projection fidelity (reference crosswalks.py:144-204): ordered
+    format-preference chain, guaranteed acquisition link, relative-href
+    resolution, cover.medium preference."""
+    import json
+
+    from project_gutenberg_full_text_search_ray.corpus import CorpusSpec
+    from project_gutenberg_full_text_search_ray.crosswalks import opds_like_crosswalk
+
+    spec = CorpusSpec(("doc_id",), "text", (), "t")
+    fm = lambda ft, fn, **kw: {"filetype": ft, "filename": fn, "mediatype": kw.get("m"), "extent": kw.get("e")}
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "score": [1.0, 0.5, 0.3, 0.1],
+        "is_audio": [False, False, True, False],
+        "formats": [
+            # doc 1: epub3 present -> chosen over pdf despite list order
+            [fm("pdf.images", "a.pdf"), fm("epub3.images", "a.epub", m="application/epub+zip", e=123),
+             fm("cover.small", "c1.jpg"), fm("cover.medium", "c2.jpg")],
+            # doc 2: only a fallback format, absolute URL passes through
+            [fm("html", "https://cdn.example.com/b.html")],
+            # doc 3: audio -> 'index' preferred
+            [fm("index", "ix.html"), fm("epub3.images", "x.epub")],
+            # doc 4: nothing usable -> synthesized default link
+            [fm("weird", None)],
+        ],
+    }
+    t = pa.table(rows)
+    out = opds_like_crosswalk(t, spec, is_audio_col="is_audio", base_url="https://example.org/")
+    docs = [json.loads(s) for s in out["opds"].to_pylist()]
+    assert docs[0]["links"][0]["href"] == "https://example.org/a.epub"
+    assert docs[0]["links"][0]["length"] == 123
+    assert [i["href"] for i in docs[0]["images"]] == [
+        "https://example.org/c1.jpg", "https://example.org/c2.jpg"]  # plain cover then cover.medium
+    assert docs[1]["links"][0]["href"] == "https://cdn.example.com/b.html"
+    assert docs[2]["links"][0]["href"] == "https://example.org/ix.html"  # audio chain
+    assert docs[3]["links"][0] == {
+        "rel": "http://opds-spec.org/acquisition/open-access",
+        "href": "https://example.org/items/4", "type": "text/html"}
+    assert out.column_names == ["doc_id", "score", "opds"]
