@@ -110,62 +110,122 @@ def _join_args() -> dict:
         cpus = 8
     return {
         "num_partitions": max(2, min(16, cpus // 2)),
-        "aggregator_ray_remote_args": {"num_cpus": 0.25},
+        # fractional aggregator CPUs ONLY on small clusters (to keep chained
+        # joins schedulable at num_cpus=4); on real cores a 0.25-CPU
+        # aggregator pool throttles the shuffle to a quarter of the machine
+        "aggregator_ray_remote_args": {"num_cpus": 0.25 if cpus <= 8 else 1},
     }
+
+
+def _runs_pairs(ids_sorted: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                max_occupancy: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs within each run (ids sorted within runs) —
+    fully vectorized repeat/arange construction, no per-run Python."""
+    keep = lens >= 2
+    if max_occupancy is not None:
+        keep &= lens <= max_occupancy
+    starts, lens = starts[keep], lens[keep]
+    if not len(starts):
+        return ids_sorted[:0], ids_sorted[:0]
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    gidx = np.repeat(starts, lens) + pos  # global row index of each run element
+    cnt = np.repeat(lens, lens) - 1 - pos  # partners after each element
+    total = int(cnt.sum())
+    if total == 0:
+        return ids_sorted[:0], ids_sorted[:0]
+    a_idx = np.repeat(gidx, cnt)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+    b_idx = a_idx + off + 1
+    return ids_sorted[a_idx], ids_sorted[b_idx]
 
 
 def _candidate_pairs(
     keyed: rd.Dataset, id_col: str, key_col: str, max_occupancy: int | None,
 ) -> rd.Dataset:
-    """Distinct candidate pairs (id_a < id_b) among ids sharing a key —
-    fully vectorized: grouped COUNT → eligible-key semi-join (drops the
-    singleton keys that dominate the key space) → self-join on the key →
-    arrow filter.  Buckets above ``max_occupancy`` are skipped: a hot key
-    (stopword shingle, degenerate band) would otherwise cost O(occupancy²);
-    real near-dup pairs co-occur in their rare buckets too."""
-    counts = keyed.groupby(key_col).count()
-    hi = max_occupancy
+    """Distinct candidate pairs (id_a < id_b) among ids sharing a key.
 
-    def eligible_keys(b: pa.Table) -> pa.Table:
-        # filter ONLY — schema must stay identical to the input: Ray passes
-        # EMPTY blocks through map_batches without calling the UDF, so a
-        # schema-changing UDF yields mixed-schema datasets that crash the
-        # join aggregators; the projection below is a logical op instead
-        m = pc.greater_equal(b["count()"], 2)
-        if hi is not None:
-            m = pc.and_(m, pc.less_equal(b["count()"], hi))
-        return b.filter(m)
+    SORT-based (one range-partitioning exchange, then everything stays
+    vectorized inside blocks): ``sort(key)`` → per-block run-length pair
+    generation (repeat/arange construction — no per-group Python, no
+    self-join materialization) → the block-EDGE keys, whose runs may span
+    blocks, are re-emitted as (key, id) rows and pair-generated in a tiny
+    fixup (edge keys ≈ 2×blocks×occupancy rows) → grouped-COUNT dedupe.
 
-    # materialized: consumed by the emptiness guard AND the semi-join below
-    # (Ray's hash-shuffle join crashes on a fully-EMPTY side — schema never
-    # reaches the aggregators — so a 0-eligible-key run must short-circuit)
-    elig = _drop_empty_blocks(
-        counts.map_batches(eligible_keys, batch_format="pyarrow").select_columns([key_col])
-    )
+    Buckets above ``max_occupancy`` are skipped: a hot key (stopword
+    shingle, degenerate band) would otherwise cost O(occupancy²); real
+    near-dup pairs co-occur in their rare buckets too."""
     id_type = keyed.schema().base_schema.field(id_col).type
-    if elig.count() == 0:
-        return rd.from_arrow(pa.table({"id_a": pa.array([], type=id_type),
-                                       "id_b": pa.array([], type=id_type)}))
-    ja = _join_args()
-    # materialize the pruned side: the self-join consumes it twice, and the
-    # eligible subset is small (singleton keys — the vast majority — are gone)
-    keyed_m = _drop_empty_blocks(keyed)
-    pruned = _drop_empty_blocks(
-        keyed_m.join(elig, join_type="inner", on=(key_col,), **ja))
-    if pruned.count() == 0:
-        return rd.from_arrow(pa.table({"id_a": pa.array([], type=id_type),
-                                       "id_b": pa.array([], type=id_type)}))
-    joined = pruned.join(pruned, join_type="inner", on=(key_col,),
-                         left_suffix="_a", right_suffix="_b", **ja)
+    key_type = keyed.schema().base_schema.field(key_col).type
+    srt = keyed.sort(key_col)
 
-    ordered = (
-        joined.map_batches(  # filter only: schema-preserving (empty-block bypass)
-            lambda b: b.filter(pc.less(b[f"{id_col}_a"], b[f"{id_col}_b"])),
-            batch_format="pyarrow")
-        .select_columns([f"{id_col}_a", f"{id_col}_b"])
-        .rename_columns({f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
-    )
-    return _pair_dedupe(ordered)
+    def block_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type),
+                             "__bkey": pa.array([], type=key_type)})
+        sh = b[key_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        if len(sh) > 1:  # drop duplicate (key, id) rows — no self-pairs
+            keep = np.empty(len(sh), dtype=bool)
+            keep[0] = True
+            keep[1:] = (sh[1:] != sh[:-1]) | (ids[1:] != ids[:-1])
+            sh, ids = sh[keep], ids[keep]
+        edge = (sh == sh[0]) | (sh == sh[-1])
+        inner_sh, inner_ids = sh[~edge], ids[~edge]
+        if len(inner_sh):
+            run_first = np.empty(len(inner_sh), dtype=bool)
+            run_first[0] = True
+            np.not_equal(inner_sh[1:], inner_sh[:-1], out=run_first[1:])
+            starts = np.flatnonzero(run_first)
+            lens = np.diff(np.append(starts, len(inner_sh)))
+            pa_a, pa_b = _runs_pairs(inner_ids, starts, lens, max_occupancy)
+        else:
+            pa_a = pa_b = ids[:0]
+        n_pair, n_edge = len(pa_a), int(edge.sum())
+        return pa.table({
+            "id_a": pa.array(np.concatenate([pa_a, ids[edge]]), type=id_type),
+            "id_b": pa.concat_arrays([
+                pa.array(pa_b, type=id_type), pa.nulls(n_edge, type=id_type)]),
+            "__bkey": pa.concat_arrays([
+                pa.nulls(n_pair, type=key_type),
+                pa.array(sh[edge], type=key_type)]),
+        })
+
+    out = srt.map_batches(block_pairs, batch_format="pyarrow").materialize()
+    pairs = out.map_batches(
+        lambda b: b.filter(pc.is_valid(b["id_b"])), batch_format="pyarrow"
+    ).select_columns(["id_a", "id_b"])
+    # edge-key fixup: runs that may span block boundaries (tiny — collect)
+    edge_tabs = [t for t in ray.get(out.to_arrow_refs())
+                 if t.num_rows and "__bkey" in t.column_names]
+    edge_rows = (pa.concat_tables(
+        [t.filter(pc.is_valid(t["__bkey"])) for t in edge_tabs])
+        if edge_tabs else None)
+    if edge_rows is not None and edge_rows.num_rows:
+        sh = edge_rows["__bkey"].to_numpy(zero_copy_only=False)
+        ids = edge_rows["id_a"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        if len(sh) > 1:
+            keep = np.empty(len(sh), dtype=bool)
+            keep[0] = True
+            keep[1:] = (sh[1:] != sh[:-1]) | (ids[1:] != ids[:-1])
+            sh, ids = sh[keep], ids[keep]
+        run_first = np.empty(len(sh), dtype=bool)
+        run_first[0] = True
+        np.not_equal(sh[1:], sh[:-1], out=run_first[1:])
+        starts = np.flatnonzero(run_first)
+        lens = np.diff(np.append(starts, len(sh)))
+        ea, eb = _runs_pairs(ids, starts, lens, max_occupancy)
+        if len(ea):
+            pairs = pairs.union(rd.from_arrow(pa.table({
+                "id_a": pa.array(ea, type=id_type),
+                "id_b": pa.array(eb, type=id_type)})))
+    return _pair_dedupe(pairs)
 
 
 class VerifyJaccardStage:
