@@ -721,6 +721,70 @@ def q_contains_multi(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_sliding_window_counts(sf_dir: str) -> pa.Table:
+    """SLIDING-window aggregate (1 h windows every 15 min) over the events
+    stream: each event replicates into the 4 windows covering it (vectorized
+    epoch arithmetic in map_batches — the batch expression of a streaming
+    window), then ONE groupby.  Events-stream analog of the brief's
+    'windowed aggregate' custom operator."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    STEP = 15 * 60 * 1_000_000  # 15 min in µs
+    SPAN = 4  # windows covering each event (1 h / 15 min)
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // STEP) * STEP
+        starts = (base[:, None] - np.arange(SPAN, dtype=np.int64)[None, :] * STEP).ravel()
+        types = np.repeat(np.asarray(b["event_type"].to_pylist(), dtype=object), SPAN)
+        return pa.table({
+            "window_start": pa.array(starts, type=pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(list(types), type=pa.string()),
+        })
+
+    agg = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    return pa.table({
+        "window_start": pa.array(agg["window_start"]).cast(pa.timestamp("us")),
+        "event_type": pa.array(agg["event_type"]),
+        "n": pa.array(agg["n"], type=pa.int64()),
+    })
+
+
+def q_asof_prev_purchase(sf_dir: str) -> pa.Table:
+    """Distributed AS-OF join (stages/asof.py): for every event, the same
+    user's latest prior (inclusive) 'purchase' event — one sort exchange +
+    vectorized per-block forward fill with edge-key fixup."""
+    import ray.data as rd
+
+    from ..stages.asof import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    right = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow")
+    out = asof_join(
+        ev, right, by="user_id", on="ts", left_cols=["event_id"],
+        right_value_col="event_id", right_seq_col="event_id",
+        out_value_col="prev_purchase_id",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    prev = out["prev_purchase_id"].fillna(-1).astype("int64")  # no-match → -1
+    return pa.table({
+        "event_id": pa.array(out["event_id"], type=pa.int64()),
+        "prev_purchase_id": pa.array(prev, type=pa.int64()),
+    })
+
+
 def q_multimodal_decode(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: binary payload column → actor-pool decode stage →
     feature vectors (deterministic fake kernel; see stages/multimodal.py)."""
@@ -863,6 +927,33 @@ def q_regex_normalize(sf_dir: str) -> pa.Table:
         .sort_values("doc_id")
     )
     return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64()), "norm_text": pa.array(t["norm_text"])})
+
+
+def q_regex_extract(sf_dir: str) -> pa.Table:
+    """N3–N8 parser analog (reference MARC-subfield / publisher / credits
+    parsers, helpers.py + crosswalks): structured CAPTURE-GROUP extraction
+    via the vectorized Arrow RE2 kernel — first 'w<digits>' vocab token and
+    its numeric id per doc; both sides compile the same RE2."""
+    def extract(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["text"], pattern=r"(?P<word>w(?P<num>\d+))")
+        # sentinel-fill non-matches: driver value comparison is NaN-hostile
+        word = pc.coalesce(pc.struct_field(ex, "word"), pa.scalar(""))
+        num = pc.coalesce(pc.cast(pc.struct_field(ex, "num"), pa.int64()),
+                          pa.scalar(-1, type=pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"], "w_token": word, "w_num": num})
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 100)), batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"], type=pa.int64()),
+        "w_token": pa.array(t["w_token"], type=pa.string()),
+        "w_num": pa.array(t["w_num"], type=pa.int64()),
+    })
 
 
 def q_dedup_components(sf_dir: str) -> pa.Table:
@@ -1235,6 +1326,26 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     "fingerprints": _fingerprints_sql(limit_doc_id=50),
     "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
     "field_search": _FIELD_SEARCH_SQL,
+    "regex_extract": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "regexp_extract(text, 'w(\\d+)', 0) AS w_token, "
+        "COALESCE(TRY_CAST(nullif(regexp_extract(text, 'w(\\d+)', 1), '') AS BIGINT), -1) AS w_num "
+        "FROM documents WHERE doc_id < 100 ORDER BY doc_id"
+    ),
+    "sliding_window_counts": (
+        "WITH w AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 "
+        "- k * 900000000) AS window_start, event_type "
+        "FROM events, UNNEST(range(0, 4)) AS r(k)) "
+        "SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM w GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "asof_prev_purchase": (
+        "SELECT CAST(e.event_id AS BIGINT) AS event_id, "
+        "COALESCE(CAST((SELECT max_by(p.event_id, CAST(epoch_us(p.ts) AS HUGEINT) * 100000 + p.event_id) FROM events p "
+        "WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "
+        "AND p.ts <= e.ts) AS BIGINT), -1) AS prev_purchase_id "
+        "FROM events e ORDER BY event_id"
+    ),
 }
 
 QUERIES_EXTRAS = {
@@ -1264,6 +1375,9 @@ QUERIES_EXTRAS = {
     "contains_multi": q_contains_multi,
     "minhash_neardup": q_minhash_neardup,
     "field_search": q_field_search,
+    "asof_prev_purchase": q_asof_prev_purchase,
+    "sliding_window_counts": q_sliding_window_counts,
+    "regex_extract": q_regex_extract,
     # rows-only (no SQL-expressible oracle — randomized LSH planes / k-means
     # iterations / sha256-seeded fake decode; semantics asserted in pytest)
     "ann_lsh_topk": q_ann_lsh_topk,

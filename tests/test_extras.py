@@ -487,3 +487,47 @@ def test_opds_like_crosswalk_fallbacks():
         "rel": "http://opds-spec.org/acquisition/open-access",
         "href": "https://example.org/items/4", "type": "text/html"}
     assert out.column_names == ["doc_id", "score", "opds"]
+
+
+def test_asof_join_backward_inclusive(ray_session):
+    """AS-OF join semantics vs a brute-force reference, with block sizes
+    forced small so per-key timelines SPAN sorted blocks (edge-key fixup)."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from project_gutenberg_full_text_search_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    left_rows = [{"lid": i, "k": int(rng.integers(0, 5)), "t": int(rng.integers(0, 1000))}
+                 for i in range(n)]
+    right_rows = [{"rid": 10_000 + i, "k": int(rng.integers(0, 5)), "t": int(rng.integers(0, 1000))}
+                  for i in range(400)]
+    # planted: a right row exactly AT a left row's t (inclusive must match)
+    right_rows.append({"rid": 99_999, "k": left_rows[0]["k"], "t": left_rows[0]["t"]})
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024  # force many sorted blocks
+    try:
+        out = asof_join(
+            rd.from_items(left_rows), rd.from_items(right_rows),
+            by="k", on="t", left_cols=["lid"],
+            right_value_col="rid", right_seq_col="rid", out_value_col="prev_rid",
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+
+    # brute-force reference: max (t, rid) among same-key rights with t <= left t
+    by_key: dict = {}
+    for r in right_rows:
+        by_key.setdefault(r["k"], []).append((r["t"], r["rid"]))
+    exp = []
+    for l in left_rows:
+        cands = [(t, rid) for t, rid in by_key.get(l["k"], []) if t <= l["t"]]
+        exp.append(max(cands)[1] if cands else None)
+    got = [None if v != v else int(v) for v in out["prev_rid"]]  # NaN → None
+    assert len(got) == n
+    assert got == exp
+    assert exp.count(None) > 0  # some lefts precede every right
+    assert got[0] == 99_999  # inclusive: right at the exact same t matches
