@@ -143,6 +143,7 @@ def _runs_pairs(ids_sorted: np.ndarray, starts: np.ndarray, lens: np.ndarray,
 
 def _candidate_pairs(
     keyed: rd.Dataset, id_col: str, key_col: str, max_occupancy: int | None,
+    value_col: str | None = None,
 ) -> rd.Dataset:
     """Distinct candidate pairs (id_a < id_b) among ids sharing a key.
 
@@ -151,54 +152,96 @@ def _candidate_pairs(
     generation (repeat/arange construction — no per-group Python, no
     self-join materialization) → the block-EDGE keys, whose runs may span
     blocks, are re-emitted as (key, id) rows and pair-generated in a tiny
-    fixup (edge keys ≈ 2×blocks×occupancy rows) → grouped-COUNT dedupe.
+    fixup (edge keys ≈ 2×blocks×occupancy rows) → grouped dedupe.
+
+    ``value_col`` optionally rides along (e.g. a SimHash signature): pairs
+    come back with ``val_a``/``val_b`` gathered through the same indices.
 
     Buckets above ``max_occupancy`` are skipped: a hot key (stopword
     shingle, degenerate band) would otherwise cost O(occupancy²); real
     near-dup pairs co-occur in their rare buckets too."""
     id_type = keyed.schema().base_schema.field(id_col).type
     key_type = keyed.schema().base_schema.field(key_col).type
+    val_type = keyed.schema().base_schema.field(value_col).type if value_col else None
     srt = keyed.sort(key_col)
 
-    def block_pairs(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"id_a": pa.array([], type=id_type),
-                             "id_b": pa.array([], type=id_type),
-                             "__bkey": pa.array([], type=key_type)})
-        sh = b[key_col].to_numpy(zero_copy_only=False)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
+    def dedup_sorted(sh, ids, vals):
+        """lexsort by (key, id), drop duplicate (key, id) rows."""
         order = np.lexsort((ids, sh))
         sh, ids = sh[order], ids[order]
-        if len(sh) > 1:  # drop duplicate (key, id) rows — no self-pairs
+        vals = vals[order] if vals is not None else None
+        if len(sh) > 1:
             keep = np.empty(len(sh), dtype=bool)
             keep[0] = True
             keep[1:] = (sh[1:] != sh[:-1]) | (ids[1:] != ids[:-1])
             sh, ids = sh[keep], ids[keep]
-        edge = (sh == sh[0]) | (sh == sh[-1])
-        inner_sh, inner_ids = sh[~edge], ids[~edge]
-        if len(inner_sh):
-            run_first = np.empty(len(inner_sh), dtype=bool)
-            run_first[0] = True
-            np.not_equal(inner_sh[1:], inner_sh[:-1], out=run_first[1:])
-            starts = np.flatnonzero(run_first)
-            lens = np.diff(np.append(starts, len(inner_sh)))
-            pa_a, pa_b = _runs_pairs(inner_ids, starts, lens, max_occupancy)
-        else:
-            pa_a = pa_b = ids[:0]
-        n_pair, n_edge = len(pa_a), int(edge.sum())
-        return pa.table({
-            "id_a": pa.array(np.concatenate([pa_a, ids[edge]]), type=id_type),
+            vals = vals[keep] if vals is not None else None
+        return sh, ids, vals
+
+    def run_pair_idx(sh):
+        """(a_idx, b_idx) of all within-run pairs over rows sorted by key."""
+        run_first = np.empty(len(sh), dtype=bool)
+        run_first[0] = True
+        np.not_equal(sh[1:], sh[:-1], out=run_first[1:])
+        starts = np.flatnonzero(run_first)
+        lens = np.diff(np.append(starts, len(sh)))
+        return _runs_pairs(np.arange(len(sh), dtype=np.int64), starts, lens,
+                           max_occupancy)
+
+    def pair_cols(ids, vals, a_idx, b_idx, n_extra_edge=0, edge_ids=None,
+                  edge_sh=None, edge_vals=None):
+        n_pair = len(a_idx)
+        cols = {
+            "id_a": pa.concat_arrays([
+                pa.array(ids[a_idx], type=id_type),
+                pa.array(edge_ids if edge_ids is not None else ids[:0], type=id_type)]),
             "id_b": pa.concat_arrays([
-                pa.array(pa_b, type=id_type), pa.nulls(n_edge, type=id_type)]),
+                pa.array(ids[b_idx], type=id_type),
+                pa.nulls(n_extra_edge, type=id_type)]),
             "__bkey": pa.concat_arrays([
                 pa.nulls(n_pair, type=key_type),
-                pa.array(sh[edge], type=key_type)]),
-        })
+                pa.array(edge_sh if edge_sh is not None else np.empty(0, dtype=object)[:0],
+                         type=key_type)]),
+        }
+        if value_col:
+            cols["val_a"] = pa.concat_arrays([
+                pa.array(vals[a_idx], type=val_type), pa.nulls(n_extra_edge, type=val_type)])
+            cols["val_b"] = pa.concat_arrays([
+                pa.array(vals[b_idx], type=val_type), pa.nulls(n_extra_edge, type=val_type)])
+            cols["__bval"] = pa.concat_arrays([
+                pa.nulls(n_pair, type=val_type),
+                pa.array(edge_vals if edge_vals is not None else (vals[:0] if vals is not None else []),
+                         type=val_type)])
+        return pa.table(cols)
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return pair_cols(empty, empty if value_col else None, empty, empty)
+        sh = b[key_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        vals = b[value_col].to_numpy(zero_copy_only=False) if value_col else None
+        sh, ids, vals = dedup_sorted(sh, ids, vals)
+        edge = (sh == sh[0]) | (sh == sh[-1])
+        inner = ~edge
+        if inner.any():
+            a_idx, b_idx = run_pair_idx(sh[inner])
+            in_ids = ids[inner]
+            in_vals = vals[inner] if vals is not None else None
+        else:
+            a_idx = b_idx = np.empty(0, dtype=np.int64)
+            in_ids = ids[:0]
+            in_vals = vals[:0] if vals is not None else None
+        return pair_cols(in_ids, in_vals, a_idx, b_idx,
+                         n_extra_edge=int(edge.sum()), edge_ids=ids[edge],
+                         edge_sh=sh[edge],
+                         edge_vals=vals[edge] if vals is not None else None)
 
     out = srt.map_batches(block_pairs, batch_format="pyarrow").materialize()
+    keep_cols = ["id_a", "id_b"] + (["val_a", "val_b"] if value_col else [])
     pairs = out.map_batches(
         lambda b: b.filter(pc.is_valid(b["id_b"])), batch_format="pyarrow"
-    ).select_columns(["id_a", "id_b"])
+    ).select_columns(keep_cols)
     # edge-key fixup: runs that may span block boundaries (tiny — collect)
     edge_tabs = [t for t in ray.get(out.to_arrow_refs())
                  if t.num_rows and "__bkey" in t.column_names]
@@ -208,23 +251,20 @@ def _candidate_pairs(
     if edge_rows is not None and edge_rows.num_rows:
         sh = edge_rows["__bkey"].to_numpy(zero_copy_only=False)
         ids = edge_rows["id_a"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, sh))
-        sh, ids = sh[order], ids[order]
-        if len(sh) > 1:
-            keep = np.empty(len(sh), dtype=bool)
-            keep[0] = True
-            keep[1:] = (sh[1:] != sh[:-1]) | (ids[1:] != ids[:-1])
-            sh, ids = sh[keep], ids[keep]
-        run_first = np.empty(len(sh), dtype=bool)
-        run_first[0] = True
-        np.not_equal(sh[1:], sh[:-1], out=run_first[1:])
-        starts = np.flatnonzero(run_first)
-        lens = np.diff(np.append(starts, len(sh)))
-        ea, eb = _runs_pairs(ids, starts, lens, max_occupancy)
-        if len(ea):
-            pairs = pairs.union(rd.from_arrow(pa.table({
-                "id_a": pa.array(ea, type=id_type),
-                "id_b": pa.array(eb, type=id_type)})))
+        vals = edge_rows["__bval"].to_numpy(zero_copy_only=False) if value_col else None
+        sh, ids, vals = dedup_sorted(sh, ids, vals)
+        a_idx, b_idx = run_pair_idx(sh)
+        if len(a_idx):
+            fcols = {"id_a": pa.array(ids[a_idx], type=id_type),
+                     "id_b": pa.array(ids[b_idx], type=id_type)}
+            if value_col:
+                fcols["val_a"] = pa.array(vals[a_idx], type=val_type)
+                fcols["val_b"] = pa.array(vals[b_idx], type=val_type)
+            pairs = pairs.union(rd.from_arrow(pa.table(fcols)))
+    if value_col:
+        # values are functions of the id, so MIN just picks the value
+        agg = pairs.groupby(["id_a", "id_b"]).min(["val_a", "val_b"])
+        return agg.rename_columns({"min(val_a)": "val_a", "min(val_b)": "val_b"})
     return _pair_dedupe(pairs)
 
 
@@ -407,71 +447,53 @@ def minhash_lsh_pairs(
 def simhash_pairs(
     ds: rd.Dataset, text_col: str, id_col: str, *, max_hamming: int = 8,
     analyzer: Analyzer = DEFAULT_ANALYZER,
+    max_bucket_occupancy: int | None = 65_536,
 ) -> rd.Dataset:
     """SimHash near-dup pairs: 64-bit signature per doc, block on 4×16-bit
     bands (any doc pair within Hamming ≤ 16/band-count shares ≥1 exact band),
-    verify Hamming inside buckets.  Only (id, band_key, sig8bytes) is
-    shuffled — text stays at rest."""
+    Hamming verified with a vectorized popcount.  Only (id, band_key,
+    sig8bytes) is shuffled — text stays at rest; candidates come from the
+    same sort-based run generator as the other dedup operators, with the
+    signature riding along as the value column."""
 
     def sig_fn(batch: pa.Table) -> pa.Table:
         sigs = [simhash64(analyzer.tokenize(t or "")) for t in batch[text_col].to_pylist()]
-        return pa.table({id_col: batch[id_col], "sim": pa.array(sigs, type=pa.uint64())})
+        # int64 reinterpret of the uint64 signature: transport-friendly
+        sv = np.array(sigs, dtype=np.uint64).view(np.int64)
+        return pa.table({id_col: batch[id_col], "sim": pa.array(sv, type=pa.int64())})
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        sigs = batch["sim"].to_pylist()
+        sigs = batch["sim"].to_numpy(zero_copy_only=False)
+        usigs = sigs.view(np.uint64)
         oi, ob, os_ = [], [], []
-        for i, s in enumerate(sigs):
+        for i in range(len(ids)):
+            u = int(usigs[i])
             for b in range(4):
                 oi.append(ids[i])
-                ob.append(f"{b}:{(s >> (16 * b)) & 0xFFFF}")
-                os_.append(s)
+                ob.append(f"{b}:{(u >> (16 * b)) & 0xFFFF}")
+                os_.append(int(sigs[i]))
         return pa.table({id_col: pa.array(oi, type=batch[id_col].type),
-                         "band_key": pa.array(ob), "sim": pa.array(os_, type=pa.uint64())})
+                         "band_key": pa.array(ob), "sim": pa.array(os_, type=pa.int64())})
 
     keyed = ds.map_batches(sig_fn, batch_format="pyarrow").map_batches(
         explode, batch_format="pyarrow")
-    counts = keyed.groupby("band_key").count()
-    elig = _drop_empty_blocks(
-        counts.map_batches(
-            lambda b: b.filter(pc.greater_equal(b["count()"], 2)),
-            batch_format="pyarrow").select_columns(["band_key"])
-    )
-    id_type = keyed.schema().base_schema.field(id_col).type
-
-    def empty_out() -> rd.Dataset:
-        return rd.from_arrow(pa.table({"id_a": pa.array([], type=id_type),
-                                       "id_b": pa.array([], type=id_type),
-                                       "hamming": pa.array([], type=pa.int64())}))
-
-    if elig.count() == 0:
-        return empty_out()
-    ja = _join_args()
-    pruned = _drop_empty_blocks(
-        _drop_empty_blocks(keyed).join(elig, join_type="inner", on=("band_key",), **ja))
-    if pruned.count() == 0:
-        return empty_out()
-    joined = pruned.join(pruned, join_type="inner", on=("band_key",),
-                         left_suffix="_a", right_suffix="_b", **ja)
+    cands = _candidate_pairs(keyed, id_col, "band_key", max_bucket_occupancy,
+                             value_col="sim")
 
     def ham(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.less(b[f"{id_col}_a"], b[f"{id_col}_b"]))
-        sa = t["sim_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        sb = t["sim_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sa = b["val_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = b["val_b"].to_numpy(zero_copy_only=False).view(np.uint64)
         x = np.bitwise_xor(sa, sb)
         # vectorized popcount: xor'd uint64s viewed as bytes, unpacked, summed
-        h = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1) \
-            if len(x) else np.empty(0, dtype=np.int64)
+        h = (np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+             if len(x) else np.empty(0, dtype=np.int64))
         keep = h <= max_hamming
-        t = t.filter(pa.array(keep))
-        return pa.table({"id_a": t[f"{id_col}_a"], "id_b": t[f"{id_col}_b"],
+        t = b.filter(pa.array(keep))
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                          "hamming": pa.array(h[keep].astype(np.int64))})
 
-    pairs = joined.map_batches(ham, batch_format="pyarrow")
-    return (
-        pairs.groupby(["id_a", "id_b"]).min("hamming")
-        .rename_columns({"min(hamming)": "hamming"})
-    )
+    return cands.map_batches(ham, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
