@@ -1409,6 +1409,11 @@ QUERIES = {
 QUERIES.update(QUERIES_EXTRAS)
 ORACLE_SQL.update(ORACLE_SQL_EXTRAS)
 
+from .driver_nested import ORACLE_SQL_NESTED, QUERIES_NESTED  # noqa: E402
+
+QUERIES.update(QUERIES_NESTED)
+ORACLE_SQL.update(ORACLE_SQL_NESTED)
+
 
 def oracle_sql_all() -> dict[str, str]:
     """All oracle SQL, including entries whose SQL embeds a generated-fixture

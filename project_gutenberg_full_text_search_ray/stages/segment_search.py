@@ -49,7 +49,8 @@ class FilterSpec:
     ``add_filter`` clauses F1–F16 (full_text_search.py:105-263)."""
 
     col: str
-    op: str  # == != > >= < <= in not_in between startswith substr isnull notnull
+    op: str  # == != > >= < <= in not_in between startswith substr isnull
+    #          notnull any_eq struct_any udf
     value: Any = None
 
 
@@ -68,6 +69,28 @@ def apply_filters(table: pa.Table, filters: list[FilterSpec]) -> np.ndarray:
         col = table[f.col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if f.op in ("any_eq", "struct_any"):
+            # F10–F15 jsonb-containment analogs (full_text_search.py:215-253):
+            # list<T> / list<struct> columns, "does ANY element match".
+            # Vectorized: elementwise compare on the flat child buffer, then
+            # scatter matches back to parent rows via list_parent_indices.
+            # list_flatten + list_parent_indices are length-aligned (both skip
+            # NULL list slots), unlike raw .values which spans them
+            flat = pc.list_flatten(col)
+            parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+            if f.op == "any_eq":
+                m_flat = pc.equal(flat, pa.scalar(f.value).cast(flat.type))
+            else:  # struct_any: value is {field: wanted}; element matches ALL
+                m_flat = None
+                for fld, want in f.value.items():
+                    child = pc.struct_field(flat, fld)
+                    m1 = pc.equal(child, pa.scalar(want).cast(child.type))
+                    m_flat = m1 if m_flat is None else pc.and_(m_flat, m1)
+            m_np_flat = pc.fill_null(m_flat, False).to_numpy(zero_copy_only=False)
+            m_np = np.zeros(table.num_rows, dtype=bool)
+            m_np[parent[m_np_flat]] = True
+            mask &= m_np
+            continue
         if f.op == "isnull":
             m = pc.is_null(col)
         elif f.op == "notnull":

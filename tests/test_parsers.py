@@ -1,0 +1,121 @@
+"""Parser-kernel (N3–N8) and nested-containment (F10–F15) unit tests.
+
+DuckDB is the semantics oracle for every kernel that claims DuckDB parity
+(split_part / concat_ws / regexp-split / html-escape chain / json path)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from project_gutenberg_full_text_search_ray.functions import parsers as P
+from project_gutenberg_full_text_search_ray.stages.segment_search import FilterSpec, apply_filters
+
+VALS = ["a b c", "one", "", None, "x  y", "alpha beta gamma delta",
+        "Updated: 2020 foo", "pre Updated: 2021", " lead trail "]
+
+
+def _duck_col(vals, expr):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    for v in vals:
+        con.execute("INSERT INTO t VALUES (?)", [v])
+    return [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+
+
+def test_split_part_matches_duckdb():
+    col = pa.array(VALS, type=pa.string())
+    for n in (1, 2, 3, 5):
+        mine = P.split_part(col, " ", n).to_pylist()
+        exp = _duck_col(VALS, f"split_part(s, ' ', {n})")
+        assert mine == exp, f"n={n}"
+
+
+def test_regexp_split_first_matches_duckdb():
+    col = pa.array(VALS, type=pa.string())
+    mine = P.regexp_split_first(col, "Updated:").to_pylist()
+    exp = _duck_col(VALS, "regexp_split_to_array(s, 'Updated:')[1]")
+    assert mine == exp
+    # NULL input stays NULL (list-function semantics, unlike split_part)
+    assert mine[3] is None
+
+
+def test_parse_struct_fields():
+    st = P.parse_struct_fields(pa.array(["a b c d", "only", None]))
+    assert st.to_pylist() == [
+        {"a": "a", "b": "b", "c": "c"},
+        {"a": "only", "b": "", "c": ""},
+        {"a": "", "b": "", "c": ""},
+    ]
+
+
+def test_concat_ws_skips_nulls_like_duckdb():
+    a = pa.array(["x", None, "z", None])
+    b = pa.array(["1", "2", None, None])
+    mine = P.concat_ws("|", a, b).to_pylist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    for x, y in zip(a.to_pylist(), b.to_pylist()):
+        con.execute("INSERT INTO t VALUES (?, ?)", [x, y])
+    exp = [r[0] for r in con.execute("SELECT concat_ws('|', a, b) FROM t").fetchall()]
+    assert mine == exp == ["x|1", "2", "z", ""]
+
+
+def test_html_escape_matches_stdlib_and_sql():
+    import html
+
+    raw = ['<a href="x">&\'hi\'</a>', "plain", "&&<<"]
+    col = pa.array(raw)
+    mine = P.html_escape(col).to_pylist()
+    assert mine == [html.escape(s) for s in raw]
+    exp = _duck_col(raw, P.html_escape_sql("s"))
+    assert mine == exp
+
+
+def test_json_extract_int():
+    col = pa.array(['{"k": 87}', '{"k": -3, "m": 1}', '{"m": 5}', None,
+                    '{ "k" : 12 }', '{"k": "str"}'])
+    got = P.json_extract_int(col, "k").to_pylist()
+    assert got == [87, -3, None, None, 12, None]
+
+
+def test_any_eq_filter():
+    tags = pa.array([["a", "b"], [], None, ["c"], ["b", "b"]],
+                    type=pa.list_(pa.string()))
+    t = pa.table({"tags": tags, "i": list(range(5))})
+    mask = apply_filters(t, [FilterSpec("tags", "any_eq", "b")])
+    assert mask.tolist() == [True, False, False, False, True]
+
+
+def test_struct_any_filter():
+    typ = pa.list_(pa.struct([("cid", pa.int64()), ("role", pa.string())]))
+    creators = pa.array([
+        [{"cid": 1, "role": "author"}, {"cid": 3, "role": "editor"}],
+        [{"cid": 3, "role": "author"}],  # right cid, wrong role
+        [],
+        None,
+        [{"cid": 3, "role": "editor"}],
+    ], type=typ)
+    t = pa.table({"creators": creators, "i": list(range(5))})
+    mask = apply_filters(t, [FilterSpec("creators", "struct_any",
+                                        {"cid": 3, "role": "editor"})])
+    assert mask.tolist() == [True, False, False, False, True]
+
+
+def test_struct_any_composes_with_other_filters():
+    typ = pa.list_(pa.struct([("cid", pa.int64())]))
+    t = pa.table({
+        "c": pa.array([[{"cid": 1}], [{"cid": 1}], [{"cid": 2}]], type=typ),
+        "n": [10, 20, 30],
+    })
+    mask = apply_filters(t, [FilterSpec("c", "struct_any", {"cid": 1}),
+                             FilterSpec("n", ">=", 15)])
+    assert mask.tolist() == [False, True, False]
+
+
+def test_chunked_list_column():
+    a1 = pa.array([["x"], ["y"]], type=pa.list_(pa.string()))
+    a2 = pa.array([["x", "z"]], type=pa.list_(pa.string()))
+    t = pa.table({"tags": pa.chunked_array([a1, a2]), "i": [0, 1, 2]})
+    mask = apply_filters(t, [FilterSpec("tags", "any_eq", "x")])
+    assert mask.tolist() == [True, False, True]
