@@ -27,6 +27,7 @@ from .pipelines.batch_search import (
     export_results_parquet,
     finalize_batch_results,
 )
+from .pipelines.http_api import SearchAPI, SearchHTTPServer
 from .pipelines.serving import SearchService
 from .stages.segment_search import FilterSpec
 
@@ -48,6 +49,8 @@ __all__ = [
     "FilterSpec",
     "RELEVANCE",
     "RANDOM",
+    "SearchAPI",
+    "SearchHTTPServer",
     "SearchService",
     "batch_search_dataset",
     "finalize_batch_results",

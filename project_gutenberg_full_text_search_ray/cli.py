@@ -8,6 +8,7 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli search INDEX_DIR QUERY [--page N] [--size N]
         [--filter col:op:value ...] [--order col|relevance|random] [--asc] [--count-only]
     python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
+    python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
 """
 
 from __future__ import annotations
@@ -52,7 +53,30 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
 
+    sv = sub.add_parser("serve")
+    sv.add_argument("index_dir")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--workers", type=int, default=0,
+                    help="actor-pool workers; 0 = in-process engine")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .pipelines.http_api import SearchHTTPServer
+        from .pipelines.search import FullTextSearchEngine
+        from .pipelines.serving import SearchService
+
+        _ray_up()
+        eng = FullTextSearchEngine(args.index_dir)
+        backend = SearchService(eng, n_workers=args.workers) if args.workers else eng
+        srv = SearchHTTPServer(backend, host=args.host, port=args.port).start()
+        print(json.dumps({"serving": srv.url}), flush=True)
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.close()
+        return 0
 
     if args.cmd == "build":
         from .corpus import DOCUMENTS_SPEC, TRANSCRIPTS_SPEC

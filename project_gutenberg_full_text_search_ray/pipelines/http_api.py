@@ -1,0 +1,220 @@
+"""HTTP JSON facade — S6 / SURVEY §2.10, the thin API layer over the engine.
+
+The reference serves search through CherryPy endpoints returning JSON feeds
+(/root/reference/opds/opds.py: ``search`` :964-1069, index feed :286-352,
+``json_out`` everywhere, server boot :1185-1194).  This module is the same
+surface on the Python stdlib (``http.server.ThreadingHTTPServer`` — no
+third-party web framework in the sandbox), kept deliberately thin: parse
+params → build a ``SearchQuery`` → ``execute`` → JSON feed.  The engine (or
+the ``SearchService`` actor pool) stays the only stateful component.
+
+Contract parity with the reference:
+  * pagination params ``page``/``limit``, default 28, clamped to 1–100
+    (opds.py:55-60; same clamp as the engine's ``q[page, limit]``)
+  * ``field`` selects search type + field: ``fts_<f>``, ``fuzzy_<f>``,
+    ``contains_<f>`` prefixes; bare/``keyword`` = whole-doc FTS; unknown
+    fields fall back to whole-doc (opds.py:25-38 ``_parse_field``)
+  * ``sort``/``sort_order`` — empty = relevance when a query is present
+    (opds.py:88-103 ``_apply_sort``)
+  * arbitrary metadata equality filters as ``f.<col>=<value>`` params (the
+    lang/copyrighted/audiobook filter family, opds.py:69-86)
+  * feeds carry ``self``/``next``/``previous`` pagination links
+    (opds.py:105-139)
+  * errors are JSON with an HTTP status, 500 on engine failure
+    (opds.py:1011-1013)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlencode, urlparse
+
+import pyarrow as pa
+
+DEFAULT_LIMIT = 28
+MAX_LIMIT = 100
+
+
+def parse_pagination(page, limit, default_limit: int = DEFAULT_LIMIT) -> tuple[int, int]:
+    """Clamp exactly like the reference (opds.py:55-60)."""
+    try:
+        return max(1, int(page)), max(1, min(MAX_LIMIT, int(limit)))
+    except (ValueError, TypeError):
+        return 1, default_limit
+
+
+def parse_field(field: str) -> tuple[str | None, str]:
+    """``field`` param → (field_name | None, search_mode).
+
+    Mirrors opds.py:25-38: ``fts_``/``fuzzy_``/``contains_`` prefix picks the
+    mode, the rest names the field; ``keyword``/empty means whole-doc."""
+    mode = "fts"
+    name = field or "keyword"
+    for prefix in ("fts_", "fuzzy_", "contains_"):
+        if name.startswith(prefix):
+            mode, name = prefix[:-1], name[len(prefix):]
+            break
+    if name in ("keyword", "", "book"):
+        return None, mode
+    return name, mode
+
+
+def _json_rows(table: pa.Table) -> list[dict]:
+    rows = table.to_pylist()
+    out = []
+    for r in rows:
+        out.append({k: (v if isinstance(v, (str, int, float, bool, type(None), list, dict))
+                        else str(v)) for k, v in r.items()})
+    return out
+
+
+class SearchAPI:
+    """Framework-free request handling so it can be tested without sockets.
+
+    ``backend`` is anything with ``query()`` and ``execute(q) -> SearchResult``
+    — a ``FullTextSearchEngine`` or a ``SearchService`` wrapper."""
+
+    def __init__(self, backend, title: str = "project-gutenberg-fts-ray"):
+        self.backend = backend
+        self.title = title
+
+    # ------------------------------------------------------------ endpoints
+    def index(self) -> dict:
+        """Service feed — the opds.py:286-352 root-feed analog."""
+        return {
+            "title": self.title,
+            "links": [
+                {"rel": "self", "href": "/"},
+                {"rel": "search", "href": "/search?query={searchTerms}"},
+                {"rel": "count", "href": "/count?query={searchTerms}"},
+            ],
+        }
+
+    def search(self, params: dict) -> dict:
+        query = (params.get("query") or "").strip()
+        page, limit = parse_pagination(params.get("page", 1),
+                                       params.get("limit", DEFAULT_LIMIT))
+        field_name, mode = parse_field(params.get("field", ""))
+        sort = params.get("sort", "")
+        sort_order = params.get("sort_order", "")
+
+        q = self.backend.query()
+        if query:
+            if mode == "fuzzy":
+                for term in query.split():
+                    q.search_fuzzy(term)
+            elif mode == "contains":
+                q.search_contains(query)
+            else:
+                try:
+                    q.search(query, field=field_name)
+                except (KeyError, ValueError):
+                    # unknown field → whole-doc, like opds.py:36-37
+                    q.search(query)
+        for key, val in params.items():
+            if key.startswith("f."):
+                q.eq(key[2:], _coerce(val))
+        if sort:
+            q.order_by(sort, descending=(sort_order != "asc"))
+        q[page, limit]
+
+        result = self.backend.execute(q)
+        feed = {
+            "title": self.title,
+            "query": query,
+            "total": int(result.total),
+            "page": page,
+            "limit": limit,
+            "results": _json_rows(result.table),
+            "links": self._pagination_links("/search", params, page, limit,
+                                            int(result.total)),
+        }
+        return feed
+
+    def count(self, params: dict) -> dict:
+        feed = self.search({**params, "limit": "1", "page": "1"})
+        return {"query": feed["query"], "total": feed["total"]}
+
+    # ------------------------------------------------------------ plumbing
+    def _pagination_links(self, path: str, params: dict, page: int,
+                          limit: int, total: int) -> list[dict]:
+        def url(p: int) -> str:
+            qp = {**params, "page": p, "limit": limit}
+            return f"{path}?{urlencode(qp)}"
+
+        links = [{"rel": "self", "href": url(page)}]
+        if page * limit < total:
+            links.append({"rel": "next", "href": url(page + 1)})
+        if page > 1:
+            links.append({"rel": "previous", "href": url(page - 1)})
+        return links
+
+    def handle(self, path: str, params: dict) -> tuple[int, dict]:
+        try:
+            if path in ("/", "/index"):
+                return 200, self.index()
+            if path == "/search":
+                return 200, self.search(params)
+            if path == "/count":
+                return 200, self.count(params)
+            return 404, {"error": f"no such endpoint: {path}"}
+        except Exception as e:  # opds.py:1011-1013 → HTTPError(500)
+            return 500, {"error": f"search failed: {e}"}
+
+
+def _coerce(v: str):
+    """Filter values arrive as strings; try numeric so ``f.turn_idx=3`` works
+    against int columns (Arrow equality does not coerce across types)."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
+class SearchHTTPServer:
+    """ThreadingHTTPServer wrapper: ``start()`` → serve on a background
+    thread, ``close()`` → shut down.  Port 0 picks a free port."""
+
+    def __init__(self, backend, host: str = "127.0.0.1", port: int = 0,
+                 title: str = "project-gutenberg-fts-ray"):
+        api = SearchAPI(backend, title=title)
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                parsed = urlparse(self.path)
+                params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                status, payload = api.handle(parsed.path, params)
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.api = api
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "SearchHTTPServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        name="pgfts-http", daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

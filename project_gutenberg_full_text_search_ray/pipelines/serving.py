@@ -93,6 +93,11 @@ class SearchService:
     def workers(self):  # backwards-compat: first replica
         return self.pools[0] if self.pools else []
 
+    def query(self, *a, **kw):
+        """Builder passthrough so callers (e.g. the HTTP facade) can treat a
+        service exactly like an engine."""
+        return self.engine.query(*a, **kw)
+
     def _run(self, q: SearchQuery, k: int):
         plan = self.engine.build_plan(q, k)
         with self._lock:

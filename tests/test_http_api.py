@@ -1,0 +1,93 @@
+"""HTTP JSON facade (S6/§2.10): real sockets via ThreadingHTTPServer, result
+parity with direct engine execution, reference pagination clamps."""
+
+import json
+import urllib.request
+
+import pytest
+
+from project_gutenberg_full_text_search_ray.pipelines.http_api import (
+    SearchAPI, SearchHTTPServer, parse_field, parse_pagination)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = SearchHTTPServer(engine).start()
+    yield srv
+    srv.close()
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(srv.url + path, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_pagination_clamps_match_reference():
+    # opds.py:55-60: default 28, clamp 1..100
+    assert parse_pagination(None, None) == (1, 28)
+    assert parse_pagination(0, 0) == (1, 1)
+    assert parse_pagination(3, 500) == (3, 100)
+    assert parse_pagination("x", "y") == (1, 28)
+
+
+def test_parse_field():
+    assert parse_field("") == (None, "fts")
+    assert parse_field("keyword") == (None, "fts")
+    assert parse_field("fts_text") == ("text", "fts")
+    assert parse_field("fuzzy_keyword") == (None, "fuzzy")
+    assert parse_field("contains_text") == ("text", "contains")
+
+
+def test_index_feed(server):
+    status, feed = _get(server, "/")
+    assert status == 200
+    rels = {l["rel"] for l in feed["links"]}
+    assert {"self", "search"} <= rels
+
+
+def test_search_parity_with_engine(server, engine):
+    status, feed = _get(server, "/search?query=w00001&page=1&limit=10")
+    assert status == 200
+    res = engine.execute(engine.query().search("w00001")[1, 10])
+    assert feed["total"] == res.total
+    assert [r[c] for r in feed["results"] for c in ("conv_id", "turn_idx")] == \
+           [r[c] for r in res.table.to_pylist() for c in ("conv_id", "turn_idx")]
+
+
+def test_search_filter_param(server, engine):
+    status, feed = _get(server, "/search?query=w00001&f.role=assistant&limit=100")
+    assert status == 200
+    res = engine.execute(engine.query().search("w00001").eq("role", "assistant")[1, 100])
+    assert feed["total"] == res.total
+    assert all(r["role"] == "assistant" for r in feed["results"])
+
+
+def test_pagination_links(server):
+    _, p1 = _get(server, "/search?query=the&page=1&limit=5")
+    rels = {l["rel"] for l in p1["links"]}
+    assert "self" in rels and "previous" not in rels
+    if p1["total"] > 5:
+        assert "next" in rels
+    _, p2 = _get(server, "/search?query=the&page=2&limit=5")
+    assert "previous" in {l["rel"] for l in p2["links"]}
+
+
+def test_count_endpoint(server, engine):
+    _, c = _get(server, "/count?query=w00001")
+    assert c["total"] == engine.count(engine.query().search("w00001")[1, 1])
+
+
+def test_zero_match_and_errors(server):
+    status, feed = _get(server, "/search?query=zzzznotaword")
+    assert status == 200 and feed["total"] == 0 and feed["results"] == []
+    status, err = _get(server, "/nope")
+    assert status == 404 and "error" in err
+
+
+def test_api_handle_without_sockets(engine):
+    api = SearchAPI(engine)
+    status, feed = api.handle("/search", {"query": "w00001", "limit": "3"})
+    assert status == 200 and len(feed["results"]) <= 3
