@@ -485,15 +485,24 @@ def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
 
 
 def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF ANN (coarse k-means lists + probe) — rows-only check; recall vs
-    the exact baseline asserted in pytest."""
+    """IVF ANN via the PERSISTED index (stages/similarity.py::IVFIndex):
+    build-or-reuse the partitioned list layout under /tmp (keyed by input
+    fingerprint), then answer with a partition-pruned read of only the probed
+    lists.  Rows-only check; recall + persisted==in-memory identity asserted
+    in pytest."""
     import ray.data as rd
-    from ..stages.similarity import ivf_topk
+    from ..stages.similarity import IVFIndex
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    return ivf_topk(ds, "embedding", "vec_id", np.asarray([q_vec]), k=10, exclude_ids={0})
+    fp = parquet_input_fingerprint([emb_path])
+    ivf_dir = os.path.join(INDEX_CACHE_ROOT, f"ivf_{fp}")
+    if os.path.exists(os.path.join(ivf_dir, "meta.json")):
+        idx = IVFIndex(ivf_dir)
+    else:
+        ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        idx = IVFIndex.build(ds, "embedding", "vec_id", ivf_dir)
+    return idx.topk(np.asarray([q_vec]), k=10, n_probe=2, exclude_ids={0})
 
 
 def q_window_counts(sf_dir: str) -> pa.Table:

@@ -25,7 +25,11 @@ from .search import SearchQuery, SearchResult, _merge_comparator_indices
 from ..stages.segment_search import SEG_ID_COL, SEG_TOTAL_COL, SearchPlan, SegmentSearchActor
 
 
-@ray.remote
+# Serving must survive worker loss on a long-lived cluster: searches are
+# read-only and idempotent, so a crashed worker is transparently restarted
+# (cold caches re-fill from the index on demand) and the in-flight call is
+# retried on the new incarnation.
+@ray.remote(max_restarts=4, max_task_retries=2)
 class SearcherWorker:
     def __init__(self, index_dir: str, seg_ids: list[int]):
         from ..stages.segment_build import limit_worker_arrow_threads

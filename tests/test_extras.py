@@ -243,6 +243,36 @@ def test_ivf_recall_vs_exact(ray_session):
     assert len(set(exact[:3]) & set(approx)) >= 1  # the near-neighbors live in probed lists
 
 
+def test_ivf_persisted_index_prunes_and_matches_inmemory(ray_session, tmp_path):
+    """Persisted IVFIndex: (a) a query reads only its probed list partitions
+    (directory pruning), (b) the persisted answer is identical to the
+    in-memory ivf_topk with the same centroids, (c) a cold reload from disk
+    answers identically."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.similarity import IVFIndex, ivf_topk
+
+    emb_path = os.path.join(SF, "embeddings.parquet")
+    q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
+    Q = np.asarray([q_vec])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    idx = IVFIndex.build(ds, "embedding", "vec_id", str(tmp_path / "ivf"), n_lists=8)
+    paths = idx.probe_paths(Q, n_probe=2)
+    assert 1 <= len(paths) <= 2 < idx.meta["n_lists"]  # pruned read
+
+    got = idx.topk(Q, k=10, n_probe=2, exclude_ids={0})
+    exp = ivf_topk(ds, "embedding", "vec_id", Q, k=10, n_probe=2, exclude_ids={0})
+    assert got.equals(exp)
+
+    reloaded = IVFIndex(str(tmp_path / "ivf"))
+    assert reloaded.topk(Q, k=10, n_probe=2, exclude_ids={0}).equals(got)
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
     """Unlike MinHash-LSH, the shingle-bucket candidate generation is exact
     for Jaccard > 0, so the result must EQUAL the brute-force pair set."""

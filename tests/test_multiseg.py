@@ -55,6 +55,27 @@ def test_search_service_matches_engine(engine_multi, oracle):
         svc.shutdown()
 
 
+def test_search_service_survives_worker_crash(engine_multi):
+    """Long-lived-cluster fault tolerance: kill a warmed worker mid-service;
+    the restarted incarnation (max_restarts) must serve the retried call with
+    identical results (searches are read-only → idempotent retries)."""
+    import ray
+
+    from project_gutenberg_full_text_search_ray.pipelines.serving import SearchService
+
+    svc = SearchService(engine_multi, n_workers=3, replicas=1)
+    try:
+        q = engine_multi.query().search("the quick")[1, 20]
+        before = svc.execute(engine_multi.query().search("the quick")[1, 20])
+        # simulate a node/worker loss (restart allowed)
+        ray.kill(svc.pools[0][0], no_restart=False)
+        after = svc.execute(q)
+        assert after.total == before.total
+        assert after.table.equals(before.table)
+    finally:
+        svc.shutdown()
+
+
 def test_matches_dataset_streams_all_matches(engine_multi, oracle, tmp_path):
     """Export mode: every matching doc, as a streaming Dataset."""
     import pyarrow.parquet as pq
