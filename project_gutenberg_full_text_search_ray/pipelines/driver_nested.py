@@ -231,6 +231,30 @@ def q_tsvector_agg(sf_dir: str) -> pa.Table:
     return pa.table({"source": pa.array(df["source"]), "tsvec": pa.array(df["tsvec"])})
 
 
+# ---------------------------------------------------------------- range join
+def q_range_join_windows(sf_dir: str) -> pa.Table:
+    """Broadcast interval join (stages/ranges.py): per event, how many
+    same-user purchase windows ``[purchase_ts, purchase_ts + 2h]`` contain
+    it.  The big side streams; the window side is broadcast once."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ranges import broadcast_interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    right = pq.read_table(path, columns=["user_id", "ts", "event_type"])
+    right = right.filter(pc.equal(right["event_type"], pa.scalar("purchase")))
+    ev = rd.read_parquet(path, columns=["event_id", "ts", "user_id"])
+    out = broadcast_interval_join(
+        ev, right, by="user_id", on="ts", window=2 * 3600 * 1_000_000,
+        left_cols=["event_id"], out_col="n_windows",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": pa.array(out["event_id"], type=pa.int64()),
+        "n_windows": pa.array(out["n_windows"], type=pa.int64()),
+    })
+
+
 ORACLE_SQL_NESTED: dict[str, str] = {
     "nested_containment": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
@@ -264,6 +288,13 @@ ORACLE_SQL_NESTED: dict[str, str] = {
         + P.html_escape_sql("('<' || c_name || ' & ' || c_mktsegment || '>')")
         + " AS esc FROM customer WHERE c_custkey < 100 ORDER BY c_custkey"
     ),
+    "range_join_windows": (
+        "SELECT CAST(e.event_id AS BIGINT) AS event_id, "
+        "CAST((SELECT count(*) FROM events p WHERE p.user_id = e.user_id "
+        "AND p.event_type = 'purchase' AND p.ts <= e.ts "
+        "AND e.ts <= p.ts + INTERVAL 2 HOUR) AS BIGINT) AS n_windows "
+        "FROM events e ORDER BY event_id"
+    ),
     "tsvector_agg": (
         f"WITH tok AS (SELECT source, t.term AS term FROM documents, "
         f"UNNEST(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_PATTERN}')) AS t(term) "
@@ -284,4 +315,5 @@ QUERIES_NESTED = {
     "parse_fields": q_parse_fields,
     "concat_assembly": q_concat_assembly,
     "tsvector_agg": q_tsvector_agg,
+    "range_join_windows": q_range_join_windows,
 }

@@ -119,3 +119,29 @@ def test_chunked_list_column():
     t = pa.table({"tags": pa.chunked_array([a1, a2]), "i": [0, 1, 2]})
     mask = apply_filters(t, [FilterSpec("tags", "any_eq", "x")])
     assert mask.tolist() == [True, False, True]
+
+
+def test_broadcast_interval_join_edges(ray_session):
+    """Inclusive bounds both ends, unknown keys count 0, empty right side."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.ranges import broadcast_interval_join
+
+    right = pa.table({"k": ["a", "a", "b"], "start": [100, 200, 50]})
+    left = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5, 6],
+        "k": ["a", "a", "a", "a", "b", "c"],
+        # window=10 → a:[100,110],[200,210]; b:[50,60]
+        "t": [100, 110, 111, 205, 60, 100],
+    }))
+    out = broadcast_interval_join(left, right, by="k", on="t", window=10,
+                                  left_cols=["id"], right_start="start",
+                                  ).to_pandas().sort_values("id")
+    assert out["n_intervals"].tolist() == [1, 1, 0, 1, 1, 0]
+
+    empty = right.slice(0, 0)
+    out2 = broadcast_interval_join(left, empty, by="k", on="t", window=10,
+                                   left_cols=["id"], right_start="start",
+                                   ).to_pandas()
+    assert out2["n_intervals"].tolist() == [0] * 6
