@@ -255,6 +255,61 @@ def q_range_join_windows(sf_dir: str) -> pa.Table:
     })
 
 
+# ---------------------------------------------------------------- quantiles
+_QUANTILES = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]
+
+
+def q_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles (percentile_disc semantics: smallest value
+    whose cumulative count ≥ ceil(q·N)) over a bounded-cardinality column —
+    per-batch value counts (combiner) → one distinct-value-sized groupby →
+    driver-side cumsum over the tiny (value, count) table.  The shuffle is
+    O(distinct values), never O(rows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            b["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(vals, type=pa.int64()),
+                         "c": pa.array(cnts, type=pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["n_chars"])
+    agg = ds.map_batches(counts, batch_format="pyarrow") \
+            .groupby("v").aggregate(Sum("c", alias_name="c")).to_pandas()
+    agg = agg.sort_values("v").reset_index(drop=True)
+    cum = agg["c"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out_pct, out_val = [], []
+    for name, q in _QUANTILES:
+        rank = max(1, int(np.ceil(q * n)))
+        i = int(np.searchsorted(cum, rank, side="left"))
+        out_pct.append(name)
+        out_val.append(int(agg["v"].iloc[i]))
+    return pa.table({"pct": pa.array(out_pct), "val": pa.array(out_val, type=pa.int64())})
+
+
+# ---------------------------------------------------------------- histogram
+def q_value_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width histogram over a double column: vectorized bin key + one
+    bin-cardinality groupby (combiner pattern — same shape as A8)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def binned(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array(np.floor(v / 25.0).astype(np.int64))})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    agg = ds.map_batches(binned, batch_format="pyarrow") \
+            .groupby("bin").aggregate(Count(alias_name="n")).to_pandas()
+    agg = agg.sort_values("bin").reset_index(drop=True)
+    return pa.table({"bin": pa.array(agg["bin"], type=pa.int64()),
+                     "n": pa.array(agg["n"], type=pa.int64())})
+
+
 ORACLE_SQL_NESTED: dict[str, str] = {
     "nested_containment": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
@@ -288,6 +343,17 @@ ORACLE_SQL_NESTED: dict[str, str] = {
         + P.html_escape_sql("('<' || c_name || ' & ' || c_mktsegment || '>')")
         + " AS esc FROM customer WHERE c_custkey < 100 ORDER BY c_custkey"
     ),
+    "quantiles": (
+        "SELECT pct, CAST(val AS BIGINT) AS val FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{name}' AS pct, quantile_disc(n_chars, {q}) AS val FROM documents"
+            for name, q in _QUANTILES)
+        + ") ORDER BY pct"
+    ),
+    "value_histogram": (
+        "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin ORDER BY bin"
+    ),
     "range_join_windows": (
         "SELECT CAST(e.event_id AS BIGINT) AS event_id, "
         "CAST((SELECT count(*) FROM events p WHERE p.user_id = e.user_id "
@@ -316,4 +382,6 @@ QUERIES_NESTED = {
     "concat_assembly": q_concat_assembly,
     "tsvector_agg": q_tsvector_agg,
     "range_join_windows": q_range_join_windows,
+    "quantiles": q_quantiles,
+    "value_histogram": q_value_histogram,
 }

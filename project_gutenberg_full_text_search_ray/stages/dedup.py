@@ -652,12 +652,14 @@ def embedding_neardup_pairs(
     refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
     refs_handle = ray.put(refs)
 
+    from .similarity import _matrix
+
     class ScoreBlock:
         def __init__(self):
             tables = [t for t in ray.get(ray.get(refs_handle)) if t.num_rows]
             tbl = pa.concat_tables(tables)
             ids = np.asarray(tbl[id_col].to_pylist())
-            M = np.asarray(tbl[vec_col].to_pylist(), dtype=np.float64)
+            M = _matrix(tbl[vec_col])
             order = np.argsort(ids)
             self.ids = ids[order]
             norms = np.linalg.norm(M[order], axis=1, keepdims=True)
@@ -666,22 +668,19 @@ def embedding_neardup_pairs(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = np.asarray(batch[id_col].to_pylist())
-            B = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            B = _matrix(batch[vec_col])
             bn = np.linalg.norm(B, axis=1, keepdims=True)
             bn[bn == 0] = 1.0
             sims = (B / bn) @ self.Mn.T
-            ra, rb, rc = [], [], []
-            for ii in range(sims.shape[0]):
-                js = np.flatnonzero(sims[ii] >= threshold)
-                for j in js:
-                    if self.ids[j] <= bids[ii]:  # emit a < b once, no self
-                        continue
-                    ra.append(int(bids[ii]))
-                    rb.append(int(self.ids[j]))
-                    rc.append(int(np.floor(sims[ii, j] * 10000 + 0.5)))
-            return pa.table({"id_a": pa.array(ra, type=pa.int64()),
-                             "id_b": pa.array(rb, type=pa.int64()),
-                             "cos_i4": pa.array(rc, type=pa.int64())})
+            # vectorized pair emit: all qualifying (row, col) at once,
+            # a < b kept once, no per-row Python loop
+            ai, aj = np.nonzero(sims >= threshold)
+            keep = self.ids[aj] > bids[ai]
+            ai, aj = ai[keep], aj[keep]
+            cos = np.floor(sims[ai, aj] * 10000 + 0.5).astype(np.int64)
+            return pa.table({"id_a": pa.array(bids[ai].astype(np.int64)),
+                             "id_b": pa.array(self.ids[aj].astype(np.int64)),
+                             "cos_i4": pa.array(cos)})
 
     out = ds.map_batches(ScoreBlock, batch_format="pyarrow",
                          concurrency=(1, concurrency)).to_pandas()
