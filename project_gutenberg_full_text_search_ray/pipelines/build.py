@@ -293,6 +293,16 @@ def _finalize_generation(
     tmp_dict = f"{dict_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp_dict, ignore_errors=True)
     dictionary.write_parquet(tmp_dict)
+    if not os.path.isdir(tmp_dict):
+        # write_parquet of an EMPTY dataset (corpus tokenizes to nothing)
+        # creates no directory at all — materialize an empty-but-valid
+        # dictionary so readers see a schema'd zero-row table
+        os.makedirs(tmp_dict, exist_ok=True)
+        pq.write_table(
+            pa.table({"term": pa.array([], type=pa.string()),
+                      "df": pa.array([], type=pa.int64()),
+                      "cf": pa.array([], type=pa.int64())}),
+            os.path.join(tmp_dict, "part-empty.parquet"))
     shutil.rmtree(dict_dir, ignore_errors=True)
     os.replace(tmp_dict, dict_dir)
 

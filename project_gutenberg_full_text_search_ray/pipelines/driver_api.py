@@ -1350,7 +1350,7 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     ),
     "asof_prev_purchase": (
         "SELECT CAST(e.event_id AS BIGINT) AS event_id, "
-        "COALESCE(CAST((SELECT max_by(p.event_id, CAST(epoch_us(p.ts) AS HUGEINT) * 100000 + p.event_id) FROM events p "
+        "COALESCE(CAST((SELECT max_by(p.event_id, CAST(epoch_us(p.ts) AS HUGEINT) * 10000000000 + p.event_id) FROM events p "
         "WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "
         "AND p.ts <= e.ts) AS BIGINT), -1) AS prev_purchase_id "
         "FROM events e ORDER BY event_id"

@@ -100,6 +100,13 @@ class SearchAPI:
         sort = params.get("sort", "")
         sort_order = params.get("sort_order", "")
 
+        # unknown field → whole-doc, like opds.py:36-37 (scope_to_field would
+        # otherwise rewrite terms into a posting keyspace that doesn't exist
+        # and silently match nothing)
+        spec = getattr(self.backend, "spec", None) or self.backend.engine.spec
+        if field_name is not None and field_name not in spec.field_cols:
+            field_name = None
+
         q = self.backend.query()
         if query:
             if mode == "fuzzy":
@@ -108,11 +115,7 @@ class SearchAPI:
             elif mode == "contains":
                 q.search_contains(query)
             else:
-                try:
-                    q.search(query, field=field_name)
-                except (KeyError, ValueError):
-                    # unknown field → whole-doc, like opds.py:36-37
-                    q.search(query)
+                q.search(query, field=field_name)
         for key, val in params.items():
             if key.startswith("f."):
                 q.eq(key[2:], _coerce(val))

@@ -264,7 +264,7 @@ class FullTextSearchEngine:
 
     def contains_multi_dataset(
         self, pattern: str, filters: list[FilterSpec] | None = None,
-        max_edge_expansions: int = 64, max_combos: int = 256,
+        max_combos: int = 256,
     ) -> rd.Dataset:
         """P3 CONTAINS for patterns spanning token boundaries — the reference
         ``ILIKE '%q%'`` over a GIN trigram index
@@ -282,11 +282,12 @@ class FullTextSearchEngine:
            positions collapse separators, so "window, merge" phrase-matches
            but must not substring-match "window merge").
 
-        Falls back to a full vectorized substring scan when the pattern has
-        no indexable shape (edge fragment too short + absent inner term) or
-        the combination count exceeds ``max_combos``.  Returns a streaming
-        Dataset of verified matching docs (export-mode semantics, like
-        ``matches_dataset``)."""
+        Edge expansions are UNBOUNDED (truncating them would silently drop
+        matching docs); the plan instead falls back to a full vectorized
+        substring scan when the pattern has no indexable shape (edge fragment
+        too short + absent inner term) or the combination count exceeds
+        ``max_combos``.  Returns a streaming Dataset of verified matching
+        docs (export-mode semantics, like ``matches_dataset``)."""
         import pyarrow.compute as _pc
 
         from ..functions.querylang import AndGroup, ParsedQuery, Phrase, Term
@@ -310,8 +311,8 @@ class FullTextSearchEngine:
             )
 
         if len(frags) <= 1:
-            # single-token substring: today's contains_expand path is exact
-            terms = contains_expand(self.index_dir, p) if frags else []
+            # single-token substring: unbounded expansion keeps this exact
+            terms = contains_expand(self.index_dir, p, max_expansions=None) if frags else []
             if not terms:
                 return full_scan()
             q = self.query()
@@ -320,8 +321,8 @@ class FullTextSearchEngine:
                 q = q.where(f)
             return self.matches_dataset(q)
 
-        firsts = suffix_terms(self.index_dir, frags[0], max_expansions=max_edge_expansions)
-        lasts = prefix_terms(self.index_dir, frags[-1], max_expansions=max_edge_expansions)
+        firsts = suffix_terms(self.index_dir, frags[0], max_expansions=None)
+        lasts = prefix_terms(self.index_dir, frags[-1], max_expansions=None)
         inner = list(frags[1:-1])
         if not firsts or not lasts or any(not term_exists(self.index_dir, t) for t in inner):
             return full_scan() if (not firsts or not lasts) else rd.from_arrow(
@@ -393,7 +394,10 @@ class FullTextSearchEngine:
                     term_weights[t] = max(term_weights.get(t, 0.0), sim)
                 queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t, _ in expanded)))
             for cp in q.contains_patterns:
-                expanded = contains_expand(self.index_dir, cp)
+                # unbounded: a truncated expansion would silently drop
+                # matching docs; term count is vocabulary-bounded and
+                # MaxScore prunes the wide OR at scoring time
+                expanded = contains_expand(self.index_dir, cp, max_expansions=None)
                 queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
         # pure-FUZZY queries rank by word_similarity of the best matched
         # expansion term (reference _order_sql, full_text_search.py:277-295);

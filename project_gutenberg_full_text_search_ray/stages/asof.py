@@ -9,12 +9,27 @@ row's (ties broken by ``seq`` — largest wins; NULL when no right row
 precedes).
 
 Shape: ONE global ``sort((by, on, side, seq))`` exchange (rights sort before
-lefts at equal timestamps → inclusive), then a fully vectorized per-block
-forward-fill of the last-right index with per-key resets.  Keys whose rows
-span block edges are re-emitted and resolved in a tiny collected fixup —
-the same edge-key pattern as dedup candidate generation (edge rows ≈
-2 × blocks × rows-per-key).  Partitioning assumption: a single ``by`` key's
-timeline fits in memory (same assumption as any per-key window operator)."""
+lefts at equal timestamps → inclusive), then TWO vectorized passes over the
+materialized sorted blocks:
+
+  1. summarize — per block, the LAST right row of each key (≤ one row per
+     key per block, so the collected summary set is bounded by
+     min(#right rows, #keys × #blocks) — never by left rows).  The driver
+     sorts summaries per key and broadcasts them via ``ray.put``.
+  2. resolve — per block, a vectorized backward fill answers every left
+     whose preceding right is in the same block; the remainder (no earlier
+     right IN-BLOCK) binary-search the broadcast per-key summary timeline.
+     Correctness of the lookup: any summary right with ``on ≤`` the left's
+     ``on`` is strictly earlier in global order (a same-block right at equal
+     ``on`` sorts before the left and would have resolved it locally), and
+     the true match is always some block's last right for its key (any
+     later same-block right would dominate it).
+
+Unlike an edge-row fixup (re-emitting whole first/last-key row ranges, which
+degenerates to collecting the ENTIRE dataset when key cardinality is low),
+the carry set here never contains left rows at all.  Partitioning
+assumption: the per-key × per-block summary table fits in driver/worker
+memory (≤ the right-side row count)."""
 
 from __future__ import annotations
 
@@ -26,17 +41,14 @@ import ray
 import ray.data as rd
 
 _SIDE = "__side"  # 0 = right, 1 = left
-_TAG = "__edge"
 
 
-def _asof_block(by: np.ndarray, side: np.ndarray, rval: np.ndarray,
-                ) -> tuple[np.ndarray, np.ndarray]:
+def _asof_block(by: np.ndarray, side: np.ndarray) -> np.ndarray:
     """Rows sorted by (by, on, side, seq) → for each row, index of the last
-    right row in its key at-or-before it (−1 = none).  Returns
-    (last_right_row_index per row, key_start per row)."""
+    right row in its key at-or-before it (−1 = none)."""
     n = len(by)
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64)
     key_first = np.empty(n, dtype=bool)
     key_first[0] = True
     np.not_equal(by[1:], by[:-1], out=key_first[1:])
@@ -45,8 +57,7 @@ def _asof_block(by: np.ndarray, side: np.ndarray, rval: np.ndarray,
     key_start = np.repeat(starts, lens)
     r_idx = np.where(side == 0, np.arange(n, dtype=np.int64), np.int64(-1))
     last_r = np.maximum.accumulate(r_idx)
-    last_r = np.where(last_r >= key_start, last_r, np.int64(-1))
-    return last_r, key_start
+    return np.where(last_r >= key_start, last_r, np.int64(-1))
 
 
 def asof_join(
@@ -64,8 +75,6 @@ def asof_join(
     are carried through; the matched right row contributes
     ``right_value_col`` (NULL if no right row precedes)."""
     lt = left.schema().base_schema
-    on_type = lt.field(on).type
-    by_type = lt.field(by).type
     val_type = right.schema().base_schema.field(right_value_col).type
 
     def tag_left(b: pa.Table) -> pa.Table:
@@ -89,74 +98,105 @@ def asof_join(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
-    srt = tagged.sort([by, on, _SIDE, "__seq"])
+    srt = tagged.sort([by, on, _SIDE, "__seq"]).materialize()
 
-    out_schema = pa.schema(
-        [(f"l_{c}", lt.field(c).type) for c in left_cols]
-        + [(out_value_col, val_type), (_TAG, pa.bool_()),
-           (by, by_type), (on, on_type), (_SIDE, pa.int8()),
-           ("__seq", pa.int64()), ("__rval", val_type)]
-    )
+    # ---- pass 1: per-block per-key LAST-right summaries (tiny)
+    def summarize(b: pa.Table) -> pa.Table:
+        sidev = b[_SIDE].to_numpy(zero_copy_only=False)
+        r = np.flatnonzero(sidev == 0)
+        schema = pa.schema([(by, b.schema.field(by).type),
+                            (on, b.schema.field(on).type),
+                            ("__seq", pa.int64()), ("__rval", val_type)])
+        if len(r) == 0:
+            return schema.empty_table()
+        rb = np.asarray(b[by].to_numpy(zero_copy_only=False))[r]
+        last = r[np.r_[rb[1:] != rb[:-1], True]]  # last right per key run
+        idx = pa.array(last, type=pa.int64())
+        return pa.table({by: b[by].take(idx), on: b[on].take(idx),
+                         "__seq": b["__seq"].take(idx),
+                         "__rval": b["__rval"].take(idx)}).cast(schema)
 
+    stabs = [t for t in ray.get(
+        srt.map_batches(summarize, batch_size=None,
+                        batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "__rval" in t.column_names]
+    summary = pa.concat_tables(stabs) if stabs else None
+    carry: dict = {}
+    if summary is not None and summary.num_rows:
+        order = pc.sort_indices(summary, sort_keys=[
+            (by, "ascending"), (on, "ascending"), ("__seq", "ascending")])
+        summary = summary.take(order)
+        s_by = np.asarray(summary[by].to_numpy(zero_copy_only=False))
+        s_on = summary[on].to_numpy(zero_copy_only=False)
+        s_val = summary["__rval"]
+        bounds = np.flatnonzero(np.r_[True, s_by[1:] != s_by[:-1], True])
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            carry[s_by[lo]] = (np.asarray(s_on[lo:hi]),
+                               s_val.slice(lo, hi - lo).combine_chunks())
+    carry_ref = ray.put(carry)
+
+    out_schema = pa.schema([(f"l_{c}", lt.field(c).type) for c in left_cols]
+                           + [(out_value_col, val_type)])
+
+    # ---- pass 2: in-block backward fill + carry lookup for the remainder
     def resolve_block(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return out_schema.empty_table()
-        byv = b[by].to_numpy(zero_copy_only=False)
+        byv = np.asarray(b[by].to_numpy(zero_copy_only=False))
         sidev = b[_SIDE].to_numpy(zero_copy_only=False)
-        edge = (byv == byv[0]) | (byv == byv[-1])
-        last_r, _ = _asof_block(byv, sidev, None)
-        rvals = b["__rval"]
+        last_r = _asof_block(byv, sidev)
         take_idx = pa.array(np.where(last_r >= 0, last_r, 0), type=pa.int64())
-        matched = rvals.take(take_idx)
-        if isinstance(matched, pa.ChunkedArray):
-            matched = matched.combine_chunks()
-        none_mask = pa.array(last_r < 0)
-        matched = pc.if_else(none_mask, pa.nulls(b.num_rows, type=val_type), matched)
-        is_left_inner = pa.array((sidev == 1) & ~edge)
-        inner = b.filter(is_left_inner)
-        inner_vals = matched.filter(is_left_inner)
-        cols = {f"l_{c}": inner[f"l_{c}"] for c in left_cols}
-        cols[out_value_col] = inner_vals
-        cols[_TAG] = pa.array(np.zeros(inner.num_rows, dtype=bool))
-        for c in (by, on, _SIDE, "__seq", "__rval"):
-            cols[c] = inner[c]
-        res = pa.table(cols).cast(out_schema)
-        # edge rows (BOTH sides) re-emitted verbatim for the fixup
-        eb = b.filter(pa.array(edge))
-        ecols = {f"l_{c}": eb[f"l_{c}"] for c in left_cols}
-        ecols[out_value_col] = pa.nulls(eb.num_rows, type=val_type)
-        ecols[_TAG] = pa.array(np.ones(eb.num_rows, dtype=bool))
-        for c in (by, on, _SIDE, "__seq", "__rval"):
-            ecols[c] = eb[c]
-        return pa.concat_tables([res, pa.table(ecols).cast(out_schema)])
-
-    out = srt.map_batches(resolve_block, batch_format="pyarrow").materialize()
-    resolved = out.map_batches(
-        lambda b: b.filter(pc.equal(b[_TAG], pa.scalar(False))), batch_format="pyarrow"
-    ).select_columns([f"l_{c}" for c in left_cols] + [out_value_col])
-
-    # edge-key fixup: keys whose timeline spans block edges (collected; tiny)
-    etabs = [t for t in ray.get(out.to_arrow_refs())
-             if t.num_rows and _TAG in t.column_names]
-    fix = (pa.concat_tables([t.filter(t[_TAG]) for t in etabs]) if etabs else None)
-    if fix is not None and fix.num_rows:
-        idx = pc.sort_indices(fix, sort_keys=[
-            (by, "ascending"), (on, "ascending"), (_SIDE, "ascending"),
-            ("__seq", "ascending")])
-        fix = fix.take(idx)
-        byv = fix[by].to_numpy(zero_copy_only=False)
-        sidev = fix[_SIDE].to_numpy(zero_copy_only=False)
-        last_r, _ = _asof_block(byv, sidev, None)
-        take_idx = pa.array(np.where(last_r >= 0, last_r, 0), type=pa.int64())
-        matched = fix["__rval"].take(take_idx)
+        matched = b["__rval"].take(take_idx)
         if isinstance(matched, pa.ChunkedArray):
             matched = matched.combine_chunks()
         matched = pc.if_else(pa.array(last_r < 0),
-                             pa.nulls(fix.num_rows, type=val_type), matched)
+                             pa.nulls(b.num_rows, type=val_type), matched)
+        unresolved = (sidev == 1) & (last_r < 0)
+        if unresolved.any():
+            cmap = ray.get(carry_ref)
+            onv = b[on].to_numpy(zero_copy_only=False)
+            u = np.flatnonzero(unresolved)
+            # group unresolved lefts by key (they're contiguous per key in
+            # the sorted block) and binary-search each key's timeline once
+            ub = byv[u]
+            kb = np.flatnonzero(np.r_[True, ub[1:] != ub[:-1], True]) \
+                if len(ub) else np.array([0])
+            pieces = []
+            for i in range(len(kb) - 1):
+                lo, hi = kb[i], kb[i + 1]
+                entry = cmap.get(ub[lo])
+                if entry is None:
+                    pieces.append(pa.nulls(hi - lo, type=val_type))
+                    continue
+                c_on, c_val = entry
+                pos = np.searchsorted(c_on, onv[u[lo:hi]], side="right") - 1
+                found = pos >= 0
+                take = pa.array(np.where(found, pos, 0), type=pa.int64())
+                vals = c_val.take(take)
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                pieces.append(pc.if_else(
+                    pa.array(~found), pa.nulls(hi - lo, type=val_type), vals))
+            fills = pa.concat_arrays(
+                [p if isinstance(p, pa.Array) else p.combine_chunks()
+                 for p in pieces]) if pieces \
+                else pa.nulls(0, type=val_type)
+            # splice fills into matched at the unresolved slots
+            repl = np.zeros(b.num_rows, dtype=bool)
+            repl[u] = True
+            src_idx = np.cumsum(repl) - 1  # unresolved rows take from fills
+            fills_full = fills.take(pa.array(np.where(repl, src_idx, 0),
+                                             type=pa.int64())) \
+                if len(fills) else pa.nulls(b.num_rows, type=val_type)
+            matched = pc.if_else(pa.array(repl), fills_full, matched)
         is_left = pa.array(sidev == 1)
-        lf = fix.filter(is_left)
+        lb = b.filter(is_left)
         lv = matched.filter(is_left)
-        ftab = pa.table({**{f"l_{c}": lf[f"l_{c}"] for c in left_cols},
-                         out_value_col: lv})
-        resolved = resolved.union(rd.from_arrow(ftab))
+        return pa.table({**{f"l_{c}": lb[f"l_{c}"] for c in left_cols},
+                         out_value_col: lv}).cast(out_schema)
+
+    resolved = srt.map_batches(resolve_block, batch_size=None,
+                               batch_format="pyarrow") \
+                  .select_columns([f"l_{c}" for c in left_cols] + [out_value_col])
     return resolved.rename_columns({f"l_{c}": c for c in left_cols})

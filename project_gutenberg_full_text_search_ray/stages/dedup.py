@@ -90,12 +90,18 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     key column and dies with ArrowInvalid.  Every join input goes through
     here (refs stay in the object store — zero-copy block inspection only)."""
     mat = ds.materialize()
-    refs = mat.to_arrow_refs()
-    keep = [r for r in refs if ray.get(r).num_rows > 0]
-    if len(keep) == len(refs):
+    keep, total = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            total += 1
+            # metadata-only inspection: NEVER ray.get the block (that pulls
+            # the whole dataset through the driver); unknown row counts are
+            # kept (safe — an occupied block passing through is harmless)
+            if meta.num_rows is None or meta.num_rows > 0:
+                keep.append(ref)
+    if len(keep) == total or not keep:
+        # untouched, or fully empty (callers guard on .count() == 0)
         return mat
-    if not keep:
-        return mat  # fully empty: callers guard on .count() == 0 before joining
     return rd.from_arrow_refs(keep)
 
 
@@ -293,7 +299,10 @@ class VerifyJaccardStage:
         missing = (set(a) | set(b)) - self.sh_cache.keys()
         if missing:
             if len(self.sh_cache) + len(missing) > self.CACHE_CAP:
+                # clearing evicts ids this batch still needs — refetch ALL of
+                # the batch's ids, not just the pre-clear miss set
                 self.sh_cache.clear()
+                missing = set(a) | set(b)
             texts = self.fetcher.fetch(missing)
             for did in missing:
                 self.sh_cache[did] = shingles(
@@ -348,13 +357,16 @@ def exact_dedup(ds: rd.Dataset, id_col: str, key_col: str) -> rd.Dataset:
     (keep_id, n_dups) per group.  The shuffle carries (hash, id) only — at
     corpus scale the key bytes (document text) never enter the exchange."""
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"keep_id": [g[id_col].min()], "n_dups": [len(g)]})
+    from ray.data.aggregate import Count, Min
 
+    # built-in vectorized aggregates — NOT map_groups (one Python call per
+    # distinct key would be pure interpreter overhead at corpus scale)
     return (
         exact_dedup_keyed(ds, id_col, key_col)
         .groupby(["__h1", "__h2", "__isnull"])
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name="keep_id"),
+                   Count(alias_name="n_dups"))
+        .select_columns(["keep_id", "n_dups"])
     )
 
 

@@ -175,11 +175,16 @@ def merge_segment_group(
     # gather instead of decode/re-delta/re-encode over int64s
     pos_entry_bytes: tuple[np.ndarray, np.ndarray] | None = None
     tok_offsets = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
-    if pos_all is not None:
+    if pos_all is not None and len(entry_perm) == 0:
+        # all members empty (docs tokenize to nothing): zero entries, and the
+        # gather below would np.repeat a length-1 base against empty lens
+        pos_entry_bytes = (pos_all[0][:0], np.zeros(1, dtype=np.int64))
+    elif pos_all is not None:
         blob, entry_start = pos_all
         entry_len = np.empty(len(entry_start), dtype=np.int64)
-        entry_len[:-1] = entry_start[1:] - entry_start[:-1]
-        entry_len[-1] = len(blob) - entry_start[-1] if len(entry_start) else 0
+        if len(entry_start):
+            entry_len[:-1] = entry_start[1:] - entry_start[:-1]
+            entry_len[-1] = len(blob) - entry_start[-1]
         # (member-seam diffs are correct: each member's last entry ends
         # exactly at its blob end, which is the next member's globalized
         # first offset)

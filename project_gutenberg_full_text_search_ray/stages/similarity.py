@@ -229,11 +229,17 @@ class IVFIndex:
             lst = np.argmax(M @ C.T, axis=1).astype(np.int32)
             return batch.append_column("ivf_list", pa.array(lst))
 
+        import shutil
+
+        lists_dir = os.path.join(index_dir, "lists")
+        # meta.json is written LAST (the commit point); a dir without it is a
+        # crashed partial build — clear it so a retry can't append duplicates
+        if os.path.exists(lists_dir):
+            shutil.rmtree(lists_dir)
         os.makedirs(index_dir, exist_ok=True)
         ds.select_columns([id_col, vec_col]) \
           .map_batches(assign, batch_format="pyarrow") \
-          .write_parquet(os.path.join(index_dir, "lists"),
-                         partition_cols=["ivf_list"])
+          .write_parquet(lists_dir, partition_cols=["ivf_list"])
         import pyarrow.parquet as pq
 
         pq.write_table(

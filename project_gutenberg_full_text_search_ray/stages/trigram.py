@@ -99,7 +99,7 @@ def fuzzy_expand(
     return scored[:max_expansions]
 
 
-def prefix_terms(index_dir: str, frag: str, *, max_expansions: int = 64) -> list[str]:
+def prefix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) -> list[str]:
     """Dictionary terms starting with ``frag`` — a RANGE scan
     [frag, frag+MAXCHAR) over the term-sorted dictionary parquet (row-group
     stats prune to the matching shard/groups; no vocabulary materialization)."""
@@ -112,7 +112,7 @@ def prefix_terms(index_dir: str, frag: str, *, max_expansions: int = 64) -> list
     return terms[:max_expansions]
 
 
-def suffix_terms(index_dir: str, frag: str, *, max_expansions: int = 64) -> list[str]:
+def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) -> list[str]:
     """Dictionary terms ending with ``frag``.  Uses the trigram index when the
     fragment carries its boundary trigram (pg_trgm pads terms with a trailing
     space, so a suffix of length ≥ 2 has the distinctive ``"xy "`` trigram);
@@ -138,7 +138,7 @@ def term_exists(index_dir: str, term: str) -> bool:
     return t.num_rows > 0
 
 
-def contains_expand(index_dir: str, pattern: str, *, max_expansions: int = 64) -> list[str]:
+def contains_expand(index_dir: str, pattern: str, *, max_expansions: int | None = 64) -> list[str]:
     """P3 CONTAINS (single-token patterns): dictionary terms containing
     ``pattern`` as a substring — trigram-candidate fetch + exact verify, the
     GIN-trigram plan shape.  Patterns shorter than 3 chars have no trigram

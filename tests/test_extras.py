@@ -521,7 +521,9 @@ def test_opds_like_crosswalk_fallbacks():
 
 def test_asof_join_backward_inclusive(ray_session):
     """AS-OF join semantics vs a brute-force reference, with block sizes
-    forced small so per-key timelines SPAN sorted blocks (edge-key fixup)."""
+    forced small so per-key timelines SPAN sorted blocks (cross-block
+    carry-in), including a key whose rights all precede most of its lefts
+    (every later block needs the broadcast carry, none resolves locally)."""
     import ray.data as rd
     from ray.data import DataContext
 
@@ -535,6 +537,12 @@ def test_asof_join_backward_inclusive(ray_session):
                   for i in range(400)]
     # planted: a right row exactly AT a left row's t (inclusive must match)
     right_rows.append({"rid": 99_999, "k": left_rows[0]["k"], "t": left_rows[0]["t"]})
+    # planted: key 7 has lefts everywhere but rights ONLY at t < 10 — the
+    # worst case for carry (virtually every block's lefts are locally
+    # unresolved and must hit the broadcast summary)
+    left_rows += [{"lid": n + i, "k": 7, "t": 10 + i} for i in range(500)]
+    right_rows += [{"rid": 88_000 + t, "k": 7, "t": t} for t in range(3)]
+    n += 500
 
     ctx = DataContext.get_current()
     old = ctx.target_max_block_size

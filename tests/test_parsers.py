@@ -145,3 +145,58 @@ def test_broadcast_interval_join_edges(ray_session):
                                    left_cols=["id"], right_start="start",
                                    ).to_pandas()
     assert out2["n_intervals"].tolist() == [0] * 6
+
+
+def test_verify_jaccard_cache_overflow(ray_session, monkeypatch):
+    """Cache clear-on-overflow must refetch ids the batch still needs
+    (regression: pre-clear cached ids raised KeyError after the clear)."""
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import VerifyJaccardStage
+
+    docs = pa.table({
+        "id": [1, 2, 3, 4],
+        "text": ["a b c d", "a b c e", "x y z w", "a b c d"],
+    })
+    monkeypatch.setattr(VerifyJaccardStage, "CACHE_CAP", 2)
+    stage = VerifyJaccardStage(docs, "id", "text", k_shingle=2, threshold=0.1)
+    # batch 1 caches ids 1,2; batch 2 pairs cached id 1 with new ids 3,4 →
+    # overflow clears the cache including id 1
+    out1 = stage(pa.table({"id_a": [1], "id_b": [2]}))
+    assert out1.num_rows == 1
+    out2 = stage(pa.table({"id_a": [1, 1], "id_b": [3, 4]}))
+    assert out2["id_b"].to_pylist() == [4]  # 1~4 duplicates, 1~3 disjoint
+
+
+def test_compact_all_empty_text_segments(ray_session, tmp_path):
+    """Compaction over segments whose docs tokenize to nothing must not
+    crash (regression: entry_len[-1] on an empty array)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index, compact_index
+    from project_gutenberg_full_text_search_ray.pipelines.search import FullTextSearchEngine
+
+    t = pa.table({
+        "doc_id": list(range(8)),
+        "text": ["...", "!!!", "", "??", "--", "..", "!", "?"],
+    })
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(t, src, row_group_size=2)
+    spec = CorpusSpec(("doc_id",), "text", (), "emptytest")
+    idx = str(tmp_path / "idx")
+    idx2 = str(tmp_path / "idx_compact")
+    build_index(src, spec, idx, docs_per_segment=2)
+    compact_index(idx, idx2, target_docs_per_segment=8)
+    eng = FullTextSearchEngine(idx2)
+    res = eng.execute(eng.query().search("anything")[1, 10])
+    assert res.total == 0
+
+
+def test_http_unknown_field_falls_back_to_whole_doc(engine):
+    from project_gutenberg_full_text_search_ray.pipelines.http_api import SearchAPI
+
+    api = SearchAPI(engine)
+    s_plain = api.handle("/search", {"query": "w00001"})[1]
+    s_field = api.handle("/search", {"query": "w00001", "field": "fts_nosuchfield"})[1]
+    assert s_field["total"] == s_plain["total"] > 0
