@@ -229,6 +229,16 @@ def _candidate_pairs(
         vals = b[value_col].to_numpy(zero_copy_only=False) if value_col else None
         sh, ids, vals = dedup_sorted(sh, ids, vals)
         edge = (sh == sh[0]) | (sh == sh[-1])
+        if max_occupancy is not None:
+            # a key whose LOCAL count already exceeds the occupancy cap is
+            # certain to be skipped globally (local ≤ global) — don't ship
+            # its rows to the driver fixup.  Bounds the collected edge set
+            # to 2 × blocks × max_occupancy even when one hot key spans
+            # every block (the degenerate all-same-signature corpus).
+            if int((sh == sh[0]).sum()) > max_occupancy:
+                edge &= sh != sh[0]
+            if int((sh == sh[-1]).sum()) > max_occupancy:
+                edge &= sh != sh[-1]
         inner = ~edge
         if inner.any():
             a_idx, b_idx = run_pair_idx(sh[inner])

@@ -200,3 +200,24 @@ def test_http_unknown_field_falls_back_to_whole_doc(engine):
     s_plain = api.handle("/search", {"query": "w00001"})[1]
     s_field = api.handle("/search", {"query": "w00001", "field": "fts_nosuchfield"})[1]
     assert s_field["total"] == s_plain["total"] > 0
+
+
+def test_candidate_pairs_hot_key_skipped_consistently(ray_session):
+    """A key over the occupancy cap produces NO pairs — including when it
+    spans every sorted block (its edge rows must not be shipped either)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import _candidate_pairs
+
+    hot = pa.table({"id": list(range(200)), "k": [7] * 200})
+    out = _candidate_pairs(rd.from_arrow(hot), "id", "k", max_occupancy=50)
+    assert out.count() == 0
+
+    # mixed: one hot key (skipped) + one cool key (kept)
+    mixed = pa.table({"id": list(range(104)),
+                      "k": [7] * 100 + [9] * 4})
+    out2 = _candidate_pairs(rd.from_arrow(mixed), "id", "k", max_occupancy=50)
+    df = out2.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(df) == 6  # C(4,2) pairs of the cool key only
+    assert set(df["id_a"]).union(df["id_b"]) == {100, 101, 102, 103}
