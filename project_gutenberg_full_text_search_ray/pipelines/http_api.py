@@ -134,7 +134,33 @@ class SearchAPI:
             "links": self._pagination_links("/search", params, page, limit,
                                             int(result.total)),
         }
+        facet_col = params.get("facet", "")
+        if facet_col:
+            feed["facets"] = {facet_col: self._facet(q, facet_col, params)}
         return feed
+
+    def _facet(self, q, facet_col: str, params: dict) -> list[dict]:
+        """Sampled facet counts over the top matched docs — the reference's
+        top-subjects block in search feeds (opds.py:1005-1009,
+        full_text_search.py:446-494: explicitly approximate via sample cap)."""
+        import pyarrow.compute as pc
+
+        top_docs = getattr(self.backend, "top_docs", None) or self.backend.engine.top_docs
+        try:
+            sample = max(1, min(1000, int(params.get("facet_sample", 100))))
+            k = max(1, min(50, int(params.get("facet_k", 5))))
+        except (ValueError, TypeError):
+            sample, k = 100, 5
+        top = top_docs(q, sample)
+        if facet_col not in top.column_names or top.num_rows == 0:
+            return []
+        agg = top.group_by(facet_col).aggregate([(facet_col, "count")])
+        agg = agg.rename_columns([facet_col, "n"])
+        idx = pc.sort_indices(agg, sort_keys=[("n", "descending"),
+                                              (facet_col, "ascending")])
+        out = agg.take(idx).slice(0, k)
+        return [{"value": v, "n": int(n)}
+                for v, n in zip(out[facet_col].to_pylist(), out["n"].to_pylist())]
 
     def count(self, params: dict) -> dict:
         feed = self.search({**params, "limit": "1", "page": "1"})

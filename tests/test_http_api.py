@@ -91,3 +91,21 @@ def test_api_handle_without_sockets(engine):
     api = SearchAPI(engine)
     status, feed = api.handle("/search", {"query": "w00001", "limit": "3"})
     assert status == 200 and len(feed["results"]) <= 3
+
+
+def test_search_facets_block(server, engine):
+    """facet=<col> adds sampled facet counts (the top-subjects feed block)."""
+    status, feed = _get(server, "/search?query=the&facet=role&limit=5")
+    assert status == 200
+    assert "role" in feed["facets"]
+    fac = feed["facets"]["role"]
+    assert fac and all(set(f) == {"value", "n"} for f in fac)
+    # parity with the engine-side sampled facet
+    top = engine.top_docs(engine.query().search("the"), 100)
+    import collections
+    exp = collections.Counter(top["role"].to_pylist())
+    got = {f["value"]: f["n"] for f in fac}
+    for v, n in got.items():
+        assert exp[v] == n
+    status2, feed2 = _get(server, "/search?query=the&facet=nosuchcol")
+    assert status2 == 200 and feed2["facets"]["nosuchcol"] == []
