@@ -43,8 +43,22 @@ def ensure_trigram_index(index_dir: str) -> str:
     Files are globally range-partitioned by ``tri`` after the sort, so a
     lookup's ``filters=[("tri", "in", ...)]`` prunes to its own row groups."""
     out = os.path.join(index_dir, TRIGRAM_DIR)
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
+    # invalidate on index generation change: a rebuild/refresh rewrites the
+    # dictionary, and a stale trigram table would silently miss (or invent)
+    # fuzzy/contains expansions.  The _DONE commit file carries the index
+    # fingerprint it was derived from.
+    gen = ""
+    try:
+        from ..state.manifest import load_index_manifest
+
+        gen = str(load_index_manifest(index_dir).get("fingerprint", ""))
+    except Exception:
+        pass
+    done_path = os.path.join(out, "_DONE")
+    if os.path.exists(done_path):
+        with open(done_path) as f:
+            if f.read().strip() == gen:
+                return out
     import ray.data as rd
 
     dict_dir = os.path.join(index_dir, "dict")
@@ -69,7 +83,7 @@ def ensure_trigram_index(index_dir: str) -> str:
         .write_parquet(tmp, row_group_size=8192)
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        f.write("ok")
+        f.write(gen)
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     return out

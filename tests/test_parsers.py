@@ -221,3 +221,25 @@ def test_candidate_pairs_hot_key_skipped_consistently(ray_session):
     df = out2.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(df) == 6  # C(4,2) pairs of the cool key only
     assert set(df["id_a"]).union(df["id_b"]) == {100, 101, 102, 103}
+
+
+def test_trigram_index_invalidated_on_rebuild(ray_session, tmp_path):
+    """A rebuilt index (new dictionary) must not serve a stale trigram table
+    (regression: _DONE never compared against the index generation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index
+    from project_gutenberg_full_text_search_ray.stages.trigram import contains_expand
+
+    spec = CorpusSpec(("doc_id",), "text", (), "tristale")
+    src = str(tmp_path / "src.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["alpha beta", "gamma"]}), src)
+    build_index(src, spec, idx)
+    assert contains_expand(idx, "alph", max_expansions=None) == ["alpha"]
+    # rebuild with different vocabulary in the SAME index dir
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["delta epsilon", "zeta"]}), src)
+    build_index(src, spec, idx, force=True)
+    assert contains_expand(idx, "alph", max_expansions=None) == []
+    assert contains_expand(idx, "delt", max_expansions=None) == ["delta"]
