@@ -30,6 +30,7 @@ from .pipelines.batch_search import (
 from .pipelines.http_api import SearchAPI, SearchHTTPServer
 from .pipelines.serving import SearchService
 from .stages.segment_search import FilterSpec
+from .state.manifest import vacuum_index
 
 __all__ = [
     "CorpusSpec",
@@ -52,6 +53,7 @@ __all__ = [
     "SearchAPI",
     "SearchHTTPServer",
     "SearchService",
+    "vacuum_index",
     "batch_search_dataset",
     "finalize_batch_results",
     "export_results_parquet",

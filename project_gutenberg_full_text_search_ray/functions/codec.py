@@ -36,23 +36,24 @@ def vbyte_lengths(values: np.ndarray) -> np.ndarray:
     return lengths
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode an unsigned array as VByte. Empty input → b''.
-    Accepts uint32 (preferred in the build path — half the bandwidth) or
-    anything castable to uint64."""
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode an unsigned array as VByte, returning (bytes, per-value byte
+    lengths).  Callers that need the lengths for offset arrays (the build
+    path does, for every column) get them from the SAME pass instead of
+    re-running ``vbyte_lengths`` over the largest arrays in the pipeline."""
     v = np.ascontiguousarray(values)
     if v.dtype != np.uint32 and v.dtype != np.uint64:
         v = v.astype(np.uint64, copy=False)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     mask7 = v.dtype.type(0x7F)
     lengths = vbyte_lengths(v)
     maxlen = int(lengths.max())
     if maxlen == 1:  # common case: all gaps/tfs < 128 — single streaming pass
         out = v.astype(np.uint8)
         out |= np.uint8(0x80)
-        return out.tobytes()
+        return out.tobytes(), lengths
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(lengths)
@@ -64,7 +65,14 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         if k == 0:
             b |= np.uint8(0x80)  # terminator bit on final byte
         out[idx] = b
-    return out.tobytes()
+    return out.tobytes(), lengths
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode an unsigned array as VByte. Empty input → b''.
+    Accepts uint32 (preferred in the build path — half the bandwidth) or
+    anything castable to uint64."""
+    return vbyte_encode_with_lengths(values)[0]
 
 
 def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:

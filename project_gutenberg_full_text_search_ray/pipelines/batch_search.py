@@ -25,7 +25,7 @@ from ..stages.segment_search import (
     SearchPlan,
     search_segment,
 )
-from ..state.manifest import seg_dir
+
 
 QUERY_COL = "__query"
 
@@ -40,13 +40,13 @@ def batch_search_dataset(engine, queries: dict[str, SearchQuery], k: int = 100) 
         name: replace(engine.build_plan(q, k), need_cols=None) for name, q in queries.items()
     }
     plans_ref = ray.put(plans)
-    index_dir = engine.index_dir
+    seg_dirs = dict(engine.seg_dirs)  # committed-generation paths
 
     def run_segment(batch: pa.Table) -> pa.Table:
         p = ray.get(plans_ref)
         outs = []
         for seg_id in batch["seg_id"].to_pylist():
-            sd = seg_dir(index_dir, int(seg_id))
+            sd = seg_dirs[int(seg_id)]
             cache: dict = {}  # share postings/doc reads across the query set
             for name, plan in p.items():
                 t = search_segment(sd, plan, cache=cache)

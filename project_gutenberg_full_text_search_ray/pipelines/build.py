@@ -36,6 +36,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -43,6 +44,7 @@ import ray.data as rd
 from ..corpus import CorpusSpec
 from ..functions.analyzer import DEFAULT_ANALYZER, Analyzer
 from ..state.manifest import (
+    dict_dirname,
     FORMAT_VERSION,
     INDEX_MANIFEST,
     SEG_MANIFEST,
@@ -57,13 +59,13 @@ DEFAULT_DOCS_PER_SEGMENT = 65_536
 
 
 def _hash_strings_u64(arr: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a over a string/large_string column, vectorized
-    per batch via python-level loop-free pandas hashing is NOT deterministic
-    across runs; use a simple polynomial hash on bytes via numpy."""
-    import pandas as pd
-
+    """Deterministic 64-bit hash of a string/large_string column via
+    ``pandas.util.hash_array`` with a FIXED ``hash_key`` (that key is what
+    makes it stable across processes/runs — Python's builtin ``hash`` is
+    not).  NOTE: this exact function defines segment assignment and
+    dictionary sharding for every committed index — changing the algorithm
+    or the key invalidates all existing fingerprinted indexes."""
     s = arr.to_pandas().astype("string").fillna("")
-    # pandas util hashing is deterministic given hash_key
     from pandas.util import hash_array
 
     return hash_array(s.to_numpy(dtype=object), hash_key="0123456789abcdef", categorize=False)
@@ -108,6 +110,9 @@ def _assign_segments(spec: CorpusSpec, n_segments: int):
     def assign(batch: pa.Table) -> pa.Table:
         col = batch[part_col]
         if pa.types.is_integer(col.type):
+            # fill NULL ids first: a null int column reaches numpy as float64
+            # NaN, and NaN->uint64 casts are platform-dependent UB
+            col = pc.fill_null(col, 0)
             v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             # splitmix64 finalizer — decorrelates sequential ids
             v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -148,7 +153,9 @@ def build_index(
             input_fp = parquet_input_fingerprint(paths)
         n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
     else:
-        ds = source.select_columns(spec.read_cols)
+        # materialize once: count() would otherwise execute the source
+        # pipeline in full, and the build below would execute it AGAIN
+        ds = source.select_columns(spec.read_cols).materialize()
         if input_fp is None:
             input_fp = "volatile"  # unknown lineage → cannot resume-skip
             force = True
@@ -181,8 +188,12 @@ def build_index(
         )
         for sp in specs:
             st = os.stat(sp["path"])
+            # full path + mtime_ns: an in-place rewrite preserving size/row
+            # groups, or a same-basename file from a different directory,
+            # must NOT resume-match a stale segment
             sp["seg_fp"] = fingerprint(
-                config_fp, os.path.basename(sp["path"]), str(st.st_size),
+                config_fp, os.path.abspath(sp["path"]), str(st.st_size),
+                str(st.st_mtime_ns),
                 f"rg={sp['rg_start']}:{sp['rg_end']}", f"n={sp['n_rows']}",
             )
     else:
@@ -287,7 +298,10 @@ def _finalize_generation(
         .groupby("__shard")
         .map_groups(merge_dict_shard, batch_format="pyarrow")
     )
-    dict_dir = os.path.join(index_dir, "dict")
+    # generation-qualified dictionary dir: the committed generation's dict
+    # (referenced by manifest "dict_dirname") is never rmtree'd out from
+    # under a reader; stale generations are reclaimed by vacuum_index
+    dict_dir = os.path.join(index_dir, dict_dirname(build_fp))
     import shutil
 
     tmp_dict = f"{dict_dir}.tmp.{os.getpid()}"
@@ -306,15 +320,20 @@ def _finalize_generation(
     shutil.rmtree(dict_dir, ignore_errors=True)
     os.replace(tmp_dict, dict_dir)
 
-    # fold per-segment manifests (small; S files) → corpus stats
+    # fold per-segment manifests (small; S files) → corpus stats.  The glob
+    # sees EVERY generation's dirs — only those matching this generation's
+    # expected fingerprints join the manifest (dedupe by seg_id).
     seg_manifests = []
+    seen_ids: set[int] = set()
     for sd in sorted(glob.glob(os.path.join(index_dir, "seg=*"))):
         m = read_json(os.path.join(sd, SEG_MANIFEST))
-        if not m:
+        if not m or m.get("seg_id") in seen_ids:
             continue
         want = expected_fps.get(m.get("seg_id"), None) if expected_fps is not None else build_fp
         if want is not None and m.get("fingerprint") == want:
+            m.setdefault("dir", os.path.basename(sd))
             seg_manifests.append(m)
+            seen_ids.add(m["seg_id"])
     n_docs = sum(m["n_docs"] for m in seg_manifests)
     total_tokens = sum(m["sum_dl"] for m in seg_manifests)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
@@ -342,11 +361,12 @@ def _finalize_generation(
             "avgdl_fields": avgdl_fields,
             "n_segments": n_segments,
             "store_positions": store_positions,
+            "dict_dirname": os.path.basename(dict_dir),
             "segments": [
                 {
                     "seg_id": m["seg_id"], "n_docs": m["n_docs"], "sum_dl": m["sum_dl"],
                     "n_terms": m["n_terms"], "n_posting_entries": m.get("n_posting_entries", 0),
-                    "build_ms": m.get("build_ms", 0),
+                    "build_ms": m.get("build_ms", 0), "dir": m["dir"],
                     "id0_min": m.get("id0_min"), "id0_max": m.get("id0_max"),
                 }
                 for m in sorted(seg_manifests, key=lambda m: m["seg_id"])

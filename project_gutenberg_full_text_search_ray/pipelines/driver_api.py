@@ -204,7 +204,7 @@ def q_crosswalk_mini(sf_dir: str) -> pa.Table:
 def q_dict_df_top(sf_dir: str) -> pa.Table:
     """S5/A9 analog: the index dictionary's hottest terms by df."""
     eng = ensure_documents_index(sf_dir)
-    t = pq.read_table(os.path.join(eng.index_dir, "dict"), columns=["term", "df"])
+    t = pq.read_table(eng.dict_dir, columns=["term", "df"])
     idx = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
     out = t.take(idx).slice(0, 20)
     return pa.table({"term": out["term"], "df": out["df"].cast(pa.int64())})

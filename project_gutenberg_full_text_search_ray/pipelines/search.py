@@ -34,7 +34,7 @@ from ..crosswalks import Crosswalk, Transformer, apply_crosswalk
 from ..functions.analyzer import Analyzer
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.querylang import ParsedQuery, parse_query
-from ..state.manifest import load_index_manifest, seg_dir
+from ..state.manifest import load_index_manifest, resolve_dirs
 from ..stages.segment_search import (
     SCORE_COL,
     SEG_ID_COL,
@@ -215,11 +215,14 @@ class FullTextSearchEngine:
             for f, v in (self.manifest.get("avgdl_fields") or {}).items()
         }
         self.seg_ids = [s["seg_id"] for s in self.manifest["segments"]]
+        # every path resolves through the COMMITTED manifest (generation-
+        # qualified dirs): a refresh writing the next generation is invisible
+        self.seg_dirs, self.dict_dir = resolve_dirs(index_dir, self.manifest)
         self._df_cache: dict[str, int] = {}
         self._custom_transformer: Transformer | None = None
         self._dict_paths = sorted(
-            os.path.join(index_dir, "dict", f)
-            for f in os.listdir(os.path.join(index_dir, "dict"))
+            os.path.join(self.dict_dir, f)
+            for f in os.listdir(self.dict_dir)
             if f.endswith(".parquet")
         )
 
@@ -497,7 +500,7 @@ class FullTextSearchEngine:
         plan = self.build_plan(q, k)
         seg_ids = self.prune_segments(q.filters) if q.filters else self.seg_ids
         if self.mode == "local" or len(seg_ids) <= 4:
-            tables = [search_segment(seg_dir(self.index_dir, s), plan) for s in seg_ids]
+            tables = [search_segment(self.seg_dirs[s], plan) for s in seg_ids]
             seg_totals = {s: (int(t[SEG_TOTAL_COL][0].as_py()) if t.num_rows else 0) for s, t in zip(seg_ids, tables)}
             nonempty = [t for t in tables if t.num_rows]
             merged = pa.concat_tables(nonempty) if nonempty else None
@@ -505,7 +508,8 @@ class FullTextSearchEngine:
         else:
             segs = rd.from_items([{"seg_id": s} for s in seg_ids])
             res = segs.map_batches(
-                make_search_fn(plan, self.index_dir), batch_format="pyarrow", batch_size=1
+                make_search_fn(plan, self.index_dir, self.seg_dirs),
+                batch_format="pyarrow", batch_size=1,
             )
             parts = [ray.get(ref) for ref in res.to_arrow_refs()]
             parts = [p for p in parts if p is not None and p.num_rows]
@@ -525,7 +529,7 @@ class FullTextSearchEngine:
         return total, merged.take(pa.array(idx))
 
     def _empty_result_table(self) -> pa.Table:
-        d0 = pq.read_table(os.path.join(seg_dir(self.index_dir, self.seg_ids[0]), "docs.parquet")).slice(0, 0)
+        d0 = pq.read_table(os.path.join(self.seg_dirs[self.seg_ids[0]], "docs.parquet")).slice(0, 0)
         if "ord" in d0.column_names:
             d0 = d0.drop_columns(["ord"])
         return d0.append_column(SCORE_COL, pa.array([], type=pa.float64()))

@@ -44,13 +44,11 @@ class SearcherWorker:
 
         import pyarrow.parquet as pq
 
-        from ..state.manifest import seg_dir
-
         from ..stages.segment_search import _PostingsFile
 
         n = 0
         for s in self.seg_ids:
-            sd = seg_dir(self.inner.index_dir, s)
+            sd = self.inner.seg_dirs[s]  # committed-generation path
             p = os.path.join(sd, "docs.parquet")
             t = pq.read_table(p)
             self.inner.cache[p] = t

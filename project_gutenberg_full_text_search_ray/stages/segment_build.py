@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from ..corpus import CorpusSpec
 from ..functions.analyzer import Analyzer
-from ..functions.codec import vbyte_encode
+from ..functions.codec import vbyte_encode_with_lengths
 from ..state.manifest import SEG_MANIFEST, atomic_write_json, read_json, seg_dir
 
 SEG_COL = "__seg"
@@ -84,11 +84,13 @@ def write_segment_files(
     *,
     id0_col: str,
     extra: dict | None = None,
+    seg_fp: str | None = None,
 ) -> None:
     """Atomic segment commit: write docs/postings to a tmp dir, stamp the
-    lineage manifest, rename over the target (shared by fresh builds and
-    segment merges)."""
-    out_dir = seg_dir(index_dir, seg_id)
+    lineage manifest, rename into a GENERATION-QUALIFIED directory (named by
+    the segment fingerprint) — an older generation's directory for the same
+    seg_id is never touched (shared by fresh builds and segment merges)."""
+    out_dir = seg_dir(index_dir, seg_id, seg_fp or build_fp)
     n_docs = docs.num_rows
     tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -112,6 +114,7 @@ def write_segment_files(
         "id0_min": docs[id0_col][0].as_py() if n_docs else None,
         "id0_max": docs[id0_col][n_docs - 1].as_py() if n_docs else None,
         "files": ["docs.parquet", "postings.parquet"],
+        "dir": os.path.basename(out_dir),
     }
     meta.update(extra or {})
     atomic_write_json(os.path.join(tmp_dir, SEG_MANIFEST), meta)
@@ -154,7 +157,7 @@ class SegmentBuilder:
         segment content fp when given, else the generation fp), recover its
         dictionary partials from the existing postings file."""
         want = fp or self.build_fp
-        out_dir = seg_dir(self.index_dir, seg_id)
+        out_dir = seg_dir(self.index_dir, seg_id, want)
         existing = read_json(os.path.join(out_dir, SEG_MANIFEST))
         if existing and existing.get("fingerprint") == want and existing.get("status") == "complete":
             t = pq.read_table(os.path.join(out_dir, "postings.parquet"), columns=["term", "n", "cf_part"])
@@ -173,7 +176,7 @@ class SegmentBuilder:
 
         _t0 = _time.monotonic()
         seg_fp = fp or self.build_fp
-        out_dir = seg_dir(self.index_dir, seg_id)
+        out_dir = seg_dir(self.index_dir, seg_id, seg_fp)
         spec = self.spec
         sort_keys = [(c, "ascending") for c in spec.id_cols]
         order = pc.sort_indices(group, sort_keys=sort_keys)
@@ -305,8 +308,6 @@ class SegmentBuilder:
     ) -> pa.Table:
         """Slice posting entries into ≤block_size-doc blocks and VByte-encode
         each column in ONE pass, carving per-block byte ranges zero-copy."""
-        from ..functions.codec import vbyte_lengths
-
         bs = self.block_size
         n_entries = len(e_ord)
         if n_entries == 0:
@@ -340,13 +341,11 @@ class SegmentBuilder:
         d_ord[0] = e_ord[0]
         np.subtract(e_ord[1:], e_ord[:-1], out=d_ord[1:])
         d_ord[block_start] = e_ord[block_start]
-        ord_bytes = vbyte_encode(d_ord)
-        ord_lens = vbyte_lengths(d_ord)
+        ord_bytes, ord_lens = vbyte_encode_with_lengths(d_ord)
         ord_off = np.concatenate(([0], np.cumsum(ord_lens)))
 
         tf_u = tf.view(np.uint32)  # tf ≥ 1 always — zero-copy reinterpret
-        tf_bytes = vbyte_encode(tf_u)
-        tf_lens = vbyte_lengths(tf_u)
+        tf_bytes, tf_lens = vbyte_encode_with_lengths(tf_u)
         tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
 
         def bin_col(big: bytes, value_off: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
@@ -368,8 +367,7 @@ class SegmentBuilder:
             blob, entry_boff = pos_entry_bytes
             pos_col = bin_col(blob, entry_boff, block_start, block_end)  # py_buffer is zero-copy on ndarray
         elif self.store_positions and pos_delta is not None:
-            pos_bytes = vbyte_encode(pos_delta)
-            pos_lens = vbyte_lengths(pos_delta)
+            pos_bytes, pos_lens = vbyte_encode_with_lengths(pos_delta)
             pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
             tok_starts = tok_offsets[block_start]
             tok_ends = tok_offsets[block_end]

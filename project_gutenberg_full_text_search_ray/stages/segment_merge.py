@@ -102,12 +102,14 @@ def merge_segment_group(
     import time as _time
 
     _t0 = _time.monotonic()
-    from ..state.manifest import seg_dir
+    from ..state.manifest import resolve_dirs
+
+    src_dirs, _ = resolve_dirs(index_dir_in)  # committed-generation paths
 
     docs_tables = []
     member_offsets = [0]
     for s in member_seg_ids:
-        d = pq.read_table(os.path.join(seg_dir(index_dir_in, s), "docs.parquet"))
+        d = pq.read_table(os.path.join(src_dirs[s], "docs.parquet"))
         docs_tables.append(d)
         member_offsets.append(member_offsets[-1] + d.num_rows)
     concat = pa.concat_tables(docs_tables).combine_chunks()
@@ -132,7 +134,7 @@ def merge_segment_group(
     blob_base = 0
     for mi, s in enumerate(member_seg_ids):
         terms_m, old_ord, tf_m, pos_raw, entry_boff, have_pos = _decode_member_postings(
-            os.path.join(seg_dir(index_dir_in, s), "postings.parquet")
+            os.path.join(src_dirs[s], "postings.parquet")
         )
         if isinstance(terms_m, pa.ChunkedArray):
             terms_m = terms_m.combine_chunks()

@@ -210,7 +210,7 @@ class _PostingsFile:
         ]
         if not rgs:
             return self.pf.schema_arrow.empty_table()
-        t = self.pf.read_row_groups(rgs, columns=["term", "block", "n", "ords", "tfs", "pos"])
+        t = self.pf.read_row_groups(rgs, columns=["term", "block", "ords", "tfs", "pos"])
         return t.filter(pc.is_in(t["term"], value_set=pa.array(want)))
 
 
@@ -225,7 +225,7 @@ def load_postings(
     else:
         t = pq.read_table(
             postings_path,
-            columns=["term", "block", "n", "ords", "tfs", "pos"],
+            columns=["term", "block", "ords", "tfs", "pos"],
             filters=[("term", "in", sorted(set(terms)))],
         )
     if t.num_rows == 0:
@@ -235,15 +235,24 @@ def load_postings(
     ords_col = t["ords"].to_pylist()
     tfs_col = t["tfs"].to_pylist()
     pos_col = t["pos"].to_pylist()
+    # accumulate per-term block arrays and concatenate ONCE per term — a
+    # per-block np.concatenate onto the growing array is O(blocks²) copying
+    # for hot terms (1M-df term ≈ 1000 blocks)
+    acc: dict[str, tuple[list, list]] = {}
     for i, term in enumerate(terms_col):
         tp = out.setdefault(term, _TermPostings())
         deltas = vbyte_decode(ords_col[i]).astype(np.int64)
         ords = np.cumsum(deltas)  # per-block deltas: first is absolute
         tfb = vbyte_decode(tfs_col[i]).astype(np.int32)
-        tp.ords = np.concatenate([tp.ords, ords])
-        tp.tfs = np.concatenate([tp.tfs, tfb])
+        o_list, t_list = acc.setdefault(term, ([], []))
+        o_list.append(ords)
+        t_list.append(tfb)
         tp.pos_bytes_per_block.append(pos_col[i])
         tp.block_tf_slices.append(tfb)
+    for term, (o_list, t_list) in acc.items():
+        tp = out[term]
+        tp.ords = o_list[0] if len(o_list) == 1 else np.concatenate(o_list)
+        tp.tfs = t_list[0] if len(t_list) == 1 else np.concatenate(t_list)
     return out
 
 
@@ -335,7 +344,7 @@ def evaluate_query(
     return out
 
 
-FIELD_SEP = "\x1f"  # mirrors corpus.FIELD_SEP (kept local: plan is the unit)
+from ..corpus import FIELD_SEP  # single source of truth for the posting-key separator
 
 
 def _term_field(term: str) -> str | None:
@@ -416,8 +425,12 @@ def topk_maxscore(
     lexsort, but prunes the candidate set as terms accumulate.
 
     Terms are processed in DESCENDING score-bound order (bound = idf ·
-    tf_norm(max tf in segment, min dl in segment) — the per-segment roll-up
-    of the per-block (max_tf, min_dl) metadata written at build).  After each
+    tf_norm(max tf in segment, min dl in segment), computed here from the
+    already-decoded postings — exact, and free once postings are in memory.
+    The per-block (max_tf, min_dl) parquet columns exist for a future
+    skip-before-decode path; note the stored min_dl is whole-doc dl, so a
+    block-skip consumer must recompute it for '<field>\\x1fterm' keys against
+    the field dl).  After each
     term, any candidate whose current score + Σ(remaining bounds) cannot
     reach the current k-th best is dropped — it can never enter the top-k.
     Scores of survivors are EXACT (same fp64 ops in the same sorted-term
@@ -616,17 +629,21 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
     return out
 
 
-def make_search_fn(plan: SearchPlan, index_dir: str):
-    """Stateless-task form: map over a dataset of segment-id rows."""
+def make_search_fn(plan: SearchPlan, index_dir: str,
+                   seg_dirs: dict[int, str] | None = None):
+    """Stateless-task form: map over a dataset of segment-id rows.
+    ``seg_dirs`` (from the committed manifest) pins the generation; the
+    legacy-name fallback resolves the manifest inside the task."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        from ..state.manifest import seg_dir
+        from ..state.manifest import resolve_dirs
         from .segment_build import limit_worker_arrow_threads
 
         limit_worker_arrow_threads()
+        dirs = seg_dirs if seg_dirs is not None else resolve_dirs(index_dir)[0]
         tables = []
         for seg_id in batch["seg_id"].to_pylist():
-            t = search_segment(seg_dir(index_dir, int(seg_id)), plan)
+            t = search_segment(dirs[int(seg_id)], plan)
             t = t.append_column(SEG_ID_COL, pa.array(np.full(t.num_rows, seg_id, dtype=np.int32)))
             tables.append(t)
         return pa.concat_tables(tables) if tables else None
@@ -641,11 +658,15 @@ class SegmentSearchActor:
     concurrency=N)`` or as a raw @ray.remote actor via SearchService."""
 
     def __init__(self, index_dir: str):
+        from ..state.manifest import resolve_dirs
+
         self.index_dir = index_dir
+        # resolve once at construction: the actor serves THIS committed
+        # generation for its lifetime (generation-qualified dirs stay valid
+        # even while a refresh writes the next one)
+        self.seg_dirs = resolve_dirs(index_dir)[0]
         self.cache: dict = {}
 
     def search(self, seg_id: int, plan: SearchPlan) -> pa.Table:
-        from ..state.manifest import seg_dir
-
-        t = search_segment(seg_dir(self.index_dir, seg_id), plan, cache=self.cache)
+        t = search_segment(self.seg_dirs[seg_id], plan, cache=self.cache)
         return t.append_column(SEG_ID_COL, pa.array(np.full(t.num_rows, seg_id, dtype=np.int32)))

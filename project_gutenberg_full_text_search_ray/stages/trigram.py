@@ -42,11 +42,9 @@ def ensure_trigram_index(index_dir: str) -> str:
     parquet out — so a 10⁸-term dictionary never materializes on the driver.
     Files are globally range-partitioned by ``tri`` after the sort, so a
     lookup's ``filters=[("tri", "in", ...)]`` prunes to its own row groups."""
-    out = os.path.join(index_dir, TRIGRAM_DIR)
-    # invalidate on index generation change: a rebuild/refresh rewrites the
-    # dictionary, and a stale trigram table would silently miss (or invent)
-    # fuzzy/contains expansions.  The _DONE commit file carries the index
-    # fingerprint it was derived from.
+    # generation-qualified derived dir + fingerprint-carrying _DONE marker:
+    # a rebuild/refresh (new dictionary) derives into a NEW directory and a
+    # stale trigram table is never consulted nor rmtree'd from under readers
     gen = ""
     try:
         from ..state.manifest import load_index_manifest
@@ -54,6 +52,7 @@ def ensure_trigram_index(index_dir: str) -> str:
         gen = str(load_index_manifest(index_dir).get("fingerprint", ""))
     except Exception:
         pass
+    out = os.path.join(index_dir, f"{TRIGRAM_DIR}_{gen[:8]}" if gen else TRIGRAM_DIR)
     done_path = os.path.join(out, "_DONE")
     if os.path.exists(done_path):
         with open(done_path) as f:
@@ -61,7 +60,9 @@ def ensure_trigram_index(index_dir: str) -> str:
                 return out
     import ray.data as rd
 
-    dict_dir = os.path.join(index_dir, "dict")
+    from ..state.manifest import resolve_dirs
+
+    dict_dir = resolve_dirs(index_dir)[1]
 
     def explode(batch: pa.Table) -> pa.Table:
         tri_col: list[str] = []
@@ -117,7 +118,9 @@ def prefix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) 
     """Dictionary terms starting with ``frag`` — a RANGE scan
     [frag, frag+MAXCHAR) over the term-sorted dictionary parquet (row-group
     stats prune to the matching shard/groups; no vocabulary materialization)."""
-    dict_dir = os.path.join(index_dir, "dict")
+    from ..state.manifest import resolve_dirs
+
+    dict_dir = resolve_dirs(index_dir)[1]
     hi = frag + "\U0010ffff"
     t = pq.read_table(dict_dir, columns=["term"],
                       filters=[("term", ">=", frag), ("term", "<=", hi)])
@@ -138,7 +141,9 @@ def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) 
         terms = [t for t in set(cand["term"].to_pylist()) if t.endswith(frag)]
         terms.sort()
         return terms[:max_expansions]
-    dict_dir = os.path.join(index_dir, "dict")
+    from ..state.manifest import resolve_dirs
+
+    dict_dir = resolve_dirs(index_dir)[1]
     t = pq.read_table(dict_dir, columns=["term"])
     mask = pc.ends_with(t["term"], pattern=frag)
     terms = t["term"].filter(mask).to_pylist()
@@ -147,7 +152,9 @@ def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) 
 
 
 def term_exists(index_dir: str, term: str) -> bool:
-    dict_dir = os.path.join(index_dir, "dict")
+    from ..state.manifest import resolve_dirs
+
+    dict_dir = resolve_dirs(index_dir)[1]
     t = pq.read_table(dict_dir, columns=["term"], filters=[("term", "==", term)])
     return t.num_rows > 0
 

@@ -67,13 +67,67 @@ def read_json(path: str) -> dict[str, Any] | None:
         return None
 
 
-def seg_dir(index_dir: str, seg_id: int) -> str:
-    return os.path.join(index_dir, f"seg={seg_id:05d}")
+def seg_dirname(seg_id: int, seg_fp: str | None = None) -> str:
+    """Segment directory name.  With a fingerprint, the name is GENERATION-
+    QUALIFIED (``seg=00001_ab12cd34``): a refresh that changes a segment
+    writes a NEW directory and never touches the one the committed manifest
+    references — the manifest swap stays the only commit point, readers of
+    the old generation keep valid files, and a crash mid-refresh leaves the
+    old generation fully intact.  The bare form is the pre-generation legacy
+    layout, still readable."""
+    return f"seg={seg_id:05d}" if not seg_fp else f"seg={seg_id:05d}_{seg_fp[:8]}"
+
+
+def seg_dir(index_dir: str, seg_id: int, seg_fp: str | None = None) -> str:
+    return os.path.join(index_dir, seg_dirname(seg_id, seg_fp))
+
+
+def dict_dirname(build_fp: str | None = None) -> str:
+    """Dictionary directory, generation-qualified like segments."""
+    return "dict" if not build_fp else f"dict_{build_fp[:8]}"
+
+
+def resolve_dirs(index_dir: str, manifest: dict[str, Any] | None = None,
+                 ) -> tuple[dict[int, str], str]:
+    """(seg_id → absolute segment dir, absolute dict dir) for the COMMITTED
+    generation.  Every reader resolves paths through this — never by naming
+    convention — so partially-written future generations are invisible."""
+    m = manifest if manifest is not None else (read_json(os.path.join(index_dir, INDEX_MANIFEST)) or {})
+    segs: dict[int, str] = {}
+    for e in m.get("segments", []):
+        d = e.get("dir") or seg_dirname(int(e["seg_id"]))
+        segs[int(e["seg_id"])] = os.path.join(index_dir, d)
+    dict_dir = os.path.join(index_dir, m.get("dict_dirname") or "dict")
+    return segs, dict_dir
 
 
 def seg_is_complete(index_dir: str, seg_id: int, build_fp: str) -> bool:
-    m = read_json(os.path.join(seg_dir(index_dir, seg_id), SEG_MANIFEST))
+    m = read_json(os.path.join(seg_dir(index_dir, seg_id, build_fp), SEG_MANIFEST))
     return bool(m) and m.get("fingerprint") == build_fp and m.get("status") == "complete"
+
+
+def vacuum_index(index_dir: str) -> list[str]:
+    """Delete generation artifacts (``seg=*``, ``dict*``, ``dict_trigrams*``
+    dirs) NOT referenced by the committed manifest.  Run only when no reader
+    may still hold an older generation (the expire-snapshots analog).
+    Returns the removed directory names."""
+    import glob as _glob
+    import shutil
+
+    m = load_index_manifest(index_dir)
+    segs, dict_dir = resolve_dirs(index_dir, m)
+    keep = {os.path.basename(p) for p in segs.values()}
+    keep.add(os.path.basename(dict_dir))
+    keep.add(f"dict_trigrams_{m.get('fingerprint', '')[:8]}")
+    keep.add("dict_trigrams")  # legacy derived dir
+    removed = []
+    for p in _glob.glob(os.path.join(index_dir, "seg=*")) + \
+            _glob.glob(os.path.join(index_dir, "dict*")):
+        base = os.path.basename(p)
+        if base not in keep and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(base)
+    return sorted(removed)
 
 
 def load_index_manifest(index_dir: str) -> dict[str, Any]:

@@ -40,6 +40,6 @@ def test_compact_preserves_results(ray_session, transcripts_table, tmp_path):
     # dictionary identical
     import pyarrow.parquet as pq
 
-    d1 = pq.read_table(os.path.join(src_idx, "dict")).sort_by("term")
-    d2 = pq.read_table(os.path.join(out_idx, "dict")).sort_by("term")
+    d1 = pq.read_table(e1.dict_dir).sort_by("term")
+    d2 = pq.read_table(e2.dict_dir).sort_by("term")
     assert d1.equals(d2)

@@ -267,3 +267,54 @@ def test_positions_off_index(ray_session, small_corpus, tmp_path):
 
     sz = lambda d: sum(_os.path.getsize(p) for p in _glob.glob(_os.path.join(d, "seg=*", "postings.parquet")))
     assert sz(idx) < sz(idx_pos)
+
+
+def test_refresh_preserves_committed_generation(ray_session, tmp_path):
+    """MVCC generations: an engine opened on the committed generation keeps
+    answering from ITS files while a refresh builds and commits the next one
+    (generation-qualified dirs — nothing it references is touched); a fresh
+    engine sees the new data; vacuum_index reclaims only stale dirs."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index
+    from project_gutenberg_full_text_search_ray.pipelines.build import refresh_index
+    from project_gutenberg_full_text_search_ray.pipelines.search import FullTextSearchEngine
+    from project_gutenberg_full_text_search_ray.state.manifest import vacuum_index
+
+    spec = CorpusSpec(("doc_id",), "text", (), "gen_test")
+    src = str(tmp_path / "src.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(pa.table({"doc_id": [1, 2, 3], "text": ["old alpha", "old beta", "old gamma"]}), src)
+    build_index(src, spec, idx)
+
+    old_eng = FullTextSearchEngine(idx, mode="local")
+    r_old = old_eng.execute(old_eng.query().search("old")[1, 10])
+    assert r_old.total == 3
+
+    pq.write_table(pa.table({"doc_id": [1, 2, 3, 4], "text": ["new alpha", "new beta", "new gamma", "new delta"]}), src)
+    refresh_index(idx)
+
+    # the OLD engine still answers identically from its own generation
+    r_old2 = old_eng.execute(old_eng.query().search("old")[1, 10])
+    assert r_old2.total == 3 and r_old2.table.equals(r_old.table)
+    for d in old_eng.seg_dirs.values():
+        assert os.path.exists(os.path.join(d, "docs.parquet"))
+
+    # a fresh engine sees the NEW generation
+    new_eng = FullTextSearchEngine(idx, mode="local")
+    assert new_eng.execute(new_eng.query().search("new")[1, 10]).total == 4
+    assert new_eng.execute(new_eng.query().search("old")[1, 10]).total == 0
+    assert set(new_eng.seg_dirs.values()).isdisjoint(set(old_eng.seg_dirs.values()))
+
+    # vacuum removes the old generation's dirs, keeps the committed one
+    removed = vacuum_index(idx)
+    assert removed  # old gen dirs reclaimed
+    for d in old_eng.seg_dirs.values():
+        assert not os.path.exists(d)
+    assert new_eng.execute(new_eng.query().search("new")[1, 10]).total == 4
+    leftover = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "seg=*"))}
+    assert leftover == {os.path.basename(p) for p in new_eng.seg_dirs.values()}

@@ -183,7 +183,6 @@ def test_maxscore_equals_exhaustive(engine):
     exhaustive scoring for a spread of query shapes and k values."""
     import numpy as np
 
-    from project_gutenberg_full_text_search_ray.state.manifest import seg_dir
     from project_gutenberg_full_text_search_ray.stages.segment_search import (
         evaluate_query,
         load_postings,
@@ -192,7 +191,7 @@ def test_maxscore_equals_exhaustive(engine):
     )
     import pyarrow.parquet as pq
 
-    sd = seg_dir(engine.index_dir, engine.seg_ids[0])
+    sd = engine.seg_dirs[engine.seg_ids[0]]
     docs = pq.read_table(f"{sd}/docs.parquet")
     dl = docs["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
     for qs in ["the", "the w00001 or w00002 w00003", "w00001 or the or w00005", "w00042"]:
