@@ -121,7 +121,6 @@ class Analyzer:
         nonempty &= ~np.asarray(pc.is_null(values).to_numpy(zero_copy_only=False))
         # position within doc counted over nonempty tokens only
         cum = np.cumsum(nonempty)
-        doc_base = np.zeros(total, dtype=np.int64)
         # cum value just before each doc's first slot
         starts = offsets[:-1]
         base_per_doc = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
@@ -205,9 +204,8 @@ class Analyzer:
             return self.tokenize_column_arrow(texts)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        lowered = pc.utf8_lower(pc.coalesce(texts, pa.scalar(""))).combine_chunks() \
-            if isinstance(texts, pa.ChunkedArray) else pc.utf8_lower(pc.coalesce(texts, pa.scalar("")))
-        if isinstance(lowered, pa.ChunkedArray):
+        lowered = pc.utf8_lower(pc.coalesce(texts, pa.scalar("")))
+        if isinstance(lowered, pa.ChunkedArray):  # kernels may re-chunk
             lowered = lowered.combine_chunks()
         n_docs = len(lowered)
         if n_docs == 0:

@@ -30,7 +30,13 @@ class Term:
 
 @dataclass(frozen=True)
 class Phrase:
+    """``offsets`` preserve pre-stopword gaps (Postgres ``war <2> peace`` for
+    '"war and peace"' under a stopword config): offsets[k] is term k's
+    distance from the phrase start in the INDEXED position stream.  None =
+    consecutive (the default-analyzer case, where positions have no gaps)."""
+
     terms: tuple[str, ...]
+    offsets: tuple[int, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -93,7 +99,7 @@ def scope_to_field(q: ParsedQuery, fld: str) -> ParsedQuery:
         if isinstance(a, Not):
             return Not(conv_atom(a.atom))
         if isinstance(a, Phrase):
-            return Phrase(tuple(field_term(fld, t) for t in a.terms))
+            return Phrase(tuple(field_term(fld, t) for t in a.terms), a.offsets)
         return Term(field_term(fld, a.term))
 
     return ParsedQuery(tuple(
@@ -141,9 +147,15 @@ def parse_query(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> ParsedQuery
             i += 1
             continue
         if is_phrase:
-            terms = tuple(analyzer.tokenize(payload))
+            t_list, pos = analyzer.tokenize_with_positions(payload)
+            terms = tuple(t_list)
             if terms:
-                atom: Atom = Phrase(terms) if len(terms) > 1 else Term(terms[0])
+                # keep pre-stopword gaps so '"war and peace"' demands
+                # war<2>peace against the pre-stopword position stream
+                offs = tuple(p - pos[0] for p in pos)
+                if offs == tuple(range(len(terms))):
+                    offs = None  # consecutive — keep plans identical
+                atom: Atom = Phrase(terms, offs) if len(terms) > 1 else Term(terms[0])
                 current.append(Not(atom) if neg else atom)
         else:
             terms = tuple(analyzer.tokenize(payload))

@@ -21,15 +21,17 @@ STOPWORD_MARKERS = {
 }
 
 
-def predict_language(tokens: list[str]) -> str:
-    """n-gram-free marker heuristic: argmax language by stopword hits; CJK by
-    codepoint ratio; 'und' when nothing scores."""
+def predict_language(tokens: list[str], raw_text: str | None = None) -> str:
+    """n-gram-free marker heuristic: argmax language by stopword hits; 'und'
+    when nothing scores.  CJK needs ``raw_text``: the default analyzer splits
+    on [^a-z0-9]+ so CJK codepoints never reach the token stream — presence
+    of any CJK Unified Ideograph in the raw text short-circuits to 'zh'
+    (presence, not ratio, so the DuckDB oracle can express it with one
+    regexp_matches)."""
+    if raw_text is not None and any("一" <= ch <= "鿿" for ch in raw_text):
+        return "zh"
     if not tokens:
         return "und"
-    joined = "".join(tokens)
-    cjk = sum(1 for ch in joined if "一" <= ch <= "鿿")
-    if cjk > 0.3 * len(joined):
-        return "zh"
     best_lang, best = "und", 0
     for lang in sorted(STOPWORD_MARKERS):
         hits = sum(1 for t in tokens if t in STOPWORD_MARKERS[lang])
@@ -56,13 +58,31 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def token_hashes(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a per token (no PYTHONHASHSEED dependence)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = _FNV_OFFSET
-        for b in t.encode():
-            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    """Deterministic 64-bit FNV-1a per token (no PYTHONHASHSEED dependence).
+
+    Vectorized ACROSS tokens: one position-loop over the longest token, each
+    step an elementwise xor+multiply over all tokens still that long —
+    bit-identical to the per-byte scalar fold (uint64 multiply wraps mod
+    2^64), without a Python loop per byte."""
+    n = len(tokens)
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return out
+    encoded = [t.encode() for t in tokens]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+    buf[rows, cols] = flat
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            m = lens > j
+            out[m] = (out[m] ^ buf[m, j].astype(np.uint64)) * _FNV_PRIME
     return out
 
 
@@ -149,12 +169,7 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
 
 
 def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
-    if len(tokens) < k:
-        return np.empty(0, dtype=np.uint64)
-    th = token_hashes(tokens)
-    n = len(tokens) - k + 1
-    base = np.uint64(1099511628211)
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        out += th[j : j + n] * base ** np.uint64(k - 1 - j)
-    return np.unique(out)
+    """Distinct k-gram hashes — the SAME polynomial as rolling_fingerprints
+    (one definition, so the dedup candidate generator and the fingerprinting
+    oracle can never drift)."""
+    return np.unique(rolling_fingerprints(tokens, window=k))

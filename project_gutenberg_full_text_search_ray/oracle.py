@@ -70,9 +70,10 @@ class BruteForceOracle:
             plists = [pm.get(t) for t in atom.terms]
             if any(p is None for p in plists):
                 return False
-            starts = set(plists[0])
+            offs = atom.offsets or tuple(range(len(atom.terms)))
+            starts = {p - offs[0] for p in plists[0]}
             for k, pl in enumerate(plists[1:], start=1):
-                starts &= {p - k for p in pl}
+                starts &= {p - offs[k] for p in pl}
                 if not starts:
                     return False
             return True

@@ -578,7 +578,8 @@ def q_langid(sf_dir: str) -> pa.Table:
     from ..functions.textstats import predict_language
 
     def pred(batch: pa.Table) -> pa.Table:
-        preds = [predict_language(DEFAULT_ANALYZER.tokenize(t or "")) for t in batch["text"].to_pylist()]
+        preds = [predict_language(DEFAULT_ANALYZER.tokenize(t or ""), raw_text=t or "")
+                 for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds)})
 
     t = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(pred, batch_format="pyarrow").to_pandas()
@@ -1313,8 +1314,10 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
             f"count(*) FILTER (t.term IN ({terms})) AS h_{lang}"
             for lang, terms in _LANG_MARKERS_SQL.items()
         )
+        + ", bool_or(regexp_matches(d.text, '[一-鿿]')) AS is_cjk"
         + " FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id), "
         "p AS (SELECT doc_id, CASE "
+        "WHEN is_cjk THEN 'zh' "
         "WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und' "
         "WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de' "
         "WHEN h_en >= h_es AND h_en >= h_fr THEN 'en' "

@@ -262,9 +262,12 @@ def _phrase_match(postings: dict[str, _TermPostings], phrase: Phrase) -> np.ndar
     positions (tsquery ``<->`` semantics over our position streams).
 
     Fully vectorized: for each phrase term k, build composite keys
-    ``doc << 32 | (pos − k)`` over the candidate docs (the key is the
+    ``doc << 32 | (pos − offset_k)`` over the candidate docs (the key is the
     would-be phrase START position); an occurrence exists iff a key survives
-    the intersection across all k.  No per-document Python loop."""
+    the intersection across all k.  ``phrase.offsets`` preserve pre-stopword
+    gaps (Postgres ``<N>`` distances); None = consecutive.  No per-document
+    Python loop."""
+    p_offs = phrase.offsets or tuple(range(len(phrase.terms)))
     plists = []
     for t in phrase.terms:
         tp = postings.get(t)
@@ -296,8 +299,9 @@ def _phrase_match(postings: dict[str, _TermPostings], phrase: Phrase) -> np.ndar
         )
         pos_k = flat[gather]
         doc_k = np.repeat(cand.astype(np.int64), lens)
-        ok = pos_k >= k
-        key = (doc_k[ok] << np.int64(32)) | (pos_k[ok] - k)
+        off_k = int(p_offs[k])
+        ok = pos_k >= off_k
+        key = (doc_k[ok] << np.int64(32)) | (pos_k[ok] - off_k)
         keys = key if keys is None else np.intersect1d(keys, key, assume_unique=True)
         if len(keys) == 0:
             return np.empty(0, dtype=np.int64)

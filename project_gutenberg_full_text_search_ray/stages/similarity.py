@@ -34,8 +34,10 @@ def _matrix(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     of ``to_pylist`` (which builds n×dim Python floats)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.FixedSizeListArray):
-        flat = np.asarray(col.values, dtype=np.float64)
+    if isinstance(col, pa.FixedSizeListArray) and col.null_count == 0:
+        # flatten() is offset-aware; .values would span a sliced array's
+        # whole child buffer and misalign the reshape
+        flat = np.asarray(col.flatten(), dtype=np.float64)
         return flat.reshape(len(col), col.type.list_size)
     if isinstance(col, (pa.ListArray, pa.LargeListArray)) and col.null_count == 0:
         offsets = col.offsets.to_numpy(zero_copy_only=False)
@@ -89,13 +91,16 @@ def brute_force_topk(
              "cos_i4": pa.array([], type=pa.int64())}
         )
     parts = pa.concat_tables(blocks)
-    # global merge: per query, top-k by (cos desc, id asc)
+    # global merge: per query, top-k by (cos desc, id asc) — convert ONCE,
+    # slice per query with numpy masks (no per-query Arrow→Python round trip)
+    all_q = parts["query_idx"].to_numpy(zero_copy_only=False)
+    all_cos = parts["cos"].to_numpy(zero_copy_only=False)
+    all_ids = parts[id_col].to_numpy(zero_copy_only=False)
     out_tables = []
     for qi in range(len(Q)):
-        mask = np.asarray(parts["query_idx"].to_pylist()) == qi
-        sub = parts.filter(pa.array(mask))
-        cos = np.asarray(sub["cos"].to_pylist())
-        ids = np.asarray(sub[id_col].to_pylist())
+        m = all_q == qi
+        cos = all_cos[m]
+        ids = all_ids[m]
         order = np.lexsort((ids, -cos))[:k]
         out_tables.append(
             pa.table(
@@ -107,6 +112,19 @@ def brute_force_topk(
             )
         )
     return pa.concat_tables(out_tables)
+
+
+def _sign_keys(bits: np.ndarray) -> np.ndarray:
+    """uint64 bucket key from an (n, n_planes ≤ 64) sign-bit matrix — folds
+    ALL packed bytes (np.packbits(...)[:, 0] would silently ignore planes
+    past the first 8)."""
+    if bits.shape[1] > 64:
+        raise ValueError("at most 64 hyperplanes per key")
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    out = np.zeros(len(bits), dtype=np.uint64)
+    for i in range(packed.shape[1]):
+        out |= packed[:, i].astype(np.uint64) << np.uint64(8 * i)
+    return out
 
 
 def kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 13) -> np.ndarray:
@@ -137,6 +155,8 @@ def ivf_topk(
     the vectors whose list is among the query's ``n_probe`` closest lists."""
     sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
     sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    if sample.size == 0:  # empty corpus → empty result, not an AxisError
+        return brute_force_topk(ds, vec_col, id_col, query_vecs, k, exclude_ids)
     cent = kmeans_lite(sample, n_lists, seed=seed)
     c_ref = ray.put(cent)
     Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
@@ -166,14 +186,13 @@ def lsh_bucket_topk(
     planes = rng.standard_normal((Q.shape[1], n_planes))
     p_ref = ray.put(planes)
     q_buckets = ((Q @ planes) > 0).astype(np.uint8)
-    q_keys = {int(np.packbits(q_buckets[i], bitorder="little")[0]) for i in range(len(Q))}
+    q_keys = np.unique(_sign_keys(q_buckets))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         P = ray.get(p_ref)
         M = _normalize(_matrix(batch[vec_col]))
         bits = ((M @ P) > 0).astype(np.uint8)
-        keys = np.packbits(bits, axis=1, bitorder="little")[:, 0].astype(np.int32)
-        keep = np.isin(keys, list(q_keys))
+        keep = np.isin(_sign_keys(bits), q_keys)
         return batch.filter(pa.array(keep))
 
     pruned = ds.map_batches(bucketize, batch_format="pyarrow")
@@ -220,6 +239,8 @@ class IVFIndex:
 
         sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
         sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+        if sample.size == 0:
+            raise ValueError("IVFIndex.build: dataset has no vectors")
         cent = kmeans_lite(sample, n_lists, seed=seed)
         c_ref = ray.put(cent)
 
@@ -232,8 +253,13 @@ class IVFIndex:
         import shutil
 
         lists_dir = os.path.join(index_dir, "lists")
-        # meta.json is written LAST (the commit point); a dir without it is a
-        # crashed partial build — clear it so a retry can't append duplicates
+        # meta.json is written LAST (the commit point).  On rebuild, retract
+        # the PREVIOUS commit first — otherwise a crash mid-rebuild leaves a
+        # stale meta.json marking the half-written index as committed
+        for f in ("meta.json", "centroids.parquet"):
+            fp_ = os.path.join(index_dir, f)
+            if os.path.exists(fp_):
+                os.remove(fp_)
         if os.path.exists(lists_dir):
             shutil.rmtree(lists_dir)
         os.makedirs(index_dir, exist_ok=True)

@@ -136,7 +136,9 @@ def test_langid_markers():
     assert predict_language("le chat est sur la table et il est la".split()) == "fr"
     assert predict_language("el gato es un animal y las casas son grandes".split()) == "es"
     assert predict_language("der hund ist ein tier und die katze".split()) == "de"
-    assert predict_language(list("这是一个中文句子这是一个中文句子")) == "zh"
+    # CJK detection works on RAW text: the default analyzer tokenizes on
+    # [^a-z0-9]+ so ideographs never reach the token stream
+    assert predict_language([], raw_text="这是一个中文句子") == "zh"
     assert predict_language([]) == "und"
 
 

@@ -243,3 +243,69 @@ def test_trigram_index_invalidated_on_rebuild(ray_session, tmp_path):
     build_index(src, spec, idx, force=True)
     assert contains_expand(idx, "alph", max_expansions=None) == []
     assert contains_expand(idx, "delt", max_expansions=None) == ["delta"]
+
+
+def test_sign_keys_use_all_planes():
+    """Regression: packbits[...,0] silently ignored planes past the first 8."""
+    import numpy as np
+
+    from project_gutenberg_full_text_search_ray.stages.similarity import _sign_keys
+
+    a = np.zeros((1, 16), dtype=np.uint8)
+    b = np.zeros((1, 16), dtype=np.uint8)
+    b[0, 12] = 1  # differs only in plane 12
+    assert _sign_keys(a)[0] != _sign_keys(b)[0]
+    c = np.zeros((1, 16), dtype=np.uint8)
+    c[0, 3] = 1
+    assert _sign_keys(c)[0] == np.uint64(8)
+
+
+def test_matrix_handles_sliced_fixed_size_lists():
+    import numpy as np
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.stages.similarity import _matrix
+
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array([float(i) for i in range(12)]), 3)
+    sliced = arr.slice(2, 2)  # rows [6,7,8], [9,10,11]
+    M = _matrix(sliced)
+    assert M.shape == (2, 3) and M[0].tolist() == [6.0, 7.0, 8.0]
+
+
+def test_langid_cjk_from_raw_text():
+    from project_gutenberg_full_text_search_ray.functions.textstats import predict_language
+
+    assert predict_language([], raw_text="这是一个中文文档") == "zh"
+    assert predict_language(["the", "and"], raw_text="the and") == "en"
+    assert predict_language([], raw_text="") == "und"
+
+
+def test_stopword_phrase_preserves_gaps(ray_session, tmp_path):
+    """Postgres semantics: with a stopword analyzer, '"war and peace"' must
+    become war<2>peace against the pre-stopword position stream — matching
+    'war and peace' but NOT 'war peace' (and vice versa for '"war peace"')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import Analyzer, CorpusSpec, build_index
+    from project_gutenberg_full_text_search_ray.pipelines.search import FullTextSearchEngine
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["war and peace", "war peace treaty", "peace and war"],
+    })
+    src = str(tmp_path / "s.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "i")
+    an = Analyzer(stopwords=True)
+    build_index(src, CorpusSpec(("doc_id",), "text", (), "stopph"), idx, analyzer=an)
+    eng = FullTextSearchEngine(idx, mode="local")
+
+    def ids(q):
+        r = eng.execute(eng.query().search(q)[1, 10])
+        return sorted(r.table["doc_id"].to_pylist())
+
+    assert ids('"war and peace"') == [1]   # gap of 2 preserved
+    assert ids('"war peace"') == [2]       # strict adjacency
+    assert ids('"peace and war"') == [3]
