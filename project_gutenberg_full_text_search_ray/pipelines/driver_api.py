@@ -796,16 +796,17 @@ def q_asof_prev_purchase(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_decode(sf_dir: str) -> pa.Table:
-    """Multimodal plumbing: binary payload column → actor-pool decode stage →
-    feature vectors (deterministic fake kernel; see stages/multimodal.py)."""
+    """Multimodal decode: binary payload column → actor-pool decode stage →
+    feature vectors — the REAL kernel path (pure-numpy PPM/WAV decode over
+    genuine payloads; see stages/multimodal.py)."""
     import ray.data as rd
     from ..stages.multimodal import DecodeImageStage, synth_media_table
 
     media = synth_media_table(64)
     ds = rd.from_arrow(media)
     out = ds.map_batches(
-        DecodeImageStage, fn_constructor_kwargs={"dim": 16}, batch_format="pyarrow",
-        concurrency=2, batch_size=16,
+        DecodeImageStage, fn_constructor_kwargs={"dim": 16, "fake": False},
+        batch_format="pyarrow", concurrency=2, batch_size=16,
     ).to_pandas().sort_values("media_id")
     feat0 = [int(np.floor(f[0] * 10000 + 0.5)) for f in out["features"]]
     return pa.table({"media_id": pa.array(out["media_id"], type=pa.int64()),
