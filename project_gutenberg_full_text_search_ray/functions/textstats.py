@@ -156,15 +156,31 @@ def minhash_params(num_perm: int = 64, seed: int = 7) -> tuple[np.ndarray, np.nd
     return a, b
 
 
+def _mulmod_mersenne(a: np.uint64, h: np.ndarray) -> np.ndarray:
+    """EXACT (a·h) mod (2^61−1) for a < 2^61 and unrestricted uint64 ``h``,
+    in pure uint64 arithmetic: 32-bit limb products (each < 2^64) reduced via
+    2^61 ≡ 1 (so 2^64 ≡ 8); every addend is reduced below p before summing,
+    so no intermediate overflows.  Bit-identical to Python big-int math —
+    the DuckDB HUGEINT oracle depends on that."""
+    p = np.uint64(_MERSENNE)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    h1, h0 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
+    hi = (a1 * h1) % p                                # carries 2^64 ≡ 8
+    mid = ((a1 * h0) % p + (a0 * h1) % p) % p         # carries 2^32
+    m1, m0 = mid >> np.uint64(32), mid & np.uint64(0xFFFFFFFF)
+    mid_red = (m1 * np.uint64(8) + (m0 << np.uint64(32)) % p) % p
+    return ((hi * np.uint64(8)) % p + mid_red + (a0 * h0) % p) % p
+
+
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """sig[j] = min over shingles of (a_j * h + b_j mod p). Empty doc → p."""
     if len(shingle_hashes) == 0:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    h = shingle_hashes.astype(np.object_)  # python ints for exact mod-p math
+    h = shingle_hashes.astype(np.uint64, copy=False)
+    p = np.uint64(_MERSENNE)
     out = np.empty(len(a), dtype=np.uint64)
     for j in range(len(a)):
-        vals = (int(a[j]) * h + int(b[j])) % _MERSENNE
-        out[j] = np.uint64(min(vals))
+        out[j] = ((_mulmod_mersenne(np.uint64(a[j]), h) + np.uint64(b[j])) % p).min()
     return out
 
 
