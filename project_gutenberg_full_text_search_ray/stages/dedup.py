@@ -640,7 +640,14 @@ def connected_components_ds(
         adj.select_columns(["id"]).map_batches(
             lambda b: b.append_column("lbl", b["id"]), batch_format="pyarrow")
         .groupby("id").min("lbl").rename_columns({"min(lbl)": "lbl"})
-    )
+    ).materialize()
+    # ONE self-loop per unique node: each node offers its own label to
+    # itself every round, so the per-round fold is one join + one grouped
+    # MIN over offers alone (no labels∪offered union + extra materialize)
+    adj = _drop_empty_blocks(adj.union(
+        labels.map_batches(
+            lambda b: pa.table({"id": b["id"], "peer": b["id"]}),
+            batch_format="pyarrow")))
 
     prev = int(labels.sum("lbl") or 0)
     for _ in range(max_rounds):
@@ -649,8 +656,7 @@ def connected_components_ds(
         offers = adj.join(labels, join_type="inner", on=("id",), **_join_args())
         offered = offers.select_columns(["peer", "lbl"]).rename_columns({"peer": "id"})
         labels = _drop_empty_blocks(
-            labels.union(offered)
-            .groupby("id").min("lbl").rename_columns({"min(lbl)": "lbl"})
+            offered.groupby("id").min("lbl").rename_columns({"min(lbl)": "lbl"})
         )
         cur = int(labels.sum("lbl") or 0)
         if cur == prev:
