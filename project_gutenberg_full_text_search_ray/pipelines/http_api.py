@@ -89,6 +89,7 @@ class SearchAPI:
                 {"rel": "self", "href": "/"},
                 {"rel": "search", "href": "/search?query={searchTerms}"},
                 {"rel": "count", "href": "/count?query={searchTerms}"},
+                {"rel": "facets", "href": "/facets?col={column}"},
             ],
         }
 
@@ -166,6 +167,23 @@ class SearchAPI:
         feed = self.search({**params, "limit": "1", "page": "1"})
         return {"query": feed["query"], "total": feed["total"]}
 
+    def facets(self, params: dict) -> dict:
+        """Standalone facet browse — the bookshelves/subjects navigation
+        feeds (opds.py:356-417, :815-869): sampled value counts over a
+        metadata column, optionally under ``query``/``f.<col>`` filters."""
+        col = params.get("col", "")
+        if not col:
+            return {"error": "facets needs ?col=<metadata column>"}
+        q = self.backend.query()
+        query = (params.get("query") or "").strip()
+        if query:
+            q.search(query)
+        for key, val in params.items():
+            if key.startswith("f."):
+                q.eq(key[2:], _coerce(val))
+        return {"col": col, "query": query,
+                "facets": self._facet(q, col, params)}
+
     # ------------------------------------------------------------ plumbing
     def _pagination_links(self, path: str, params: dict, page: int,
                           limit: int, total: int) -> list[dict]:
@@ -188,6 +206,8 @@ class SearchAPI:
                 return 200, self.search(params)
             if path == "/count":
                 return 200, self.count(params)
+            if path == "/facets":
+                return 200, self.facets(params)
             return 404, {"error": f"no such endpoint: {path}"}
         except Exception as e:  # opds.py:1011-1013 → HTTPError(500)
             return 500, {"error": f"search failed: {e}"}

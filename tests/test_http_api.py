@@ -109,3 +109,17 @@ def test_search_facets_block(server, engine):
         assert exp[v] == n
     status2, feed2 = _get(server, "/search?query=the&facet=nosuchcol")
     assert status2 == 200 and feed2["facets"]["nosuchcol"] == []
+
+
+def test_facets_browse_endpoint(server, engine):
+    """Standalone /facets — navigation-feed analog (no search query)."""
+    status, feed = _get(server, "/facets?col=role&facet_sample=200")
+    assert status == 200 and feed["col"] == "role"
+    vals = {f["value"] for f in feed["facets"]}
+    assert vals <= {"user", "assistant", "system", "tool"} and vals
+    # filtered browse: only matching docs counted
+    status2, feed2 = _get(server, "/facets?col=role&f.role=user")
+    assert status2 == 200
+    assert {f["value"] for f in feed2["facets"]} == {"user"}
+    status3, feed3 = _get(server, "/facets")
+    assert status3 == 200 and "error" in feed3
