@@ -108,14 +108,21 @@ def test_multimodal_decode_deterministic(ray_session):
     assert len(a) == 64
 
 
-def test_multimodal_real_decode_raises():
+def test_multimodal_real_decode_works_and_gates_unknown_formats():
+    import pyarrow as pa
+
     from project_gutenberg_full_text_search_ray.stages.multimodal import (
         DecodeImageStage,
         synth_media_table,
     )
 
+    media = synth_media_table(2)
+    out = DecodeImageStage(dim=8, fake=False)(media)  # real PPM/WAV decode
+    assert out.num_rows == 2 and len(out["features"][0].as_py()) == 8
+    unknown = pa.table({"media_id": [9], "payload": [b"\x89PNG..."],
+                        "meta": media["meta"].slice(0, 1)})
     with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)(synth_media_table(2))
+        DecodeImageStage(fake=False)(unknown)
 
 
 def test_frame_sample_explodes(ray_session):
