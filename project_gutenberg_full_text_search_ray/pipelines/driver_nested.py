@@ -144,8 +144,11 @@ def q_parse_fields(sf_dir: str) -> pa.Table:
             "pub_a": pc.struct_field(st, "a"),
             "pub_b": pc.struct_field(st, "b"),
             "pub_c": pc.struct_field(st, "c"),
-            "head": pc.utf8_trim_whitespace(
-                P.regexp_split_first(text, r"\bwindow\b")),
+            # utf8_trim(characters=" ") == DuckDB trim() (space only);
+            # utf8_trim_whitespace would also strip tabs/newlines and
+            # silently diverge from the oracle on such corpora
+            "head": pc.utf8_trim(
+                P.regexp_split_first(text, r"\bwindow\b"), characters=" "),
         })
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),

@@ -105,18 +105,47 @@ class SearchAPI:
         # otherwise rewrite terms into a posting keyspace that doesn't exist
         # and silently match nothing)
         spec = getattr(self.backend, "spec", None) or self.backend.engine.spec
-        if field_name is not None and field_name not in spec.field_cols:
-            field_name = None
+        known_field = field_name is not None and field_name in spec.field_cols
+        engine = getattr(self.backend, "engine", self.backend)
 
         q = self.backend.query()
         if query:
             if mode == "fuzzy":
-                for term in query.split():
-                    q.search_fuzzy(term)
+                if known_field:
+                    # field-scoped fuzzy (reference honors SearchField for
+                    # FUZZY): expand via the trigram dictionary, then run the
+                    # expansions as a field-scoped OR query
+                    from ..stages.trigram import fuzzy_expand
+
+                    terms = [t for w in query.split()
+                             for t, _ in fuzzy_expand(engine.index_dir, w)]
+                    if terms:
+                        q.search(" or ".join(dict.fromkeys(terms)), field=field_name)
+                    else:
+                        from ..functions.querylang import ParsedQuery
+
+                        q.queries.append(ParsedQuery(()))  # empty parse == match nothing
+                else:
+                    for term in query.split():
+                        q.search_fuzzy(term)
             elif mode == "contains":
-                q.search_contains(query)
+                scoped = field_name is not None and (
+                    known_field or field_name in spec.meta_cols)
+                if scoped:
+                    # field-scoped substring: exact ILIKE on that stored
+                    # column via the vectorized substr filter
+                    q.contains(field_name, query)
+                elif len(query.split()) == 1 and len(query) >= 3:
+                    q.search_contains(query)  # indexed single-token path
+                else:
+                    # multi-word / <3-char substring over the TEXT column:
+                    # raw text is not in the doc store, so route through the
+                    # index-assisted contains_multi pipeline (verifies
+                    # against the corpus parquet) and page its output
+                    return self._contains_multi_feed(engine, spec, query,
+                                                     params, page, limit)
             else:
-                q.search(query, field=field_name)
+                q.search(query, field=field_name if known_field else None)
         for key, val in params.items():
             if key.startswith("f."):
                 q.eq(key[2:], _coerce(val))
@@ -139,6 +168,33 @@ class SearchAPI:
         if facet_col:
             feed["facets"] = {facet_col: self._facet(q, facet_col, params)}
         return feed
+
+    def _contains_multi_feed(self, engine, spec, query: str, params: dict,
+                             page: int, limit: int) -> dict:
+        """ILIKE-'%q%' feed for patterns the posting index can't represent:
+        verified matches stream from ``contains_multi_dataset``; rows are
+        identity-ordered corpus rows (id cols + text), like the reference's
+        CONTAINS listing."""
+        from ..stages.segment_search import FilterSpec
+
+        filters = [FilterSpec(k[2:], "==", _coerce(v))
+                   for k, v in params.items() if k.startswith("f.")]
+        ds = engine.contains_multi_dataset(query, filters=filters or None)
+        total = ds.count()
+        head = ds.sort(list(spec.id_cols)).limit(page * limit).take_all()
+        rows = head[(page - 1) * limit: page * limit]
+        return {
+            "title": self.title,
+            "query": query,
+            "total": int(total),
+            "page": page,
+            "limit": limit,
+            "results": [{k: (v if isinstance(v, (str, int, float, bool,
+                                                 type(None), list, dict))
+                             else str(v)) for k, v in r.items()} for r in rows],
+            "links": self._pagination_links("/search", params, page, limit,
+                                            int(total)),
+        }
 
     def _facet(self, q, facet_col: str, params: dict) -> list[dict]:
         """Sampled facet counts over the top matched docs — the reference's
@@ -167,13 +223,13 @@ class SearchAPI:
         feed = self.search({**params, "limit": "1", "page": "1"})
         return {"query": feed["query"], "total": feed["total"]}
 
-    def facets(self, params: dict) -> dict:
+    def facets(self, params: dict) -> tuple[int, dict]:
         """Standalone facet browse — the bookshelves/subjects navigation
         feeds (opds.py:356-417, :815-869): sampled value counts over a
         metadata column, optionally under ``query``/``f.<col>`` filters."""
         col = params.get("col", "")
         if not col:
-            return {"error": "facets needs ?col=<metadata column>"}
+            return 400, {"error": "facets needs ?col=<metadata column>"}
         q = self.backend.query()
         query = (params.get("query") or "").strip()
         if query:
@@ -181,8 +237,8 @@ class SearchAPI:
         for key, val in params.items():
             if key.startswith("f."):
                 q.eq(key[2:], _coerce(val))
-        return {"col": col, "query": query,
-                "facets": self._facet(q, col, params)}
+        return 200, {"col": col, "query": query,
+                     "facets": self._facet(q, col, params)}
 
     # ------------------------------------------------------------ plumbing
     def _pagination_links(self, path: str, params: dict, page: int,
@@ -207,7 +263,7 @@ class SearchAPI:
             if path == "/count":
                 return 200, self.count(params)
             if path == "/facets":
-                return 200, self.facets(params)
+                return self.facets(params)
             return 404, {"error": f"no such endpoint: {path}"}
         except Exception as e:  # opds.py:1011-1013 → HTTPError(500)
             return 500, {"error": f"search failed: {e}"}
@@ -263,7 +319,10 @@ class SearchHTTPServer:
         return f"http://{self.host}:{self.port}"
 
     def close(self) -> None:
-        self.httpd.shutdown()
+        if self._thread is not None:
+            # shutdown() blocks on an event only serve_forever() sets —
+            # calling it on a never-started server would deadlock forever
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

@@ -53,10 +53,20 @@ def parquet_input_fingerprint(paths: list[str]) -> str:
 
 
 def atomic_write_json(path: str, obj: dict[str, Any]) -> None:
+    """Write-tmp → fsync → rename → fsync(dir): without the fsyncs, delayed
+    allocation can persist the rename before the data blocks, and a power
+    loss would replace the COMMITTED manifest with a truncated file."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dir_fd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def read_json(path: str) -> dict[str, Any] | None:

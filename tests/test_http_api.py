@@ -122,4 +122,51 @@ def test_facets_browse_endpoint(server, engine):
     assert status2 == 200
     assert {f["value"] for f in feed2["facets"]} == {"user"}
     status3, feed3 = _get(server, "/facets")
-    assert status3 == 200 and "error" in feed3
+    assert status3 == 400 and "error" in feed3
+
+
+def test_contains_multiword_and_short_patterns(server, engine):
+    """ILIKE '%q%' parity: multi-word and <3-char substrings must match via
+    the substr-filter path (regression: indexed expansion returned 0)."""
+    # find a real two-token substring from a doc
+    res = engine.execute(engine.query().search("w00001")[1, 1])
+    text = None
+    if res.table.num_rows:
+        for c in res.table.column_names:
+            v = res.table[c][0].as_py()
+            if isinstance(v, str) and len(v.split()) >= 2:
+                text = v
+                break
+    probe = " ".join(text.split()[:2]) if text else "w00001 w00002"
+    status, feed = _get(server, "/search?field=contains_book&query=" +
+                        probe.replace(" ", "+"))
+    exp_total = engine.contains_multi_dataset(probe).count()
+    assert status == 200 and feed["total"] == exp_total > 0
+    # short pattern
+    status2, feed2 = _get(server, "/search?field=contains_book&query=w0")
+    exp2_total = engine.contains_multi_dataset("w0").count()
+    assert status2 == 200 and feed2["total"] == exp2_total > 0
+
+
+def test_contains_field_scoped(server, engine):
+    """contains_<metadata col> restricts the substring match to that column."""
+    status, feed = _get(server, "/search?field=contains_role&query=assist")
+    exp = engine.execute(engine.query().contains("role", "assist")[1, 28])
+    assert status == 200 and feed["total"] == exp.total > 0
+    assert all(r["role"] == "assistant" for r in feed["results"])
+
+
+def test_facets_missing_col_is_400(server):
+    status, body = _get(server, "/facets")
+    assert status == 400 and "error" in body
+
+
+def test_close_without_start_does_not_hang(engine):
+    import time
+
+    from project_gutenberg_full_text_search_ray.pipelines.http_api import SearchHTTPServer
+
+    srv = SearchHTTPServer(engine)  # never started
+    t0 = time.time()
+    srv.close()
+    assert time.time() - t0 < 2
