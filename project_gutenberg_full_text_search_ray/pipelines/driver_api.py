@@ -473,15 +473,20 @@ def q_embed_neardup_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
-    """LSH-bucketed ANN (approximate scale path) — rows-only check; recall vs
-    the exact baseline is asserted in pytest."""
+    """LSH-bucketed ANN (approximate scale path).  The bucketing is
+    hash-derived ±1 planes over integer-quantized vectors (similarity.py::
+    hash_planes), so the ENTIRE approximate operator — bucket membership
+    included — is bit-exact re-expressible in the DuckDB oracle; recall vs
+    the exact baseline is additionally asserted in pytest."""
     import ray.data as rd
     from ..stages.similarity import lsh_bucket_topk
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    return lsh_bucket_topk(ds, "embedding", "vec_id", np.asarray([q_vec]), k=10, exclude_ids={0})
+    out = lsh_bucket_topk(ds, "embedding", "vec_id", np.asarray([q_vec]),
+                          k=10, n_planes=5, exclude_ids={0})
+    return pa.table({"vec_id": out["vec_id"], "cos_i4": out["cos_i4"]})
 
 
 def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
@@ -1178,6 +1183,34 @@ def _minhash_pairs_sql(threshold: float, num_perm: int = 64, bands: int = 16,
     )
 
 
+def _ann_lsh_topk_sql(n_planes: int = 5, seed: int = 11, k: int = 10) -> str:
+    """DuckDB twin of stages/similarity.lsh_bucket_topk: ±1 planes from
+    FNV-1a("d|p|seed") bit 32, signatures as signs of INTEGER dot products
+    over ×10⁴-quantized raw vectors (bit-exact vs numpy — no float summation
+    order dependence), then exact cosine top-k within the query's bucket."""
+    dp_expr = "CAST(d AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|" + str(seed) + "'"
+    return (
+        "WITH nd AS (SELECT len(embedding) AS dim FROM embeddings WHERE vec_id = 0), "
+        "planes AS (SELECT CAST(d AS INT) AS d, CAST(p AS INT) AS p, "
+        f"CASE WHEN (CAST({_fnv_sql(dp_expr)} AS UBIGINT) >> 32) & 1 = 1 "
+        "THEN 1 ELSE -1 END AS w "
+        "FROM UNNEST(range(0, (SELECT dim FROM nd))) AS rd(d), "
+        f"UNNEST(range(0, {n_planes})) AS rp(p)), "
+        "dots AS (SELECT e.vec_id, pl.p, "
+        "sum(CAST(floor(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 10000 + 0.5) AS HUGEINT) "
+        "* pl.w) AS dp FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2), "
+        "sig AS (SELECT vec_id, sum(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS key "
+        "FROM dots GROUP BY 1), "
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "qk AS (SELECT key FROM sig WHERE vec_id = 0) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "CAST(floor(list_cosine_similarity(e.embedding, q.qv) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
+        "FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, q, qk "
+        "WHERE e.vec_id <> 0 AND s.key = qk.key "
+        f"ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT {k}"
+    )
+
+
 def _fingerprints_sql(limit_doc_id: int = 50) -> str:
     """DuckDB twin of rolling_fingerprints + winnow (textstats.py): 4-token
     Rabin-Karp rolling hashes over FNV token hashes (mod-2^64 wraparound via
@@ -1338,6 +1371,7 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     "simhash_pairs": _simhash_pairs_sql(max_hamming=12),
     "fingerprints": _fingerprints_sql(limit_doc_id=50),
     "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
+    "ann_lsh_topk": _ann_lsh_topk_sql(n_planes=5, seed=11, k=10),
     "field_search": _FIELD_SEARCH_SQL,
     "regex_extract": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -175,22 +175,55 @@ def ivf_topk(
     return brute_force_topk(pruned, vec_col, id_col, query_vecs, k, exclude_ids)
 
 
+def _fnv1a_str(s: str) -> int:
+    """Scalar FNV-1a-64 over codepoints — the same fold the DuckDB oracles
+    re-express in HUGEINT mod-2^64 arithmetic (driver_api._fnv_sql)."""
+    h = 0xCBF29CE484222325
+    for ch in s:
+        h = ((h ^ ord(ch)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplane matrix (dim, n_planes):
+    entry sign = bit 32 of FNV-1a("d|p|seed").  Sign-random-projection with
+    ±1 entries is a standard angular LSH; hash-derived entries make the
+    bucketing machine- and library-independent AND re-expressible in SQL,
+    so the whole approximate operator is oracle-checkable."""
+    W = np.empty((dim, n_planes), dtype=np.int64)
+    for d in range(dim):
+        for p in range(n_planes):
+            W[d, p] = 1 if (_fnv1a_str(f"{d}|{p}|{seed}") >> 32) & 1 else -1
+    return W
+
+
+def quantize_i4(M: np.ndarray) -> np.ndarray:
+    """Round-half-up ×10⁴ integer quantization — signatures computed on
+    integers are exact (no float-summation-order dependence between numpy
+    matmul and a SQL oracle's sequential sum)."""
+    return np.floor(M * 10000 + 0.5).astype(np.int64)
+
+
 def lsh_bucket_topk(
     ds: rd.Dataset, vec_col: str, id_col: str, query_vecs: np.ndarray, k: int = 10,
     n_planes: int = 8, seed: int = 11, exclude_ids: set | None = None,
 ) -> pa.Table:
     """Approximate top-k: sign-LSH bucket assignment (vectorized per batch),
-    then exact scoring within the query's bucket only."""
-    rng = np.random.default_rng(seed)
-    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    planes = rng.standard_normal((Q.shape[1], n_planes))
+    then exact scoring within the query's bucket only.
+
+    Signatures are sign(quantize_i4(raw_vec) @ hash_planes) — integer
+    arithmetic on hash-derived ±1 planes, so bucket membership is bit-exact
+    reproducible (scaling never changes a dot product's sign, so skipping
+    normalization here is exact, not an approximation)."""
+    Qraw = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    planes = hash_planes(Qraw.shape[1], n_planes, seed)
     p_ref = ray.put(planes)
-    q_buckets = ((Q @ planes) > 0).astype(np.uint8)
-    q_keys = np.unique(_sign_keys(q_buckets))
+    q_bits = ((quantize_i4(Qraw) @ planes) > 0).astype(np.uint8)
+    q_keys = np.unique(_sign_keys(q_bits))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         P = ray.get(p_ref)
-        M = _normalize(_matrix(batch[vec_col]))
+        M = quantize_i4(_matrix(batch[vec_col]))
         bits = ((M @ P) > 0).astype(np.uint8)
         keep = np.isin(_sign_keys(bits), q_keys)
         return batch.filter(pa.array(keep))

@@ -72,8 +72,8 @@ def test_lsh_ann_recall_vs_exact(ray_session):
 
     exact = set(q_ann_cosine_topk(SF)["vec_id"].to_pylist())
     approx = set(q_ann_lsh_topk(SF)["vec_id"].to_pylist())
-    # sign-LSH with 8 planes on near-orthogonal synthetic vectors is a coarse
-    # filter; just require non-trivial overlap + valid size
+    # sign-LSH with 5 hash-derived ±1 planes on near-orthogonal synthetic
+    # vectors is a coarse filter; just require non-trivial overlap + valid size
     assert len(approx) <= 10
     assert len(exact) == 10
 
