@@ -818,6 +818,34 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
                      "feat0_i4": pa.array(feat0, type=pa.int64())})
 
 
+def q_boilerplate_scrub(sf_dir: str) -> pa.Table:
+    """Repeated-content scrub (CCNet/RefinedWeb-style boilerplate removal at
+    fixed 2-token span granularity): spans in ≥3% of docs are dropped, docs
+    reassembled from surviving spans.  df is computed over the WHOLE corpus;
+    the returned slice is doc_id < 200."""
+    from ..stages.corpus_prep import frequent_span_scrub
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    out = frequent_span_scrub(ds, "text", "doc_id", span_tokens=2, max_df_frac=0.03)
+    out = out.filter(pc.less(out["doc_id"], 200))
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "clean_text": out["clean_text"]})
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Token-budget sequence packing (concat-then-chunk, capacity 512):
+    pack_id = exclusive running token total // capacity, docs ordered by id.
+    Distributed prefix sum — per-bucket sums, driver-side exclusive prefix
+    over the tiny bucket table, per-bucket vectorized cumsum."""
+    from ..stages.corpus_prep import pack_sequences
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    out = pack_sequences(ds, "text", "doc_id", capacity=512)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                     "pack_id": pa.array(out["pack_id"], type=pa.int64())})
+
+
 _FLAGSHIP_CONVS = 500  # fixed fixture: 500 convs × 8 turns = 4k docs
 
 
@@ -1372,6 +1400,34 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     "fingerprints": _fingerprints_sql(limit_doc_id=50),
     "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
     "ann_lsh_topk": _ann_lsh_topk_sql(n_planes=5, seed=11, k=10),
+    # boilerplate scrub: 2-token non-overlapping spans, span frequent when its
+    # distinct-doc count >= ceil(0.03 * n_docs) (identical double arithmetic
+    # both sides), docs rebuilt from surviving spans in order
+    "boilerplate_scrub": (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "tok AS (SELECT doc_id, CAST(i AS INT) AS i, arr[CAST(i AS INT)] AS t "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        "win AS (SELECT doc_id, (i - 1) // 2 AS w, string_agg(t, ' ' ORDER BY i) AS span "
+        "FROM tok GROUP BY 1, 2), "
+        "sdf AS (SELECT span, count(DISTINCT doc_id) AS n FROM win GROUP BY 1), "
+        "mind AS (SELECT GREATEST(1, CAST(ceil(0.03 * count(*)) AS BIGINT)) AS v FROM base), "
+        "keep AS (SELECT w.doc_id, w.w, w.span FROM win w JOIN sdf USING(span) "
+        "WHERE sdf.n < (SELECT v FROM mind)), "
+        "agg AS (SELECT doc_id, string_agg(span, ' ' ORDER BY w) AS clean_text "
+        "FROM keep GROUP BY 1) "
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, "
+        "COALESCE(a.clean_text, '') AS clean_text "
+        "FROM base b LEFT JOIN agg a USING(doc_id) WHERE b.doc_id < 200 "
+        "ORDER BY b.doc_id"
+    ),
+    "pack_sequences": (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "n AS (SELECT doc_id, len(arr) AS nt FROM base), "
+        "c AS (SELECT doc_id, nt, COALESCE(sum(nt) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM n) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(nt AS BIGINT) AS n_tokens, "
+        "CAST(prev // 512 AS BIGINT) AS pack_id FROM c ORDER BY doc_id"
+    ),
     "field_search": _FIELD_SEARCH_SQL,
     "regex_extract": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
@@ -1425,9 +1481,11 @@ QUERIES_EXTRAS = {
     "asof_prev_purchase": q_asof_prev_purchase,
     "sliding_window_counts": q_sliding_window_counts,
     "regex_extract": q_regex_extract,
-    # rows-only (no SQL-expressible oracle — randomized LSH planes / k-means
-    # iterations / sha256-seeded fake decode; semantics asserted in pytest)
     "ann_lsh_topk": q_ann_lsh_topk,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "pack_sequences": q_pack_sequences,
+    # rows-only (no SQL-expressible oracle — iterative k-means / PCG64-seeded
+    # binary payload synthesis; semantics asserted in pytest)
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
     "transcripts_flagship": q_transcripts_flagship,

@@ -1,0 +1,169 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+* ``frequent_span_scrub`` — repeated-content (boilerplate) removal in the
+  CCNet / RefinedWeb style, at fixed token-window granularity: a doc is cut
+  into non-overlapping spans of ``span_tokens`` analyzer tokens, and every
+  span whose cross-document frequency reaches ``max_df_frac`` of the corpus
+  is dropped; the doc is reassembled from the surviving spans in order.
+  Two streaming passes over the corpus:
+    1. per-batch partial span df counts (a span counts ONCE per doc) →
+       span-vocabulary-sized ``groupby().sum()`` → the small frequent-span
+       set is collected and broadcast with ``ray.put``;
+    2. one more pass rebuilds each doc from its non-frequent spans.
+  The pass-1 exchange carries (span, partial_df) aggregates only — bounded
+  by per-batch span vocabulary, never document text; pass 2 is shuffle-free.
+
+* ``pack_sequences`` — token-budget sequence packing ("concat then chunk",
+  the standard LLM pre-training packing): docs ordered by id are laid out
+  end-to-end and cut into consecutive bins of ``capacity`` tokens; a doc's
+  ``pack_id`` is its exclusive running-token-total // capacity.  Distributed
+  prefix sum: per-bucket (doc_id // bucket_size) token sums → driver-side
+  exclusive prefix over the tiny bucket table → per-bucket vectorized
+  cumsum.  Exchanges carry (doc_id, n_tokens) only — never text.
+
+Both operators are deterministic and DuckDB-oracled end-to-end
+(pipelines/driver_api.py: ``boilerplate_scrub``, ``pack_sequences``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions.analyzer import DEFAULT_ANALYZER
+
+
+def _doc_spans(texts: pa.Array | pa.ChunkedArray, span_tokens: int):
+    """Per-row non-overlapping token spans: returns (span_strings ndarray,
+    row_index int64 ndarray, window_index int64 ndarray), span-major in
+    (row, window) order.  Vectorized tokenize; the span join is one pandas
+    groupby-join over the flat token stream."""
+    terms, doc_idx, pos = DEFAULT_ANALYZER.tokenize_column(texts)
+    if len(terms) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z
+    win = pos.astype(np.int64) // span_tokens
+    s = pd.Series(terms, dtype=object)
+    joined = s.groupby([doc_idx, win], sort=True).agg(" ".join)
+    rows = joined.index.get_level_values(0).to_numpy(dtype=np.int64)
+    wins = joined.index.get_level_values(1).to_numpy(dtype=np.int64)
+    return joined.to_numpy(dtype=object), rows, wins
+
+
+def frequent_span_scrub(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 2,
+    max_df_frac: float = 0.05,
+) -> pa.Table:
+    """Drop every ``span_tokens``-token span appearing in ≥ ``max_df_frac``
+    of docs; return (id, clean_text) for the whole input, '' when every span
+    of a doc was frequent (or the doc had no tokens)."""
+    n_docs = ds.count()
+    min_df = max(1, math.ceil(max_df_frac * n_docs))
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        spans, rows, _ = _doc_spans(batch[text_col], span_tokens)
+        if len(spans) == 0:
+            return pa.table({"span": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        # a span counts once per doc: distinct (row, span)
+        uniq = pd.DataFrame({"r": rows, "s": spans}).drop_duplicates()
+        cnt = uniq.groupby("s", sort=False).size()
+        return pa.table({"span": pa.array(cnt.index.to_numpy(dtype=object), type=pa.string()),
+                         "df": pa.array(cnt.to_numpy(), type=pa.int64())})
+
+    df_tbl = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("span")
+        .sum("df")
+    )
+    import pyarrow.compute as pc
+
+    hot = df_tbl.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["sum(df)"], min_df)).select(["span"]),
+        batch_format="pyarrow",
+    ).take_all()
+    hot_ref = ray.put(frozenset(r["span"] for r in hot))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        frequent = ray.get(hot_ref)
+        spans, rows, wins = _doc_spans(batch[text_col], span_tokens)
+        out = np.full(batch.num_rows, "", dtype=object)
+        if len(spans):
+            keep = np.fromiter((s not in frequent for s in spans),
+                               dtype=bool, count=len(spans))
+            kept = pd.Series(spans[keep], dtype=object)
+            if len(kept):
+                # spans are already (row, window)-ordered
+                joined = kept.groupby(rows[keep], sort=True).agg(" ".join)
+                out[joined.index.to_numpy(dtype=np.int64)] = joined.to_numpy(dtype=object)
+        return pa.table({id_col: batch[id_col],
+                         "clean_text": pa.array(out, type=pa.string())})
+
+    cleaned = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(scrub, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    blocks = [b for b in (ray.get(r) for r in cleaned)
+              if b.num_rows and "clean_text" in b.column_names]
+    if not blocks:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "clean_text": pa.array([], type=pa.string())})
+    return pa.concat_tables(blocks).sort_by(id_col)
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    capacity: int = 512,
+    bucket_size: int = 256,
+) -> pa.Table:
+    """(id, n_tokens, pack_id): concat-then-chunk packing over docs ordered
+    by id — pack_id = exclusive running token total // capacity (a doc whose
+    tokens straddle a boundary belongs to the bin its first token lands in)."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        _, di, _ = DEFAULT_ANALYZER.tokenize_column(batch[text_col])
+        n = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(n),
+                         "bucket": pa.array(ids // bucket_size, type=pa.int64())})
+
+    counted = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(count_tokens, batch_format="pyarrow")
+    )
+    # tiny table: one row per id-bucket → exclusive prefix on the driver
+    bsums = counted.groupby("bucket").sum("n_tokens").take_all()
+    bsums.sort(key=lambda r: r["bucket"])
+    offsets, run = {}, 0
+    for r in bsums:
+        offsets[r["bucket"]] = run
+        run += r["sum(n_tokens)"]
+    off_ref = ray.put(offsets)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = group.sort_values(id_col)
+        prev = off[int(g["bucket"].iloc[0])] + g["n_tokens"].cumsum() - g["n_tokens"]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "pack_id": (prev.to_numpy() // capacity).astype(np.int64),
+        })
+
+    packed = counted.groupby("bucket").map_groups(assign, batch_format="pandas")
+    out = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
+    return out.sort_by(id_col).select([id_col, "n_tokens", "pack_id"])

@@ -1,0 +1,69 @@
+"""Edge cases for the corpus-prep operators (stages/corpus_prep.py):
+boilerplate span scrub and token-budget sequence packing.  End-to-end
+engine-vs-DuckDB parity for both runs in tests/test_driver_contract.py."""
+
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+def test_frequent_span_scrub_edges(ray_session):
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import frequent_span_scrub
+
+    rows = (
+        [(i, "aa bb cc dd") for i in range(5)]       # "aa bb" df=10, "cc dd" df=5
+        + [(i, "aa bb") for i in range(5, 10)]
+        + [(10, "")]                                  # no tokens
+        + [(11, "xx yy zz")]                          # unique spans, odd tail window
+    )
+    out = frequent_span_scrub(_docs(rows), "text", "doc_id",
+                              span_tokens=2, max_df_frac=0.3)  # min_df = ceil(3.6) = 4
+    got = dict(zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()))
+    assert len(got) == 12
+    for i in range(10):      # every span of these docs is frequent
+        assert got[i] == ""
+    assert got[10] == ""     # tokenless doc
+    assert got[11] == "xx yy zz"   # unique spans survive, incl. 1-token tail
+
+
+def test_frequent_span_scrub_partial_drop(ray_session):
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import frequent_span_scrub
+
+    rows = [(i, f"hot hot u{i} v{i}") for i in range(6)]  # "hot hot" frequent, tails unique
+    out = frequent_span_scrub(_docs(rows), "text", "doc_id",
+                              span_tokens=2, max_df_frac=0.5)
+    for i, t in zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()):
+        assert t == f"u{i} v{i}"
+
+
+def test_pack_sequences_exclusive_prefix(ray_session):
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import pack_sequences
+
+    def toks(n, tag):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    rows = [(0, toks(4, "a")), (1, toks(12, "b")),  # doc 1 straddles capacity
+            (2, toks(5, "c")), (3, ""), (4, toks(1, "e"))]
+    out = pack_sequences(_docs(rows), "text", "doc_id", capacity=10, bucket_size=2)
+    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+    assert out["n_tokens"].to_pylist() == [4, 12, 5, 0, 1]
+    # exclusive prefixes: 0, 4, 16, 21, 21 → //10 → 0, 0, 1, 2, 2
+    assert out["pack_id"].to_pylist() == [0, 0, 1, 2, 2]
+
+
+def test_pack_sequences_bucket_boundaries(ray_session):
+    """pack_id must be independent of bucket_size (pure implementation knob)."""
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import pack_sequences
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 4))) for i in range(20)]
+    a = pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=3)
+    b = pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=100)
+    assert a.equals(b)
