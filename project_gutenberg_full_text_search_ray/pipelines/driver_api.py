@@ -827,9 +827,12 @@ def q_boilerplate_scrub(sf_dir: str) -> pa.Table:
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     out = frequent_span_scrub(ds, "text", "doc_id", span_tokens=2, max_df_frac=0.03)
-    out = out.filter(pc.less(out["doc_id"], 200))
-    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                     "clean_text": out["clean_text"]})
+    # prune to the oracle slice INSIDE the stream; only ~200 rows collected
+    df = out.map_batches(lambda b: b.filter(pc.less(b["doc_id"], 200)),
+                         batch_format="pyarrow").to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(df["doc_id"], type=pa.int64()),
+                     "clean_text": pa.array(df["clean_text"], type=pa.string())})
 
 
 def q_pack_sequences(sf_dir: str) -> pa.Table:
@@ -840,10 +843,11 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     from ..stages.corpus_prep import pack_sequences
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
-    out = pack_sequences(ds, "text", "doc_id", capacity=512)
-    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                     "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
-                     "pack_id": pa.array(out["pack_id"], type=pa.int64())})
+    df = pack_sequences(ds, "text", "doc_id", capacity=512).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(df["doc_id"], type=pa.int64()),
+                     "n_tokens": pa.array(df["n_tokens"], type=pa.int64()),
+                     "pack_id": pa.array(df["pack_id"], type=pa.int64())})
 
 
 _FLAGSHIP_CONVS = 500  # fixed fixture: 500 convs × 8 turns = 4k docs

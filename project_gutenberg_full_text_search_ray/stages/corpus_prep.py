@@ -62,10 +62,15 @@ def frequent_span_scrub(
     id_col: str,
     span_tokens: int = 2,
     max_df_frac: float = 0.05,
-) -> pa.Table:
+) -> rd.Dataset:
     """Drop every ``span_tokens``-token span appearing in ≥ ``max_df_frac``
-    of docs; return (id, clean_text) for the whole input, '' when every span
-    of a doc was frequent (or the doc had no tokens)."""
+    of docs; return a streaming Dataset of (id, clean_text) for the whole
+    input, '' when every span of a doc was frequent (or the doc had no
+    tokens).  Nothing corpus-sized touches the driver: the only collected
+    intermediate is the frequent-span set, which is bounded by
+    1/max_df_frac × spans-per-doc (a span needs df ≥ max_df_frac·N to
+    qualify, so at most Σspans/(max_df_frac·N) ≈ spans_per_doc/max_df_frac
+    distinct spans can be frequent — small by construction)."""
     n_docs = ds.count()
     min_df = max(1, math.ceil(max_df_frac * n_docs))
 
@@ -109,17 +114,10 @@ def frequent_span_scrub(
         return pa.table({id_col: batch[id_col],
                          "clean_text": pa.array(out, type=pa.string())})
 
-    cleaned = (
+    return (
         ds.select_columns([id_col, text_col])
         .map_batches(scrub, batch_format="pyarrow")
-        .to_arrow_refs()
     )
-    blocks = [b for b in (ray.get(r) for r in cleaned)
-              if b.num_rows and "clean_text" in b.column_names]
-    if not blocks:
-        return pa.table({id_col: pa.array([], type=pa.int64()),
-                         "clean_text": pa.array([], type=pa.string())})
-    return pa.concat_tables(blocks).sort_by(id_col)
 
 
 def pack_sequences(
@@ -128,10 +126,14 @@ def pack_sequences(
     id_col: str,
     capacity: int = 512,
     bucket_size: int = 256,
-) -> pa.Table:
-    """(id, n_tokens, pack_id): concat-then-chunk packing over docs ordered
-    by id — pack_id = exclusive running token total // capacity (a doc whose
-    tokens straddle a boundary belongs to the bin its first token lands in)."""
+) -> rd.Dataset:
+    """Streaming Dataset of (id, n_tokens, pack_id): concat-then-chunk
+    packing over docs ordered by id — pack_id = exclusive running token
+    total // capacity (a doc whose tokens straddle a boundary belongs to the
+    bin its first token lands in).  ``bucket_size`` is a pure implementation
+    knob (result-invariant, tested): the driver holds one row per id-bucket
+    for the exclusive prefix, so size it ≈ N/10⁴–10⁶ at scale; a two-level
+    prefix (bucket-of-buckets) extends this past ~10¹⁰ docs if ever needed."""
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         _, di, _ = DEFAULT_ANALYZER.tokenize_column(batch[text_col])
@@ -164,6 +166,4 @@ def pack_sequences(
             "pack_id": (prev.to_numpy() // capacity).astype(np.int64),
         })
 
-    packed = counted.groupby("bucket").map_groups(assign, batch_format="pandas")
-    out = pa.Table.from_pandas(packed.to_pandas(), preserve_index=False)
-    return out.sort_by(id_col).select([id_col, "n_tokens", "pack_id"])
+    return counted.groupby("bucket").map_groups(assign, batch_format="pandas")

@@ -1,6 +1,7 @@
 """Edge cases for the corpus-prep operators (stages/corpus_prep.py):
 boilerplate span scrub and token-budget sequence packing.  End-to-end
-engine-vs-DuckDB parity for both runs in tests/test_driver_contract.py."""
+engine-vs-DuckDB parity for both runs in tests/test_driver_contract.py.
+Both operators return streaming Datasets; tests collect them (tiny)."""
 
 import pyarrow as pa
 import pytest
@@ -15,6 +16,10 @@ def _docs(rows):
     }))
 
 
+def _collect(ds):
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def test_frequent_span_scrub_edges(ray_session):
     from project_gutenberg_full_text_search_ray.stages.corpus_prep import frequent_span_scrub
 
@@ -24,9 +29,9 @@ def test_frequent_span_scrub_edges(ray_session):
         + [(10, "")]                                  # no tokens
         + [(11, "xx yy zz")]                          # unique spans, odd tail window
     )
-    out = frequent_span_scrub(_docs(rows), "text", "doc_id",
-                              span_tokens=2, max_df_frac=0.3)  # min_df = ceil(3.6) = 4
-    got = dict(zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()))
+    out = _collect(frequent_span_scrub(_docs(rows), "text", "doc_id",
+                                       span_tokens=2, max_df_frac=0.3))  # min_df = ceil(3.6) = 4
+    got = dict(zip(out["doc_id"], out["clean_text"]))
     assert len(got) == 12
     for i in range(10):      # every span of these docs is frequent
         assert got[i] == ""
@@ -38,9 +43,9 @@ def test_frequent_span_scrub_partial_drop(ray_session):
     from project_gutenberg_full_text_search_ray.stages.corpus_prep import frequent_span_scrub
 
     rows = [(i, f"hot hot u{i} v{i}") for i in range(6)]  # "hot hot" frequent, tails unique
-    out = frequent_span_scrub(_docs(rows), "text", "doc_id",
-                              span_tokens=2, max_df_frac=0.5)
-    for i, t in zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()):
+    out = _collect(frequent_span_scrub(_docs(rows), "text", "doc_id",
+                                       span_tokens=2, max_df_frac=0.5))
+    for i, t in zip(out["doc_id"], out["clean_text"]):
         assert t == f"u{i} v{i}"
 
 
@@ -52,11 +57,11 @@ def test_pack_sequences_exclusive_prefix(ray_session):
 
     rows = [(0, toks(4, "a")), (1, toks(12, "b")),  # doc 1 straddles capacity
             (2, toks(5, "c")), (3, ""), (4, toks(1, "e"))]
-    out = pack_sequences(_docs(rows), "text", "doc_id", capacity=10, bucket_size=2)
-    assert out["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
-    assert out["n_tokens"].to_pylist() == [4, 12, 5, 0, 1]
+    out = _collect(pack_sequences(_docs(rows), "text", "doc_id", capacity=10, bucket_size=2))
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert out["n_tokens"].tolist() == [4, 12, 5, 0, 1]
     # exclusive prefixes: 0, 4, 16, 21, 21 → //10 → 0, 0, 1, 2, 2
-    assert out["pack_id"].to_pylist() == [0, 0, 1, 2, 2]
+    assert out["pack_id"].tolist() == [0, 0, 1, 2, 2]
 
 
 def test_pack_sequences_bucket_boundaries(ray_session):
@@ -64,6 +69,6 @@ def test_pack_sequences_bucket_boundaries(ray_session):
     from project_gutenberg_full_text_search_ray.stages.corpus_prep import pack_sequences
 
     rows = [(i, " ".join(f"w{i}_{j}" for j in range(3 + i % 4))) for i in range(20)]
-    a = pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=3)
-    b = pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=100)
-    assert a.equals(b)
+    a = _collect(pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=3))
+    b = _collect(pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=100))
+    assert a[["doc_id", "n_tokens", "pack_id"]].equals(b[["doc_id", "n_tokens", "pack_id"]])
