@@ -510,6 +510,30 @@ def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
     return idx.topk(np.asarray([q_vec]), k=10, n_probe=2, exclude_ids={0})
 
 
+def q_ann_ivf_probeall(sf_dir: str) -> pa.Table:
+    """IVF index probed with n_probe = n_lists: every list partition is read,
+    so the result is EXACTLY the brute-force cosine top-k — which makes the
+    whole persisted-IVF path (k-means assignment, partitioned layout, pruned
+    read, per-list merge) checkable against the same hard SQL oracle as
+    `ann_cosine_topk`.  The n_probe=2 approximate path stays covered by the
+    recall pytest in tests/test_similarity.py."""
+    import ray.data as rd
+    from ..stages.similarity import IVFIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
+    fp = parquet_input_fingerprint([emb_path])
+    ivf_dir = os.path.join(INDEX_CACHE_ROOT, f"ivf_{fp}")
+    if os.path.exists(os.path.join(ivf_dir, "meta.json")):
+        idx = IVFIndex(ivf_dir)
+    else:
+        ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        idx = IVFIndex.build(ds, "embedding", "vec_id", ivf_dir)
+    out = idx.topk(np.asarray([q_vec]), k=10,
+                   n_probe=idx.meta["n_lists"], exclude_ids={0})
+    return pa.table({"vec_id": out["vec_id"], "cos_i4": out["cos_i4"]})
+
+
 def q_window_counts(sf_dir: str) -> pa.Table:
     """Tumbling-window aggregate over the events stream table (daily
     windows): derive the window key vectorized, then one groupby — the
@@ -1404,6 +1428,14 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     "fingerprints": _fingerprints_sql(limit_doc_id=50),
     "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
     "ann_lsh_topk": _ann_lsh_topk_sql(n_planes=5, seed=11, k=10),
+    # probe-all IVF == exact cosine top-k: same oracle as ann_cosine_topk
+    "ann_ivf_probeall": (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "CAST(floor(list_cosine_similarity(e.embedding, q.qv) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
+        "FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT 10"
+    ),
     # boilerplate scrub: 2-token non-overlapping spans, span frequent when its
     # distinct-doc count >= ceil(0.03 * n_docs) (identical double arithmetic
     # both sides), docs rebuilt from surviving spans in order
@@ -1486,6 +1518,7 @@ QUERIES_EXTRAS = {
     "sliding_window_counts": q_sliding_window_counts,
     "regex_extract": q_regex_extract,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_probeall": q_ann_ivf_probeall,
     "boilerplate_scrub": q_boilerplate_scrub,
     "pack_sequences": q_pack_sequences,
     # rows-only (no SQL-expressible oracle — iterative k-means / PCG64-seeded

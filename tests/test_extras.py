@@ -252,6 +252,20 @@ def test_ivf_recall_vs_exact(ray_session):
     assert len(set(exact[:3]) & set(approx)) >= 1  # the near-neighbors live in probed lists
 
 
+def test_ivf_probeall_equals_bruteforce(ray_session):
+    """n_probe = n_lists reads every list partition, so the persisted-IVF
+    answer must EQUAL the exact brute-force cosine top-k — this is what lets
+    `ann_ivf_probeall` share ann_cosine_topk's hard SQL oracle."""
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
+        q_ann_cosine_topk,
+        q_ann_ivf_probeall,
+    )
+
+    exact = q_ann_cosine_topk(SF)
+    probeall = q_ann_ivf_probeall(SF)
+    assert probeall.cast(exact.schema).equals(exact)
+
+
 def test_ivf_persisted_index_prunes_and_matches_inmemory(ray_session, tmp_path):
     """Persisted IVFIndex: (a) a query reads only its probed list partitions
     (directory pruning), (b) the persisted answer is identical to the
