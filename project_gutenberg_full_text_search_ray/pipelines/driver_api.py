@@ -477,7 +477,8 @@ def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
     hash-derived ±1 planes over integer-quantized vectors (similarity.py::
     hash_planes), so the ENTIRE approximate operator — bucket membership
     included — is bit-exact re-expressible in the DuckDB oracle; recall vs
-    the exact baseline is additionally asserted in pytest."""
+    the exact baseline is additionally asserted in pytest at sf0.01
+    (tests/test_extras.py::test_lsh_ann_recall_vs_exact)."""
     import ray.data as rd
     from ..stages.similarity import lsh_bucket_topk
 
@@ -489,12 +490,11 @@ def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
     return pa.table({"vec_id": out["vec_id"], "cos_i4": out["cos_i4"]})
 
 
-def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF ANN via the PERSISTED index (stages/similarity.py::IVFIndex):
-    build-or-reuse the partitioned list layout under /tmp (keyed by input
-    fingerprint), then answer with a partition-pruned read of only the probed
-    lists.  Rows-only check; recall + persisted==in-memory identity asserted
-    in pytest."""
+def _ivf_index(sf_dir: str):
+    """Build-or-reuse the persisted IVFIndex for sf_dir's embeddings table
+    (layout cached under /tmp, keyed by input fingerprint), plus the vec_id=0
+    query vector.  Single owner of the cache-keying / commit-point logic for
+    every IVF driver query."""
     import ray.data as rd
     from ..stages.similarity import IVFIndex
 
@@ -507,7 +507,17 @@ def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
     else:
         ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
         idx = IVFIndex.build(ds, "embedding", "vec_id", ivf_dir)
-    return idx.topk(np.asarray([q_vec]), k=10, n_probe=2, exclude_ids={0})
+    return idx, np.asarray([q_vec])
+
+
+def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF ANN via the PERSISTED index (stages/similarity.py::IVFIndex):
+    build-or-reuse the partitioned list layout under /tmp (keyed by input
+    fingerprint), then answer with a partition-pruned read of only the probed
+    lists.  Rows-only check; recall + persisted==in-memory identity asserted
+    in pytest."""
+    idx, Q = _ivf_index(sf_dir)
+    return idx.topk(Q, k=10, n_probe=2, exclude_ids={0})
 
 
 def q_ann_ivf_probeall(sf_dir: str) -> pa.Table:
@@ -516,21 +526,9 @@ def q_ann_ivf_probeall(sf_dir: str) -> pa.Table:
     whole persisted-IVF path (k-means assignment, partitioned layout, pruned
     read, per-list merge) checkable against the same hard SQL oracle as
     `ann_cosine_topk`.  The n_probe=2 approximate path stays covered by the
-    recall pytest in tests/test_similarity.py."""
-    import ray.data as rd
-    from ..stages.similarity import IVFIndex
-
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    q_vec = pq.read_table(emb_path, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
-    fp = parquet_input_fingerprint([emb_path])
-    ivf_dir = os.path.join(INDEX_CACHE_ROOT, f"ivf_{fp}")
-    if os.path.exists(os.path.join(ivf_dir, "meta.json")):
-        idx = IVFIndex(ivf_dir)
-    else:
-        ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-        idx = IVFIndex.build(ds, "embedding", "vec_id", ivf_dir)
-    out = idx.topk(np.asarray([q_vec]), k=10,
-                   n_probe=idx.meta["n_lists"], exclude_ids={0})
+    recall pytest (tests/test_extras.py)."""
+    idx, Q = _ivf_index(sf_dir)
+    out = idx.topk(Q, k=10, n_probe=idx.meta["n_lists"], exclude_ids={0})
     return pa.table({"vec_id": out["vec_id"], "cos_i4": out["cos_i4"]})
 
 
@@ -1458,7 +1456,9 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     ),
     "pack_sequences": (
         f"WITH base AS ({_PTOK_SQL}), "
-        "n AS (SELECT doc_id, len(arr) AS nt FROM base), "
+        # NULL text: lower(NULL) propagates through _PTOK_SQL to arr=NULL,
+        # but the engine's tokenizer coalesces NULL to '' → n_tokens=0
+        "n AS (SELECT doc_id, COALESCE(len(arr), 0) AS nt FROM base), "
         "c AS (SELECT doc_id, nt, COALESCE(sum(nt) OVER (ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM n) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(nt AS BIGINT) AS n_tokens, "

@@ -85,8 +85,10 @@ def frequent_span_scrub(
         return pa.table({"span": pa.array(cnt.index.to_numpy(dtype=object), type=pa.string()),
                          "df": pa.array(cnt.to_numpy(), type=pa.int64())})
 
+    # pass 1 needs only the text: spans are deduped by the per-batch row
+    # index from tokenize_column, so the id column never leaves storage here
     df_tbl = (
-        ds.select_columns([id_col, text_col])
+        ds.select_columns([text_col])
         .map_batches(partial_df, batch_format="pyarrow")
         .groupby("span")
         .sum("df")
@@ -136,16 +138,22 @@ def pack_sequences(
     prefix (bucket-of-buckets) extends this past ~10¹⁰ docs if ever needed."""
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        _, di, _ = DEFAULT_ANALYZER.tokenize_column(batch[text_col])
+        # arrow-native tokenize: only the doc-index array is needed, terms
+        # stay Arrow (no object-dtype string round-trip)
+        _, di, _ = DEFAULT_ANALYZER.tokenize_column_arrow(batch[text_col])
         n = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table({id_col: batch[id_col],
                          "n_tokens": pa.array(n),
                          "bucket": pa.array(ids // bucket_size, type=pa.int64())})
 
+    # materialized ON PURPOSE: consumed twice (bucket sums now, pack-id
+    # assignment later) and re-running the lineage would re-read + re-tokenize
+    # the whole corpus; the materialized form is 3 int columns per doc
     counted = (
         ds.select_columns([id_col, text_col])
         .map_batches(count_tokens, batch_format="pyarrow")
+        .materialize()
     )
     # tiny table: one row per id-bucket → exclusive prefix on the driver
     bsums = counted.groupby("bucket").sum("n_tokens").take_all()

@@ -64,6 +64,32 @@ def test_pack_sequences_exclusive_prefix(ray_session):
     assert out["pack_id"].tolist() == [0, 0, 1, 2, 2]
 
 
+def test_pack_sequences_null_text_matches_oracle(ray_session, tmp_path):
+    """NULL text must count as 0 tokens on BOTH sides: the engine's tokenizer
+    coalesces NULL→'', and the SQL oracle COALESCEs len(arr) (lower(NULL)
+    propagates to arr=NULL).  Regression for the divergence where the oracle
+    emitted n_tokens=NULL for NULL-text docs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import ORACLE_SQL
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": ["alpha beta gamma", None, "delta epsilon", "", "zeta eta theta iota"],
+    })
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    eng = _collect(pack_sequences(rd.read_parquet(path), "text", "doc_id", capacity=4))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    oracle = con.execute(ORACLE_SQL["pack_sequences"].replace("// 512", "// 4")).df()
+    pd.testing.assert_frame_equal(eng.astype("int64"), oracle.astype("int64"))
+
+
 def test_pack_sequences_bucket_boundaries(ray_session):
     """pack_id must be independent of bucket_size (pure implementation knob)."""
     from project_gutenberg_full_text_search_ray.stages.corpus_prep import pack_sequences

@@ -65,17 +65,22 @@ def test_simhash_pairs_sane(ray_session):
 
 
 def test_lsh_ann_recall_vs_exact(ray_session):
+    # sf0.01: the 500-vector corpus is dense enough that the query's sign-LSH
+    # bucket provably holds true near-neighbors (at sf0.001's 50 vectors the
+    # bucket can legitimately be empty of them — too sparse to assert recall)
     from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
         q_ann_cosine_topk,
         q_ann_lsh_topk,
     )
 
-    exact = set(q_ann_cosine_topk(SF)["vec_id"].to_pylist())
-    approx = set(q_ann_lsh_topk(SF)["vec_id"].to_pylist())
-    # sign-LSH with 5 hash-derived ±1 planes on near-orthogonal synthetic
-    # vectors is a coarse filter; just require non-trivial overlap + valid size
-    assert len(approx) <= 10
+    sf = "/root/testdata/sf0.01"
+    exact = set(q_ann_cosine_topk(sf)["vec_id"].to_pylist())
+    approx = set(q_ann_lsh_topk(sf)["vec_id"].to_pylist())
     assert len(exact) == 10
+    assert len(approx) <= 10
+    # REAL recall assertion: the approximate top-k must recover exact
+    # near-neighbors, not merely have plausible shape
+    assert len(exact & approx) >= 2
 
 
 def test_rows_only_queries_run(ray_session):
