@@ -104,8 +104,28 @@ def main(argv: list[str] | None = None) -> int:
     eng = FullTextSearchEngine(args.index_dir)
     q = eng.query()
     if args.type == "fuzzy":
-        q = q.search_fuzzy(args.query)
+        # per-word like the HTTP facade: trigram expansion runs against
+        # space-free dictionary terms, so a whole multi-word query as one
+        # fuzzy term can never match anything
+        for term in args.query.split():
+            q = q.search_fuzzy(term)
     elif args.type == "contains":
+        from .pipelines.http_api import SearchAPI
+
+        if not SearchAPI._single_token_indexable(eng, args.query):
+            # multi-word / short / punctuated substring: same routing as the
+            # HTTP facade — index-assisted candidates verified against the
+            # corpus parquet (a single-token plan would silently return 0)
+            ds = eng.contains_multi_dataset(args.query).materialize()
+            total = ds.count()
+            if args.count_only:
+                print(json.dumps({"total": int(total)}))
+                return 0
+            head = ds.sort(list(eng.spec.id_cols)).limit(args.page * args.size).take_all()
+            rows = head[(args.page - 1) * args.size: args.page * args.size]
+            print(json.dumps({"total": int(total), "page": args.page, "rows": rows},
+                             default=str))
+            return 0
         q = q.search_contains(args.query)
     else:
         q = q.search(args.query)

@@ -432,7 +432,8 @@ def q_contains_scan(sf_dir: str) -> pa.Table:
     (the trigram-index-assisted path is phase 2; this is the documented
     fallback, reference full_text_search.py:144-146)."""
     ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        lambda b: b.filter(pc.match_substring(b["text"], "window merge")), batch_format="pyarrow"
+        lambda b: b.filter(pc.match_substring(b["text"], "window merge", ignore_case=True)),
+        batch_format="pyarrow",
     )
     t = ds.to_pandas().sort_values("doc_id")
     return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64())})
@@ -1319,8 +1320,9 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "FROM t GROUP BY doc_id) s USING(doc_id) WHERE b.doc_id < 100 ORDER BY doc_id"
     ),
     "contains_scan": (
+        # ILIKE parity: the engine's CONTAINS family is case-insensitive
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
-        "WHERE contains(text, 'window merge') ORDER BY doc_id"
+        "WHERE contains(lower(text), 'window merge') ORDER BY doc_id"
     ),
     "events_type_counts": (
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
@@ -1419,8 +1421,9 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     ),
     "fuzzy_search": _fuzzy_sql("tabel"),
     "contains_multi": (
+        # ILIKE parity: case-insensitive like the engine's verify step
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
-        "WHERE contains(text, 'window merge') ORDER BY doc_id"
+        "WHERE contains(lower(text), 'window merge') ORDER BY doc_id"
     ),
     "simhash_pairs": _simhash_pairs_sql(max_hamming=12),
     "fingerprints": _fingerprints_sql(limit_doc_id=50),

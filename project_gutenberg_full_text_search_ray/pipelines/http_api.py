@@ -38,11 +38,17 @@ MAX_LIMIT = 100
 
 
 def parse_pagination(page, limit, default_limit: int = DEFAULT_LIMIT) -> tuple[int, int]:
-    """Clamp exactly like the reference (opds.py:55-60)."""
+    """Clamp exactly like the reference (opds.py:55-60).  Each param falls
+    back independently — an invalid limit must not discard a valid page."""
     try:
-        return max(1, int(page)), max(1, min(MAX_LIMIT, int(limit)))
+        p = max(1, int(page))
     except (ValueError, TypeError):
-        return 1, default_limit
+        p = 1
+    try:
+        n = max(1, min(MAX_LIMIT, int(limit)))
+    except (ValueError, TypeError):
+        n = default_limit
+    return p, n
 
 
 def parse_field(field: str) -> tuple[str | None, str]:
@@ -61,13 +67,16 @@ def parse_field(field: str) -> tuple[str | None, str]:
     return name, mode
 
 
-def _json_rows(table: pa.Table) -> list[dict]:
-    rows = table.to_pylist()
-    out = []
-    for r in rows:
-        out.append({k: (v if isinstance(v, (str, int, float, bool, type(None), list, dict))
-                        else str(v)) for k, v in r.items()})
-    return out
+def _json_val(v):
+    """JSON-type coercion shared by every feed (timestamps etc. → str)."""
+    return v if isinstance(v, (str, int, float, bool, type(None), list, dict)) else str(v)
+
+
+def _json_rows(rows) -> list[dict]:
+    """Rows (a pa.Table or an iterable of row dicts) → JSON-safe dicts."""
+    if isinstance(rows, pa.Table):
+        rows = rows.to_pylist()
+    return [{k: _json_val(v) for k, v in r.items()} for r in rows]
 
 
 class SearchAPI:
@@ -111,39 +120,33 @@ class SearchAPI:
         q = self.backend.query()
         if query:
             if mode == "fuzzy":
-                if known_field:
-                    # field-scoped fuzzy (reference honors SearchField for
-                    # FUZZY): expand via the trigram dictionary, then run the
-                    # expansions as a field-scoped OR query
-                    from ..stages.trigram import fuzzy_expand
-
-                    terms = [t for w in query.split()
-                             for t, _ in fuzzy_expand(engine.index_dir, w)]
-                    if terms:
-                        q.search(" or ".join(dict.fromkeys(terms)), field=field_name)
-                    else:
-                        from ..functions.querylang import ParsedQuery
-
-                        q.queries.append(ParsedQuery(()))  # empty parse == match nothing
-                else:
-                    for term in query.split():
-                        q.search_fuzzy(term)
+                # per-word fuzzy, field-scoped when the field is indexed
+                # (reference honors SearchField for FUZZY); the engine
+                # expands each word via the trigram dictionary at plan time
+                # and ranks by word_similarity — re-parsing expansions
+                # through the query language would mangle them ('or' is an
+                # operator, stemmed terms re-stem, scoped keys re-tokenize)
+                for term in query.split():
+                    q.search_fuzzy(term, field=field_name if known_field else None)
             elif mode == "contains":
-                scoped = field_name is not None and (
-                    known_field or field_name in spec.meta_cols)
-                if scoped:
-                    # field-scoped substring: exact ILIKE on that stored
-                    # column via the vectorized substr filter
+                if field_name is not None and not known_field \
+                        and field_name in spec.meta_cols:
+                    # substring on a stored metadata column: vectorized
+                    # case-insensitive substr filter (ILIKE parity)
                     q.contains(field_name, query)
-                elif len(query.split()) == 1 and len(query) >= 3:
-                    q.search_contains(query)  # indexed single-token path
+                elif self._single_token_indexable(engine, query):
+                    # indexed single-token path (field-scoped when asked:
+                    # expansions rewrite into the field's posting keyspace)
+                    q.search_contains(query,
+                                      field=field_name if known_field else None)
                 else:
-                    # multi-word / <3-char substring over the TEXT column:
-                    # raw text is not in the doc store, so route through the
+                    # multi-word / short / punctuated substring: the raw
+                    # text is not in the doc store, so route through the
                     # index-assisted contains_multi pipeline (verifies
                     # against the corpus parquet) and page its output
-                    return self._contains_multi_feed(engine, spec, query,
-                                                     params, page, limit)
+                    return self._contains_multi_feed(
+                        engine, spec, query, params, page, limit,
+                        field=field_name if known_field else None)
             else:
                 q.search(query, field=field_name if known_field else None)
         for key, val in params.items():
@@ -169,8 +172,21 @@ class SearchAPI:
             feed["facets"] = {facet_col: self._facet(q, facet_col, params)}
         return feed
 
+    @staticmethod
+    def _single_token_indexable(engine, query: str) -> bool:
+        """True when the pattern can run on the single-token indexed contains
+        path: the lowered pattern IS one analyzer token (no spaces or
+        punctuation the tokenizer would split on — 'foo-bar' must route to
+        contains_multi, which phrase-matches the split tokens and verifies
+        the literal) and is long enough to carry a trigram."""
+        if len(query) < 3:
+            return False
+        toks = engine.analyzer.tokenize(query)
+        return len(toks) == 1 and toks[0] == query.lower()
+
     def _contains_multi_feed(self, engine, spec, query: str, params: dict,
-                             page: int, limit: int) -> dict:
+                             page: int, limit: int,
+                             field: str | None = None) -> dict:
         """ILIKE-'%q%' feed for patterns the posting index can't represent:
         verified matches stream from ``contains_multi_dataset``; rows are
         identity-ordered corpus rows (id cols + text), like the reference's
@@ -179,7 +195,11 @@ class SearchAPI:
 
         filters = [FilterSpec(k[2:], "==", _coerce(v))
                    for k, v in params.items() if k.startswith("f.")]
-        ds = engine.contains_multi_dataset(query, filters=filters or None)
+        # ONE pipeline execution serves both the count and the page: the
+        # candidate generation + corpus verify is the expensive part and
+        # must not run twice per request
+        ds = engine.contains_multi_dataset(query, filters=filters or None,
+                                           field=field).materialize()
         total = ds.count()
         head = ds.sort(list(spec.id_cols)).limit(page * limit).take_all()
         rows = head[(page - 1) * limit: page * limit]
@@ -189,9 +209,7 @@ class SearchAPI:
             "total": int(total),
             "page": page,
             "limit": limit,
-            "results": [{k: (v if isinstance(v, (str, int, float, bool,
-                                                 type(None), list, dict))
-                             else str(v)) for k, v in r.items()} for r in rows],
+            "results": _json_rows(rows),
             "links": self._pagination_links("/search", params, page, limit,
                                             int(total)),
         }

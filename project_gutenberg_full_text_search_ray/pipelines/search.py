@@ -60,8 +60,8 @@ class SearchQuery:
 
     crosswalk: Crosswalk = Crosswalk.FULL
     queries: list[ParsedQuery] = field(default_factory=list)
-    fuzzy_terms: list[str] = field(default_factory=list)
-    contains_patterns: list[str] = field(default_factory=list)
+    fuzzy_terms: list[tuple[str, str | None]] = field(default_factory=list)
+    contains_patterns: list[tuple[str, str | None]] = field(default_factory=list)
     filters: list[FilterSpec] = field(default_factory=list)
     order: OrderSpec = field(default_factory=OrderSpec)
     page: int = 1
@@ -89,16 +89,19 @@ class SearchQuery:
             self.filters.append(FilterSpec(field_filter[0], "==", field_filter[1]))
         return self
 
-    def search_fuzzy(self, term: str) -> "SearchQuery":
+    def search_fuzzy(self, term: str, field: str | None = None) -> "SearchQuery":
         """P2 FUZZY: typo-tolerant — expands to dictionary terms by trigram
-        word_similarity at plan time (stages/trigram.py), then OR-searches."""
-        self.fuzzy_terms.append(term)
+        word_similarity at plan time (stages/trigram.py), then OR-searches.
+        ``field`` scopes both match and similarity ranking to that field's
+        posting keyspace (reference honors SearchField for FUZZY)."""
+        self.fuzzy_terms.append((term, field))
         return self
 
-    def search_contains(self, pattern: str) -> "SearchQuery":
+    def search_contains(self, pattern: str, field: str | None = None) -> "SearchQuery":
         """P3 CONTAINS (single-token substring): trigram-candidate dictionary
-        terms verified exactly, then OR-searched — the GIN-trigram plan."""
-        self.contains_patterns.append(pattern)
+        terms verified exactly, then OR-searched — the GIN-trigram plan.
+        ``field`` scopes matching to that field's posting keyspace."""
+        self.contains_patterns.append((pattern, field))
         return self
 
     # -- filter sugar mirroring F1–F16 (generic engine: named by intent)
@@ -267,7 +270,7 @@ class FullTextSearchEngine:
 
     def contains_multi_dataset(
         self, pattern: str, filters: list[FilterSpec] | None = None,
-        max_combos: int = 256,
+        max_combos: int = 256, field: str | None = None,
     ) -> rd.Dataset:
         """P3 CONTAINS for patterns spanning token boundaries — the reference
         ``ILIKE '%q%'`` over a GIN trigram index
@@ -290,9 +293,16 @@ class FullTextSearchEngine:
         substring scan when the pattern has no indexable shape (edge fragment
         too short + absent inner term) or the combination count exceeds
         ``max_combos``.  Returns a streaming Dataset of verified matching
-        docs (export-mode semantics, like ``matches_dataset``)."""
+        docs (export-mode semantics, like ``matches_dataset``).
+
+        Matching is CASE-INSENSITIVE end to end (candidates come from the
+        lowercased posting vocabulary; verify/scan lowercase the source),
+        the reference's ILIKE semantics.  ``field`` scopes the operator to a
+        per-field keyspace: candidates phrase-match the field's postings and
+        the literal verify runs against that column of the source parquet."""
         import pyarrow.compute as _pc
 
+        from ..corpus import field_term
         from ..functions.querylang import AndGroup, ParsedQuery, Phrase, Term
         from ..stages.dedup import DocFetcher
         from ..stages.trigram import contains_expand, prefix_terms, suffix_terms, term_exists
@@ -303,19 +313,27 @@ class FullTextSearchEngine:
         if not input_paths:
             raise ValueError(
                 "contains_multi needs manifest input_paths (index built from parquet)")
-        text_col = self.spec.text_col
+        if field is not None and field not in self.spec.field_cols:
+            raise ValueError(f"contains_multi field {field!r} is not an indexed field_col")
+        text_col = field if field is not None else self.spec.text_col
         id_cols = self.spec.id_cols
+
+        def scoped(t: str) -> str:
+            return field_term(field, t) if field is not None else t
 
         def full_scan() -> rd.Dataset:
             ds = rd.read_parquet(input_paths, columns=[*id_cols, text_col])
             return ds.map_batches(
-                lambda b: b.filter(_pc.match_substring(b[text_col], p)),
+                lambda b: b.filter(_pc.match_substring(b[text_col], p, ignore_case=True)),
                 batch_format="pyarrow",
             )
 
         if len(frags) <= 1:
-            # single-token substring: unbounded expansion keeps this exact
-            terms = contains_expand(self.index_dir, p, max_expansions=None) if frags else []
+            # single-token substring: unbounded expansion keeps this exact;
+            # field scope expands within the field's own keyspace (full
+            # posting keys come back pre-scoped)
+            terms = contains_expand(self.index_dir, p, max_expansions=None,
+                                    field=field) if frags else []
             if not terms:
                 return full_scan()
             q = self.query()
@@ -324,10 +342,13 @@ class FullTextSearchEngine:
                 q = q.where(f)
             return self.matches_dataset(q)
 
-        firsts = suffix_terms(self.index_dir, frags[0], max_expansions=None)
-        lasts = prefix_terms(self.index_dir, frags[-1], max_expansions=None)
+        # edge expansions are scope-aware (full posting keys when field);
+        # inner fragments must exist as exact terms of the scoped keyspace
+        firsts = suffix_terms(self.index_dir, frags[0], max_expansions=None, field=field)
+        lasts = prefix_terms(self.index_dir, frags[-1], max_expansions=None, field=field)
         inner = list(frags[1:-1])
-        if not firsts or not lasts or any(not term_exists(self.index_dir, t) for t in inner):
+        if not firsts or not lasts or any(
+                not term_exists(self.index_dir, scoped(t)) for t in inner):
             return full_scan() if (not firsts or not lasts) else rd.from_arrow(
                 self._empty_result_table())
         if len(firsts) * len(lasts) > max_combos:
@@ -335,7 +356,7 @@ class FullTextSearchEngine:
         groups = []
         for a in firsts:
             for b in lasts:
-                seq = (a, *inner, b)
+                seq = (a, *(scoped(t) for t in inner), b)
                 groups.append(AndGroup((Phrase(seq) if len(seq) > 1 else Term(seq[0]),)))
         q = self.query()
         q.queries.append(ParsedQuery(tuple(groups)))
@@ -347,7 +368,8 @@ class FullTextSearchEngine:
         def verify(batch: pa.Table) -> pa.Table:
             if fetcher is not None:
                 texts = fetcher.fetch(batch[id_cols[0]].to_pylist())
-                keep = [p in (texts.get(i) or "") for i in batch[id_cols[0]].to_pylist()]
+                keep = [p in (texts.get(i) or "").lower()
+                        for i in batch[id_cols[0]].to_pylist()]
             else:
                 # composite identity: filtered read on the leading id column,
                 # then match rows on the full identity
@@ -359,7 +381,7 @@ class FullTextSearchEngine:
                     tuple(r[c] for c in id_cols): r[text_col] for r in t.to_pylist()
                 }
                 keys = zip(*[batch[c].to_pylist() for c in id_cols])
-                keep = [p in (lookup.get(tuple(kk)) or "") for kk in keys]
+                keep = [p in (lookup.get(tuple(kk)) or "").lower() for kk in keys]
             return batch.filter(pa.array(keep, type=pa.bool_()))
 
         return candidates.map_batches(verify, batch_format="pyarrow")
@@ -391,17 +413,23 @@ class FullTextSearchEngine:
             from ..functions.querylang import AndGroup, ParsedQuery, Term
             from ..stages.trigram import contains_expand, fuzzy_expand
 
-            for ft in q.fuzzy_terms:
-                expanded = fuzzy_expand(self.index_dir, ft)
-                for t, sim in expanded:
-                    term_weights[t] = max(term_weights.get(t, 0.0), sim)
-                queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t, _ in expanded)))
-            for cp in q.contains_patterns:
+            for ft, fld in q.fuzzy_terms:
+                # scope-aware expansion: unscoped queries expand to plain
+                # vocabulary terms, field scopes to that field's own posting
+                # keys (a field's vocabulary need not be a subset of the
+                # body's) — similarity is measured against the word part,
+                # match/rank against the returned posting key
+                expanded = fuzzy_expand(self.index_dir, ft, field=fld)
+                for key_, sim in expanded:
+                    term_weights[key_] = max(term_weights.get(key_, 0.0), sim)
+                queries.append(ParsedQuery(tuple(AndGroup((Term(k),)) for k, _ in expanded)))
+            for cp, fld in q.contains_patterns:
                 # unbounded: a truncated expansion would silently drop
                 # matching docs; term count is vocabulary-bounded and
                 # MaxScore prunes the wide OR at scoring time
-                expanded = contains_expand(self.index_dir, cp, max_expansions=None)
-                queries.append(ParsedQuery(tuple(AndGroup((Term(t),)) for t in expanded)))
+                expanded = contains_expand(self.index_dir, cp,
+                                           max_expansions=None, field=fld)
+                queries.append(ParsedQuery(tuple(AndGroup((Term(k),)) for k in expanded)))
         # pure-FUZZY queries rank by word_similarity of the best matched
         # expansion term (reference _order_sql, full_text_search.py:277-295);
         # mixed fuzzy+text queries keep BM25 over all clauses

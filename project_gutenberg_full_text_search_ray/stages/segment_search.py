@@ -107,7 +107,8 @@ def apply_filters(table: pa.Table, filters: list[FilterSpec]) -> np.ndarray:
         elif f.op == "startswith":
             m = pc.starts_with(col, pattern=str(f.value))
         elif f.op == "substr":
-            m = pc.match_substring(col, pattern=str(f.value))
+            # CONTAINS filter = the reference's ILIKE '%v%' → case-insensitive
+            m = pc.match_substring(col, pattern=str(f.value), ignore_case=True)
         else:
             kernel = {
                 "==": pc.equal, "!=": pc.not_equal, ">": pc.greater,

@@ -27,6 +27,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 TRIGRAM_DIR = "dict_trigrams"
+# bump when the derivation logic changes: cached tables derived under an
+# older format must be rebuilt, not reused (the _DONE marker carries this)
+TRIGRAM_FMT = "tg2"
 
 
 def trigrams(word: str) -> set[str]:
@@ -52,7 +55,10 @@ def ensure_trigram_index(index_dir: str) -> str:
         gen = str(load_index_manifest(index_dir).get("fingerprint", ""))
     except Exception:
         pass
-    out = os.path.join(index_dir, f"{TRIGRAM_DIR}_{gen[:8]}" if gen else TRIGRAM_DIR)
+    gen = f"{TRIGRAM_FMT}:{gen}"
+    out = os.path.join(index_dir,
+                       f"{TRIGRAM_DIR}_{TRIGRAM_FMT}_{gen.split(':', 1)[1][:8]}"
+                       if gen.split(":", 1)[1] else f"{TRIGRAM_DIR}_{TRIGRAM_FMT}")
     done_path = os.path.join(out, "_DONE")
     if os.path.exists(done_path):
         with open(done_path) as f:
@@ -65,10 +71,18 @@ def ensure_trigram_index(index_dir: str) -> str:
     dict_dir = resolve_dirs(index_dir)[1]
 
     def explode(batch: pa.Table) -> pa.Table:
+        from ..corpus import FIELD_SEP
+
         tri_col: list[str] = []
         term_col: list[str] = []
         for t in batch["term"].to_pylist():
-            for g in trigrams(t):
+            # field-scoped posting keys ("<field>\x1f<term>") are indexed by
+            # the trigrams of their WORD PART (a field's vocabulary need not
+            # be a subset of the body's), but the stored term stays the full
+            # key — expansion filters by scope so a plain fuzzy/contains
+            # query never leaks "title\x1freport"-style keys
+            word = t.split(FIELD_SEP, 1)[1] if FIELD_SEP in t else t
+            for g in trigrams(word):
                 tri_col.append(g)
                 term_col.append(t)
         return pa.table({"tri": pa.array(tri_col, type=pa.string()),
@@ -96,10 +110,25 @@ def _candidates(index_dir: str, query_trigrams: set[str]) -> pa.Table:
     return t
 
 
+def _scope_filter(terms: list[str], field: str | None) -> list[str]:
+    """Keep only the keys visible to this scope: plain vocabulary terms for
+    an unscoped query, ``<field>\\x1f*`` posting keys for a field scope
+    (returned as the FULL key — already usable as a query Term)."""
+    from ..corpus import FIELD_SEP
+
+    if field is None:
+        return [t for t in terms if FIELD_SEP not in t]
+    pfx = f"{field}{FIELD_SEP}"
+    return [t for t in terms if t.startswith(pfx)]
+
+
 def fuzzy_expand(
-    index_dir: str, query_term: str, *, min_sim: float = 0.4, max_expansions: int = 8
+    index_dir: str, query_term: str, *, min_sim: float = 0.4,
+    max_expansions: int = 8, field: str | None = None,
 ) -> list[tuple[str, float]]:
-    """P2 FUZZY: dictionary terms with word_similarity ≥ min_sim, best first."""
+    """P2 FUZZY: dictionary terms with word_similarity ≥ min_sim, best first.
+    With ``field``, candidates are that field's posting keys (full keys
+    returned; similarity measured against the word part)."""
     qt = trigrams(query_term.lower())
     if not qt:
         return []
@@ -109,36 +138,50 @@ def fuzzy_expand(
     counts = cand.group_by("term").aggregate([("tri", "count")])
     terms = counts["term"].to_pylist()
     n_shared = counts["tri_count"].to_pylist()
-    scored = [(t, c / len(qt)) for t, c in zip(terms, n_shared) if c / len(qt) >= min_sim]
+    keep = set(_scope_filter(terms, field))
+    scored = [(t, c / len(qt)) for t, c in zip(terms, n_shared)
+              if t in keep and c / len(qt) >= min_sim]
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:max_expansions]
 
 
-def prefix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) -> list[str]:
+def prefix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64,
+                 field: str | None = None) -> list[str]:
     """Dictionary terms starting with ``frag`` — a RANGE scan
     [frag, frag+MAXCHAR) over the term-sorted dictionary parquet (row-group
-    stats prune to the matching shard/groups; no vocabulary materialization)."""
+    stats prune to the matching shard/groups; no vocabulary materialization).
+    With ``field``, the scan runs over that field's keyspace (the composite
+    keys sort contiguously under their ``<field>\\x1f`` prefix) and returns
+    full posting keys."""
+    from ..corpus import FIELD_SEP
     from ..state.manifest import resolve_dirs
 
     dict_dir = resolve_dirs(index_dir)[1]
-    hi = frag + "\U0010ffff"
+    lo = f"{field}{FIELD_SEP}{frag}" if field is not None else frag
+    hi = lo + "\U0010ffff"
     t = pq.read_table(dict_dir, columns=["term"],
-                      filters=[("term", ">=", frag), ("term", "<=", hi)])
-    terms = [x for x in t["term"].to_pylist() if x.startswith(frag)]
+                      filters=[("term", ">=", lo), ("term", "<=", hi)])
+    # an unscoped range scan on 'tit' would sweep in field keys like
+    # "title\x1fx" — the scope filter keeps each query in its own keyspace
+    terms = _scope_filter([x for x in t["term"].to_pylist() if x.startswith(lo)],
+                          field)
     terms.sort()
     return terms[:max_expansions]
 
 
-def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) -> list[str]:
+def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64,
+                 field: str | None = None) -> list[str]:
     """Dictionary terms ending with ``frag``.  Uses the trigram index when the
     fragment carries its boundary trigram (pg_trgm pads terms with a trailing
     space, so a suffix of length ≥ 2 has the distinctive ``"xy "`` trigram);
     shorter fragments fall back to a vectorized ends_with scan of the
-    dictionary (vocabulary-sized, columnar)."""
+    dictionary (vocabulary-sized, columnar).  With ``field``, candidates are
+    that field's posting keys (full keys returned)."""
     if len(frag) >= 2:
         boundary = f"{frag[-2:]} "  # last two chars + padding space
         cand = _candidates(index_dir, {boundary})
-        terms = [t for t in set(cand["term"].to_pylist()) if t.endswith(frag)]
+        terms = [t for t in set(_scope_filter(cand["term"].to_pylist(), field))
+                 if t.endswith(frag)]
         terms.sort()
         return terms[:max_expansions]
     from ..state.manifest import resolve_dirs
@@ -146,7 +189,7 @@ def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64) 
     dict_dir = resolve_dirs(index_dir)[1]
     t = pq.read_table(dict_dir, columns=["term"])
     mask = pc.ends_with(t["term"], pattern=frag)
-    terms = t["term"].filter(mask).to_pylist()
+    terms = _scope_filter(t["term"].filter(mask).to_pylist(), field)
     terms.sort()
     return terms[:max_expansions]
 
@@ -159,11 +202,16 @@ def term_exists(index_dir: str, term: str) -> bool:
     return t.num_rows > 0
 
 
-def contains_expand(index_dir: str, pattern: str, *, max_expansions: int | None = 64) -> list[str]:
+def contains_expand(index_dir: str, pattern: str, *, max_expansions: int | None = 64,
+                    field: str | None = None) -> list[str]:
     """P3 CONTAINS (single-token patterns): dictionary terms containing
     ``pattern`` as a substring — trigram-candidate fetch + exact verify, the
     GIN-trigram plan shape.  Patterns shorter than 3 chars have no trigram
-    and would need a scan; callers fall back."""
+    and would need a scan; callers fall back.  With ``field``, candidates are
+    that field's posting keys (full keys returned; the substring is verified
+    against the word part)."""
+    from ..corpus import FIELD_SEP
+
     p = pattern.lower()
     inner = {p[i : i + 3] for i in range(len(p) - 2)} if len(p) >= 3 else set()
     if not inner:
@@ -173,10 +221,11 @@ def contains_expand(index_dir: str, pattern: str, *, max_expansions: int | None 
         return []
     counts = cand.group_by("term").aggregate([("tri", "count")])
     need = len(inner)
+    keep = set(_scope_filter(counts["term"].to_pylist(), field))
     terms = [
         t
         for t, c in zip(counts["term"].to_pylist(), counts["tri_count"].to_pylist())
-        if c == need and p in t
+        if c == need and t in keep and p in t.split(FIELD_SEP, 1)[-1]
     ]
     terms.sort()
     return terms[:max_expansions]
