@@ -44,10 +44,16 @@ def nested_crosswalk(t: pa.Table, spec: CorpusSpec) -> pa.Table:
     jsonb document (mv_books_dc.sql:196-430): identity stays flat, all
     metadata is packed into one Arrow struct column."""
     meta_cols = [c for c in (*spec.meta_cols, "dl") if c in t.column_names]
-    payload = pa.StructArray.from_arrays(
-        [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c] for c in meta_cols],
-        names=meta_cols,
-    )
+    if meta_cols:
+        payload = pa.StructArray.from_arrays(
+            [t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c] for c in meta_cols],
+            names=meta_cols,
+        )
+    else:
+        # no metadata: from_arrays([], names=[]) builds a LENGTH-0 struct
+        # array that can't be appended to an n-row table — emit n empty
+        # structs instead
+        payload = pa.array([{}] * t.num_rows, type=pa.struct([]))
     out = t.select([*spec.id_cols, SCORE_COL])
     return out.append_column("payload", payload)
 

@@ -213,10 +213,14 @@ def q_tsvector_agg(sf_dir: str) -> pa.Table:
             "source": src[doc_idx],
             "term": terms.to_numpy(zero_copy_only=False),
         })
-        g = df.groupby(["source", "term"], sort=False).size().reset_index(name="cnt")
+        # dropna=False: NULL sources must keep their group (DuckDB GROUP BY
+        # keeps a NULL group); explicit string types so an all-empty batch
+        # emits string columns, not null-typed ones that break unification
+        g = df.groupby(["source", "term"], sort=False, dropna=False) \
+              .size().reset_index(name="cnt")
         return pa.table({
-            "source": pa.array(g["source"]),
-            "term": pa.array(g["term"]),
+            "source": pa.array(g["source"], type=pa.string()),
+            "term": pa.array(g["term"], type=pa.string()),
             "cnt": pa.array(g["cnt"], type=pa.int64()),
         })
 
@@ -245,8 +249,11 @@ def q_range_join_windows(sf_dir: str) -> pa.Table:
     from ..stages.ranges import broadcast_interval_join
 
     path = os.path.join(sf_dir, "events.parquet")
-    right = pq.read_table(path, columns=["user_id", "ts", "event_type"])
-    right = right.filter(pc.equal(right["event_type"], pa.scalar("purchase")))
+    # predicate pushdown: only purchase row groups are read and only the
+    # purchase subset is held on the driver (the broadcast design assumes
+    # the right side is small — don't materialize the whole events table)
+    right = pq.read_table(path, columns=["user_id", "ts"],
+                          filters=[("event_type", "==", "purchase")])
     ev = rd.read_parquet(path, columns=["event_id", "ts", "user_id"])
     out = broadcast_interval_join(
         ev, right, by="user_id", on="ts", window=2 * 3600 * 1_000_000,
@@ -286,9 +293,12 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     n = int(cum[-1]) if len(cum) else 0
     out_pct, out_val = [], []
     for name, q in _QUANTILES:
+        out_pct.append(name)
+        if n == 0:  # empty input: NULL quantiles, like quantile_disc
+            out_val.append(None)
+            continue
         rank = max(1, int(np.ceil(q * n)))
         i = int(np.searchsorted(cum, rank, side="left"))
-        out_pct.append(name)
         out_val.append(int(agg["v"].iloc[i]))
     return pa.table({"pct": pa.array(out_pct), "val": pa.array(out_val, type=pa.int64())})
 
@@ -302,6 +312,10 @@ def q_value_histogram(sf_dir: str) -> pa.Table:
 
     def binned(b: pa.Table) -> pa.Table:
         v = b["value"].to_numpy(zero_copy_only=False)
+        # NULL/NaN values are excluded: floor(NaN).astype(int64) would alias
+        # INT64_MIN and count as a real bin (the SQL oracle's NULL bin rows
+        # are likewise dropped from the compared result)
+        v = v[~np.isnan(v)]
         return pa.table({"bin": pa.array(np.floor(v / 25.0).astype(np.int64))})
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -354,8 +368,10 @@ ORACLE_SQL_NESTED: dict[str, str] = {
         + ") ORDER BY pct"
     ),
     "value_histogram": (
+        # value IS NOT NULL: the engine excludes NULL/NaN from binning
         "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, "
-        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bin ORDER BY bin"
+        "CAST(count(*) AS BIGINT) AS n FROM events WHERE value IS NOT NULL "
+        "GROUP BY bin ORDER BY bin"
     ),
     "range_join_windows": (
         "SELECT CAST(e.event_id AS BIGINT) AS event_id, "

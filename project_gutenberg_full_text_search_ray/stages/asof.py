@@ -40,6 +40,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.nputil import key_runs
+
 _SIDE = "__side"  # 0 = right, 1 = left
 
 
@@ -77,7 +79,16 @@ def asof_join(
     lt = left.schema().base_schema
     val_type = right.schema().base_schema.field(right_value_col).type
 
+    # SQL equality/comparison semantics for NULLs: a NULL ``by`` key never
+    # equals anything (incl. another NULL) and a NULL ``on`` never satisfies
+    # ``right.on <= left.on`` — so NULL-keyed/NULL-on RIGHT rows are dropped
+    # from the join entirely, and such LEFT rows bypass the sort exchange
+    # and emit the miss value (NULL) directly
+    def _valid(b: pa.Table) -> pa.ChunkedArray:
+        return pc.and_(pc.is_valid(b[by]), pc.is_valid(b[on]))
+
     def tag_left(b: pa.Table) -> pa.Table:
+        b = b.filter(_valid(b))
         cols = {c: b[c] for c in (by, on)}
         cols[_SIDE] = pa.array(np.ones(b.num_rows, dtype=np.int8))
         cols["__seq"] = pa.nulls(b.num_rows, type=pa.int64())
@@ -87,6 +98,7 @@ def asof_join(
         return pa.table(cols)
 
     def tag_right(b: pa.Table) -> pa.Table:
+        b = b.filter(_valid(b))
         cols = {c: b[c] for c in (by, on)}
         cols[_SIDE] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
         cols["__seq"] = b[right_seq_col].cast(pa.int64())
@@ -94,6 +106,11 @@ def asof_join(
         for c in left_cols:
             cols[f"l_{c}"] = pa.nulls(b.num_rows, type=lt.field(c).type)
         return pa.table(cols)
+
+    def null_key_misses(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(pc.fill_null(_valid(b), False)))
+        return pa.table({**{f"l_{c}": b[c] for c in left_cols},
+                         out_value_col: pa.nulls(b.num_rows, type=val_type)})
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
@@ -110,7 +127,7 @@ def asof_join(
         if len(r) == 0:
             return schema.empty_table()
         rb = np.asarray(b[by].to_numpy(zero_copy_only=False))[r]
-        last = r[np.r_[rb[1:] != rb[:-1], True]]  # last right per key run
+        last = r[key_runs(rb)[1:] - 1]  # last right per key run
         idx = pa.array(last, type=pa.int64())
         return pa.table({by: b[by].take(idx), on: b[on].take(idx),
                          "__seq": b["__seq"].take(idx),
@@ -129,7 +146,7 @@ def asof_join(
         s_by = np.asarray(summary[by].to_numpy(zero_copy_only=False))
         s_on = summary[on].to_numpy(zero_copy_only=False)
         s_val = summary["__rval"]
-        bounds = np.flatnonzero(np.r_[True, s_by[1:] != s_by[:-1], True])
+        bounds = key_runs(s_by)
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             carry[s_by[lo]] = (np.asarray(s_on[lo:hi]),
@@ -160,8 +177,7 @@ def asof_join(
             # group unresolved lefts by key (they're contiguous per key in
             # the sorted block) and binary-search each key's timeline once
             ub = byv[u]
-            kb = np.flatnonzero(np.r_[True, ub[1:] != ub[:-1], True]) \
-                if len(ub) else np.array([0])
+            kb = key_runs(ub)
             pieces = []
             for i in range(len(kb) - 1):
                 lo, hi = kb[i], kb[i + 1]
@@ -199,4 +215,8 @@ def asof_join(
     resolved = srt.map_batches(resolve_block, batch_size=None,
                                batch_format="pyarrow") \
                   .select_columns([f"l_{c}" for c in left_cols] + [out_value_col])
+    # left rows with a NULL key / NULL on never entered the exchange; they
+    # re-join the output here with the miss value
+    resolved = resolved.union(
+        left.map_batches(null_key_misses, batch_format="pyarrow"))
     return resolved.rename_columns({f"l_{c}": c for c in left_cols})

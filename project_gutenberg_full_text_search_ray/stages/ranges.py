@@ -19,21 +19,27 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
+from ..functions.nputil import key_runs
+
 
 def _right_index(right: pa.Table, by: str, start: str) -> dict:
-    """{key: sorted start values (int64)} from the small side."""
+    """{key: sorted start values (int64)} from the small side.  Rows with a
+    NULL key or NULL start are dropped — SQL equality/comparison semantics:
+    they can never contain anything (and None would crash the sort)."""
+    right = right.filter(pc.and_(pc.is_valid(right[by]), pc.is_valid(right[start])))
     by_np = np.asarray(right[by].to_pylist())
     st_np = right[start].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((st_np, by_np))
-    by_np, st_np = by_np[order], st_np[order]
     idx: dict = {}
     if len(by_np) == 0:
         return idx
-    bounds = np.flatnonzero(np.r_[True, by_np[1:] != by_np[:-1], True])
+    order = np.lexsort((st_np, by_np))
+    by_np, st_np = by_np[order], st_np[order]
+    bounds = key_runs(by_np)
     for i in range(len(bounds) - 1):
         lo, hi = bounds[i], bounds[i + 1]
         idx[by_np[lo]] = st_np[lo:hi]
@@ -53,25 +59,34 @@ def broadcast_interval_join(
 
     def probe(batch: pa.Table) -> pa.Table:
         index = ray.get(ref)
-        by_np = np.asarray(batch[by].to_pylist())
-        on_np = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        # NULL key or NULL probe value → containment count 0 (SQL comparison
+        # semantics; NaT would otherwise alias INT64_MIN and wrap around, and
+        # None keys would crash the object-array sort)
+        valid = pc.and_(pc.is_valid(batch[by]), pc.is_valid(batch[on])) \
+                  .to_numpy(zero_copy_only=False)
+        vi = np.flatnonzero(valid)
         out = np.zeros(len(batch), dtype=np.int64)
-        # vectorize per key-run: sort the batch by key once, searchsorted all
-        # of a key's probes against that key's start array in one call
-        order = np.argsort(by_np, kind="stable")
-        by_s, on_s = by_np[order], on_np[order]
-        bounds = np.flatnonzero(np.r_[True, by_s[1:] != by_s[:-1], True]) \
-            if len(by_s) else np.array([0])
-        res = np.zeros(len(batch), dtype=np.int64)
-        for i in range(len(bounds) - 1):
-            lo, hi = bounds[i], bounds[i + 1]
-            starts = index.get(by_s[lo])
-            if starts is None:
-                continue
-            ts = on_s[lo:hi]
-            res[lo:hi] = (np.searchsorted(starts, ts, side="right")
-                          - np.searchsorted(starts, ts - window, side="left"))
-        out[order] = res
+        if len(vi):
+            by_np = np.asarray(batch[by].take(pa.array(vi)).to_pylist())
+            on_np = batch[on].take(pa.array(vi)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            # vectorize per key-run: sort the (valid) rows by key once,
+            # searchsorted all of a key's probes against that key's start
+            # array in one call
+            order = np.argsort(by_np, kind="stable")
+            by_s, on_s = by_np[order], on_np[order]
+            res = np.empty(len(vi), dtype=np.int64)
+            bounds = key_runs(by_s)
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                starts = index.get(by_s[lo])
+                if starts is None:
+                    res[lo:hi] = 0
+                    continue
+                ts = on_s[lo:hi]
+                res[lo:hi] = (np.searchsorted(starts, ts, side="right")
+                              - np.searchsorted(starts, ts - window, side="left"))
+            out[vi[order]] = res
         cols = {c: batch[c] for c in left_cols}
         cols[out_col] = pa.array(out, type=pa.int64())
         return pa.table(cols)

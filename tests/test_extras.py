@@ -547,6 +547,36 @@ def test_opds_like_crosswalk_fallbacks():
     assert out.column_names == ["doc_id", "score", "opds"]
 
 
+def test_asof_join_null_keys_and_times(ray_session):
+    """SQL equality semantics: NULL-keyed lefts match nothing (not even
+    NULL-keyed rights), NULL-on lefts match nothing, NULL-keyed/NULL-on
+    rights are invisible — all emit the miss value.  Regression: None==None
+    grouped NULL keys into one run and cross-matched them."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lid": [1, 2, 3, 4, 5],
+        "k": ["a", None, "a", "b", None],
+        "t": [100, 100, None, 50, None],
+    }))
+    right = rd.from_arrow(pa.table({
+        "rid": [10, 11, 12, 13],
+        "k": ["a", None, "b", "b"],
+        "t": [90, 90, None, 40],
+    }))
+    out = asof_join(left, right, by="k", on="t", left_cols=["lid"],
+                    right_value_col="rid", right_seq_col="rid",
+                    out_value_col="prev_rid") \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    got = [None if v != v else int(v) for v in out["prev_rid"]]
+    # lid1: a@100 ← rid10 (a@90).  lid2: NULL key → miss (NOT rid11).
+    # lid3: NULL t → miss.  lid4: b@50 ← rid13 (b@40; rid12 has NULL t).
+    # lid5: NULL key and t → miss.
+    assert got == [10, None, None, 13, None]
+
+
 def test_asof_join_backward_inclusive(ray_session):
     """AS-OF join semantics vs a brute-force reference, with block sizes
     forced small so per-key timelines SPAN sorted blocks (cross-block

@@ -147,6 +147,30 @@ def test_broadcast_interval_join_edges(ray_session):
     assert out2["n_intervals"].tolist() == [0] * 6
 
 
+def test_broadcast_interval_join_null_keys_and_times(ray_session):
+    """SQL comparison semantics for NULLs: a NULL left key or NULL probe time
+    counts 0; NULL-keyed / NULL-start right intervals contain nothing.
+    Regression: NaT aliased INT64_MIN (wrap-around negative counts) and None
+    keys crashed the object-array sort."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.ranges import broadcast_interval_join
+
+    right = pa.table({"k": ["a", None, "b"], "start": [100, 50, None]})
+    left = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", None, "a", "b", "a"],
+        "t": [105, 105, None, 60, 100],
+    }))
+    out = broadcast_interval_join(left, right, by="k", on="t", window=10,
+                                  left_cols=["id"], right_start="start",
+                                  ).to_pandas().sort_values("id")
+    # id1: a@105 in [100,110] → 1; id2 NULL key → 0; id3 NULL t → 0;
+    # id4: b's only interval has NULL start → 0; id5: a@100 → 1
+    assert out["n_intervals"].tolist() == [1, 0, 0, 0, 1]
+
+
 def test_verify_jaccard_cache_overflow(ray_session, monkeypatch):
     """Cache clear-on-overflow must refetch ids the batch still needs
     (regression: pre-clear cached ids raised KeyError after the clear)."""
