@@ -71,13 +71,15 @@ def _hash_strings_u64(arr: pa.Array) -> np.ndarray:
     return hash_array(s.to_numpy(dtype=object), hash_key="0123456789abcdef", categorize=False)
 
 
-def _plan_file_segments(paths: list[str], target_rows: int) -> list[dict]:
+def _plan_file_segments(paths: list[str], target_rows: int,
+                        metas: dict | None = None) -> list[dict]:
     """Deterministic segment plan: pack consecutive row groups of each file
-    into ~target_rows segments.  Driver-side metadata reads only."""
+    into ~target_rows segments.  Driver-side metadata reads only (reused
+    from the caller's single metadata pass when provided)."""
     specs: list[dict] = []
     seg_id = 0
     for p in paths:
-        md = pq.read_metadata(p)
+        md = metas[p] if metas is not None else pq.read_metadata(p)
         rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
         start = 0
         acc = 0
@@ -138,34 +140,56 @@ def build_index(
     store_positions: bool = True,
     input_fp: str | None = None,
     force: bool = False,
+    target_rows: int | None = None,
 ) -> IndexInfo:
     """Build (or resume) an index generation at ``index_dir``."""
     paths: list[str] | None = None
     ds = None
     if isinstance(source, (str, list)):
-        if isinstance(source, str) and os.path.isdir(source):
-            paths = sorted(glob.glob(os.path.join(source, "*.parquet")))
-        elif isinstance(source, str) and any(c in source for c in "*?"):
-            paths = sorted(glob.glob(source))
-        else:
-            paths = [source] if isinstance(source, str) else list(source)
+        raw = [source] if isinstance(source, str) else list(source)
+        paths = []
+        for s in raw:
+            # every element may be a directory or a glob, same as the
+            # single-string form (the fingerprint helper expands dirs too —
+            # the two normalizations must agree)
+            if isinstance(s, str) and os.path.isdir(s):
+                paths.extend(glob.glob(os.path.join(s, "*.parquet")))
+            elif isinstance(s, str) and any(c in s for c in "*?"):
+                paths.extend(glob.glob(s))
+            else:
+                paths.append(s)
+        paths.sort()
+        # ONE driver-side metadata pass feeds the fingerprint, the row
+        # count, and the row-group segment plan (3 footer reads per file
+        # would triple startup I/O on object storage at the 100k-file scale)
+        metas = {p: pq.read_metadata(p) for p in paths}
         if input_fp is None:
-            input_fp = parquet_input_fingerprint(paths)
-        n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+            input_fp = parquet_input_fingerprint(paths, metas=metas)
+        n_rows = sum(md.num_rows for md in metas.values())
     else:
         # materialize once: count() would otherwise execute the source
         # pipeline in full, and the build below would execute it AGAIN
         ds = source.select_columns(spec.read_cols).materialize()
         if input_fp is None:
-            input_fp = "volatile"  # unknown lineage → cannot resume-skip
+            # unknown lineage → cannot resume-skip; the fingerprint must be
+            # UNIQUE per build: a constant marker would let a rebuild from
+            # different Dataset data reproduce the committed build_fp and
+            # rewrite the live generation's segment dirs in place
+            import uuid
+
+            input_fp = f"volatile-{uuid.uuid4().hex}"
             force = True
         n_rows = ds.count()
 
     # Target segment size: at real scale ceil(N/docs_per_segment) >> cores and
     # the cluster provides parallelism; at sandbox scale keep a deterministic
     # floor (independent of CPU count so 8-vs-32-CPU scaling runs do IDENTICAL
-    # work), capped so minuscule corpora don't shatter.
-    target_rows = max(min_rows_per_segment, min(docs_per_segment, -(-n_rows // max(1, min_segments))))
+    # work), capped so minuscule corpora don't shatter.  A caller (refresh)
+    # can PIN target_rows to the committed generation's value so appending
+    # input files doesn't shift the packing — and with it every unchanged
+    # segment's content fingerprint.
+    if target_rows is None:
+        target_rows = max(min_rows_per_segment, min(docs_per_segment, -(-n_rows // max(1, min_segments))))
 
     if paths is not None:
         # Shuffle-free build: segments align with file/row-group ranges.
@@ -176,7 +200,7 @@ def build_index(
         # columnar read of its own row-group range).  This is how the build
         # behaves at 100 TB: embarrassingly parallel over input shards, with
         # only the vocabulary-sized dictionary merge crossing the network.
-        specs = _plan_file_segments(paths, target_rows)
+        specs = _plan_file_segments(paths, target_rows, metas=metas)
         n_segments = len(specs)
         # Per-segment CONTENT fingerprints (config + the exact file bytes/row
         # groups the segment covers): appending new input files leaves
@@ -210,9 +234,19 @@ def build_index(
         return IndexInfo(index_dir, existing["n_docs"], existing["avgdl"], existing["n_segments"], build_fp)
 
     os.makedirs(index_dir, exist_ok=True)
-    if force:
-        for m in glob.glob(os.path.join(index_dir, "seg=*", SEG_MANIFEST)):
-            os.remove(m)
+    if force and paths is not None:
+        # force = rebuild THIS plan's segments from scratch: drop only the
+        # seg manifests the plan would resume from.  A blanket glob would
+        # also strip the committed generation's lineage manifests — a crash
+        # mid-rebuild must leave the old generation fully intact.  (The
+        # Dataset path needs no removal: its volatile fingerprint is unique,
+        # so no stale dir can match.)
+        from ..state.manifest import seg_dir as _seg_dir
+
+        for sp in specs:
+            mp = os.path.join(_seg_dir(index_dir, sp["seg_id"], sp["seg_fp"]), SEG_MANIFEST)
+            if os.path.exists(mp):
+                os.remove(mp)
 
     builder = SegmentBuilder(index_dir, spec, analyzer, build_fp, store_positions=store_positions)
 
@@ -256,7 +290,8 @@ def build_index(
         index_dir, term_partials, build_fp, analyzer, spec,
         input_fp=input_fp, input_paths=paths,
         n_segments=n_segments, store_positions=store_positions,
-        expected_fps=expected_fps,
+        expected_fps=expected_fps, target_rows=target_rows,
+        input_sources=(source if paths is not None else None),
     )
 
 
@@ -272,6 +307,8 @@ def _finalize_generation(
     n_segments: int,
     store_positions: bool,
     expected_fps: dict[int, str] | None = None,
+    target_rows: int | None = None,
+    input_sources=None,
 ) -> IndexInfo:
     """Dictionary merge + manifest fold + generation commit (shared by fresh
     builds and compaction).
@@ -355,12 +392,20 @@ def _finalize_generation(
                        "meta_cols": list(spec.meta_cols), "name": spec.name,
                        "field_cols": list(spec.field_cols)},
             "input_paths": input_paths,  # None for volatile Dataset inputs
+            # the RAW source argument (dir / glob / file list): refresh
+            # re-resolves it so files appended to a source directory are
+            # picked up; input_paths stays the expanded snapshot for readers
+            # (doc-store verify reads need concrete files)
+            "input_sources": input_sources,
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
             "avgdl_fields": avgdl_fields,
-            "n_segments": n_segments,
+            # ACTUAL segment count: hash assignment can leave planned Dataset
+            # segments empty, so the planned number may exceed reality
+            "n_segments": len(seg_manifests),
             "store_positions": store_positions,
+            "target_rows": target_rows,
             "dict_dirname": os.path.basename(dict_dir),
             "segments": [
                 {
@@ -378,7 +423,7 @@ def _finalize_generation(
             },
         },
     )
-    return IndexInfo(index_dir, n_docs, avgdl, n_segments, build_fp)
+    return IndexInfo(index_dir, n_docs, avgdl, len(seg_manifests), build_fp)
 
 
 def compact_index(
@@ -451,6 +496,7 @@ def compact_index(
         out_dir, term_partials, build_fp, analyzer, spec,
         input_fp=m["input_fingerprint"], input_paths=m.get("input_paths"),
         n_segments=len(groups), store_positions=store_positions,
+        input_sources=m.get("input_sources"), target_rows=m.get("target_rows"),
     )
 
 
@@ -472,4 +518,16 @@ def refresh_index(index_dir: str, **overrides) -> IndexInfo:
     spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"],
                       tuple(c.get("field_cols") or ()))
     analyzer = Analyzer(stopwords=m["analyzer"]["stopwords"], stem=m["analyzer"]["stem"])
-    return build_index(list(m["input_paths"]), spec, index_dir, analyzer=analyzer, **overrides)
+    # refresh inherits the committed generation's build config unless the
+    # caller overrides it: store_positions so the fingerprint fast-path can
+    # match (and the on-disk format doesn't silently flip), target_rows so
+    # appending input files doesn't shift the row-group packing — and with
+    # it every unchanged segment's content fingerprint
+    overrides.setdefault("store_positions", bool(m.get("store_positions", True)))
+    if m.get("target_rows"):
+        overrides.setdefault("target_rows", int(m["target_rows"]))
+    # prefer the RAW recorded source (dir/glob): refresh then re-resolves it,
+    # so files appended to a source directory join the new generation; fall
+    # back to the expanded file snapshot for pre-input_sources manifests
+    source = m.get("input_sources") or list(m["input_paths"])
+    return build_index(source, spec, index_dir, analyzer=analyzer, **overrides)

@@ -122,6 +122,52 @@ def write_segment_files(
     os.replace(tmp_dir, out_dir)
 
 
+def term_ranks(terms_pa: pa.Array, rank_dtype=np.int32) -> tuple[pa.Array, np.ndarray]:
+    """Dictionary-encode a term column into lexicographic ranks: returns
+    (sorted unique terms ascending, per-row rank ids).  SHARED by the fresh
+    build and the compaction merge — the two must produce byte-identical
+    dictionary order for merged segments to score like fresh ones."""
+    enc = terms_pa.dictionary_encode()
+    dict_arr = enc.dictionary
+    sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(sort_ord), dtype=rank_dtype)
+    rank[sort_ord] = np.arange(len(sort_ord), dtype=rank_dtype)
+    term_ids = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    return dict_arr.take(pa.array(sort_ord)), term_ids
+
+
+def term_boundaries(t_s: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(term_starts, df, present_term_ids) over entry-ordered term ranks —
+    the per-term boundary scan shared by build and merge."""
+    if not len(t_s):
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    term_first = np.empty(len(t_s), dtype=bool)
+    term_first[0] = True
+    np.not_equal(t_s[1:], t_s[:-1], out=term_first[1:])
+    term_starts = np.flatnonzero(term_first)
+    df = np.diff(np.append(term_starts, len(t_s))).astype(np.int64)
+    return term_starts, df, t_s[term_starts]
+
+
+def dict_partials_table(sorted_terms: pa.Array, present_term_ids: np.ndarray,
+                        term_starts: np.ndarray, df: np.ndarray,
+                        tf: np.ndarray) -> pa.Table:
+    """Per-segment (term, df, cf) dictionary partials — the combiner input
+    of the vocabulary-sized dictionary merge; shared by build and merge."""
+    cf_per_term = (
+        np.add.reduceat(tf.astype(np.int64), term_starts)
+        if len(term_starts) else np.empty(0, np.int64)
+    )
+    return pa.table(
+        {
+            "term": sorted_terms.take(pa.array(present_term_ids)),
+            "df": pa.array(df, type=pa.int64()),
+            "cf": pa.array(cf_per_term, type=pa.int64()),
+        }
+    )
+
+
 class SegmentBuilder:
     """Callable for ``map_groups`` — builds one segment, returns (term, df, cf)."""
 
@@ -221,13 +267,7 @@ class SegmentBuilder:
         # term ids, lexsort, run-length entries, single-pass VByte with
         # per-block byte slicing (no per-term Python loop).
         if len(terms_pa):
-            enc = terms_pa.dictionary_encode()
-            dict_arr = enc.dictionary
-            sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
-            rank = np.empty(len(sort_ord), dtype=np.int32)
-            rank[sort_ord] = np.arange(len(sort_ord), dtype=np.int32)
-            term_ids = rank[enc.indices.to_numpy(zero_copy_only=False)]
-            sorted_terms = dict_arr.take(pa.array(sort_ord))  # unique terms, ascending
+            sorted_terms, term_ids = term_ranks(terms_pa, rank_dtype=np.int32)
 
             sort_idx = np.lexsort((positions, doc_idx, term_ids))
             t_s = term_ids[sort_idx]
@@ -243,14 +283,9 @@ class SegmentBuilder:
             tf = np.diff(np.append(entry_starts, len(t_s))).astype(np.int32)
             e_term = t_s[entry_starts]
             e_ord = d_s[entry_starts].astype(np.uint32)
-            term_first = np.empty(len(e_term), dtype=bool)
-            term_first[0] = True
-            np.not_equal(e_term[1:], e_term[:-1], out=term_first[1:])
-            term_starts = np.flatnonzero(term_first)
-            df = np.diff(np.append(term_starts, len(e_term))).astype(np.int64)
+            term_starts, df, present_term_ids = term_boundaries(e_term)
             pos_delta = _delta_in_place(p_s, entry_starts) if self.store_positions else None
             tok_offsets = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
-            present_term_ids = e_term[term_starts]
         else:
             sorted_terms = pa.array([], type=pa.string())
             df = np.empty(0, dtype=np.int64)
@@ -282,16 +317,7 @@ class SegmentBuilder:
                    "build_ms": int((_time.monotonic() - _t0) * 1000)},
         )
 
-        cf_per_term = (
-            np.add.reduceat(tf.astype(np.int64), term_starts) if len(term_starts) else np.empty(0, np.int64)
-        )
-        return pa.table(
-            {
-                "term": sorted_terms.take(pa.array(present_term_ids)),
-                "df": pa.array(df, type=pa.int64()),
-                "cf": pa.array(cf_per_term, type=pa.int64()),
-            }
-        )
+        return dict_partials_table(sorted_terms, present_term_ids, term_starts, df, tf)
 
     def _build_postings_table(
         self,

@@ -21,7 +21,8 @@ import pyarrow.parquet as pq
 
 from ..corpus import CorpusSpec
 from ..functions.codec import vbyte_decode
-from .segment_build import SegmentBuilder, _delta_in_place, write_segment_files
+from .segment_build import (SegmentBuilder, _delta_in_place, dict_partials_table,
+                            term_boundaries, term_ranks, write_segment_files)
 
 
 def _undelta_with_resets(deltas: np.ndarray, reset_starts: np.ndarray) -> np.ndarray:
@@ -154,13 +155,7 @@ def merge_segment_group(
         pos_all = (np.concatenate(pos_blob_parts), np.concatenate(pos_off_parts))
 
     terms_pa = pa.concat_arrays([a.cast(pa.string()) for a in term_arrays]) if term_arrays else pa.array([], type=pa.string())
-    enc = terms_pa.dictionary_encode()
-    dict_arr = enc.dictionary
-    sort_ord = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
-    rank = np.empty(len(sort_ord), dtype=np.int64)
-    rank[sort_ord] = np.arange(len(sort_ord))
-    term_rank = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
-    sorted_terms = dict_arr.take(pa.array(sort_ord))
+    sorted_terms, term_rank = term_ranks(terms_pa, rank_dtype=np.int64)
 
     # one composite-key argsort (term_rank << 32 | new_ord) instead of a
     # two-key lexsort — ~2× less key bandwidth over the entry space
@@ -202,17 +197,7 @@ def merge_segment_group(
         np.cumsum(lens_p, out=new_off[1:])
         pos_entry_bytes = (new_blob, new_off)
 
-    term_first = np.empty(len(t_s), dtype=bool)
-    if len(t_s):
-        term_first[0] = True
-        np.not_equal(t_s[1:], t_s[:-1], out=term_first[1:])
-        term_starts = np.flatnonzero(term_first)
-        df = np.diff(np.append(term_starts, len(t_s))).astype(np.int64)
-        present_term_ids = t_s[term_starts]
-    else:
-        term_starts = np.empty(0, dtype=np.int64)
-        df = np.empty(0, dtype=np.int64)
-        present_term_ids = np.empty(0, dtype=np.int64)
+    term_starts, df, present_term_ids = term_boundaries(t_s)
 
     builder = SegmentBuilder(index_dir_out, spec, None, build_fp,
                              store_positions=pos_entry_bytes is not None)
@@ -227,13 +212,4 @@ def merge_segment_group(
                "merged_from": list(member_seg_ids),
                "build_ms": int((_time.monotonic() - _t0) * 1000)},
     )
-    cf_per_term = (
-        np.add.reduceat(tf.astype(np.int64), term_starts) if len(term_starts) else np.empty(0, np.int64)
-    )
-    return pa.table(
-        {
-            "term": sorted_terms.take(pa.array(present_term_ids)),
-            "df": pa.array(df, type=pa.int64()),
-            "cf": pa.array(cf_per_term, type=pa.int64()),
-        }
-    )
+    return dict_partials_table(sorted_terms, present_term_ids, term_starts, df, tf)

@@ -32,6 +32,13 @@ TRIGRAM_DIR = "dict_trigrams"
 TRIGRAM_FMT = "tg2"
 
 
+def trigram_dirname(index_fingerprint: str) -> str:
+    """Basename of the derived trigram cache for a generation — the SINGLE
+    owner of this naming (vacuum_index keeps exactly this dir)."""
+    fp8 = index_fingerprint[:8]
+    return f"{TRIGRAM_DIR}_{TRIGRAM_FMT}_{fp8}" if fp8 else f"{TRIGRAM_DIR}_{TRIGRAM_FMT}"
+
+
 def trigrams(word: str) -> set[str]:
     w = f"  {word} "
     return {w[i : i + 3] for i in range(len(w) - 2)}
@@ -55,10 +62,8 @@ def ensure_trigram_index(index_dir: str) -> str:
         gen = str(load_index_manifest(index_dir).get("fingerprint", ""))
     except Exception:
         pass
+    out = os.path.join(index_dir, trigram_dirname(gen))
     gen = f"{TRIGRAM_FMT}:{gen}"
-    out = os.path.join(index_dir,
-                       f"{TRIGRAM_DIR}_{TRIGRAM_FMT}_{gen.split(':', 1)[1][:8]}"
-                       if gen.split(":", 1)[1] else f"{TRIGRAM_DIR}_{TRIGRAM_FMT}")
     done_path = os.path.join(out, "_DONE")
     if os.path.exists(done_path):
         with open(done_path) as f:

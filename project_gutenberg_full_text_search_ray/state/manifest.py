@@ -30,10 +30,15 @@ def fingerprint(*parts: str) -> str:
     return h.hexdigest()[:16]
 
 
-def parquet_input_fingerprint(paths: list[str]) -> str:
-    """Stable fingerprint of parquet inputs: name + size + mtime_ns + num_rows
-    per file (mtime catches in-place rewrites that preserve size/rows).
-    Directories expand to their *.parquet members."""
+def parquet_input_fingerprint(paths: list[str], metas: dict | None = None) -> str:
+    """Stable fingerprint of parquet inputs: ABSOLUTE path + size + mtime_ns
+    + num_rows per file (mtime catches in-place rewrites that preserve
+    size/rows; the full path catches pointing the build at a different
+    directory holding same-named same-shaped files — the per-segment
+    fingerprints already defend against that, and the commit-level fast
+    path must agree).  Directories expand to their *.parquet members.
+    ``metas`` (path → ParquetFileMetadata) reuses a caller's metadata pass
+    instead of re-reading every footer."""
     import glob as _glob
 
     import pyarrow.parquet as pq
@@ -47,8 +52,9 @@ def parquet_input_fingerprint(paths: list[str]) -> str:
     parts = []
     for p in sorted(expanded):
         st = os.stat(p)
-        nrows = pq.read_metadata(p).num_rows
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}:{nrows}")
+        md = metas.get(p) if metas is not None else None
+        nrows = (md if md is not None else pq.read_metadata(p)).num_rows
+        parts.append(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}:{nrows}")
     return fingerprint(*parts)
 
 
@@ -111,11 +117,6 @@ def resolve_dirs(index_dir: str, manifest: dict[str, Any] | None = None,
     return segs, dict_dir
 
 
-def seg_is_complete(index_dir: str, seg_id: int, build_fp: str) -> bool:
-    m = read_json(os.path.join(seg_dir(index_dir, seg_id, build_fp), SEG_MANIFEST))
-    return bool(m) and m.get("fingerprint") == build_fp and m.get("status") == "complete"
-
-
 def vacuum_index(index_dir: str) -> list[str]:
     """Delete generation artifacts (``seg=*``, ``dict*``, ``dict_trigrams*``
     dirs) NOT referenced by the committed manifest.  Run only when no reader
@@ -124,12 +125,16 @@ def vacuum_index(index_dir: str) -> list[str]:
     import glob as _glob
     import shutil
 
+    from ..stages.trigram import TRIGRAM_DIR, trigram_dirname
+
     m = load_index_manifest(index_dir)
     segs, dict_dir = resolve_dirs(index_dir, m)
     keep = {os.path.basename(p) for p in segs.values()}
     keep.add(os.path.basename(dict_dir))
-    keep.add(f"dict_trigrams_{m.get('fingerprint', '')[:8]}")
-    keep.add("dict_trigrams")  # legacy derived dir
+    # the derived trigram cache of the COMMITTED generation — the name comes
+    # from the same function ensure_trigram_index uses, so it cannot drift
+    keep.add(trigram_dirname(m.get("fingerprint", "")))
+    keep.add(TRIGRAM_DIR)  # legacy derived dir
     removed = []
     for p in _glob.glob(os.path.join(index_dir, "seg=*")) + \
             _glob.glob(os.path.join(index_dir, "dict*")):

@@ -247,6 +247,49 @@ def test_incremental_append_reuses_existing_segments(ray_session, small_corpus, 
         assert r1.total == r2.total and r1.table.equals(r2.table), qs
 
 
+def test_refresh_inherits_build_config(ray_session, small_corpus, tmp_path):
+    """refresh_index must inherit the committed generation's store_positions
+    and target_rows: (a) unchanged inputs fast-path on the fingerprint even
+    for a positions-off index (regression: the default flipped the format
+    back to positions-on and re-tokenized everything); (b) appending a file
+    must not shift target_rows — and with it every unchanged segment's
+    content fingerprint."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import TRANSCRIPTS_SPEC, build_index
+    from project_gutenberg_full_text_search_ray.pipelines.build import refresh_index
+    from project_gutenberg_full_text_search_ray.sources.transcripts import gen_transcripts
+
+    idx = str(tmp_path / "idx_nopos")
+    info1 = build_index(small_corpus, TRANSCRIPTS_SPEC, idx, docs_per_segment=400,
+                        min_segments=4, store_positions=False)
+    info2 = refresh_index(idx)
+    assert info2.build_fp == info1.build_fp  # unchanged inputs: fast path
+
+    # (b) target_rows pinning: with these knobs target_rows is derived from
+    # n_rows, so an append would change it — and every seg_fp — unless the
+    # refresh pins the committed value
+    idx2 = str(tmp_path / "idx_tr")
+    build_index(small_corpus, TRANSCRIPTS_SPEC, idx2,
+                min_segments=4, min_rows_per_segment=10)
+    mtimes = {
+        p: os.path.getmtime(os.path.join(p, "postings.parquet"))
+        for p in _glob.glob(os.path.join(idx2, "seg=*"))
+    }
+    t = gen_transcripts(50, 8, seed=9200, conv_offset=19000)
+    pq.write_table(t, os.path.join(small_corpus, "part-zz2.parquet"), row_group_size=200)
+    try:
+        refresh_index(idx2, min_segments=4, min_rows_per_segment=10)
+        untouched = [p for p, m in mtimes.items()
+                     if os.path.getmtime(os.path.join(p, "postings.parquet")) == m]
+        assert len(untouched) == len(mtimes), \
+            "append shifted target_rows and rebuilt existing segments"
+    finally:
+        os.remove(os.path.join(small_corpus, "part-zz2.parquet"))
+
+
 def test_positions_off_index(ray_session, small_corpus, tmp_path):
     """store_positions=False: smaller index, term/boolean queries stay exact,
     phrase queries (which need positions) match nothing — pinned behavior."""
@@ -318,3 +361,15 @@ def test_refresh_preserves_committed_generation(ray_session, tmp_path):
     assert new_eng.execute(new_eng.query().search("new")[1, 10]).total == 4
     leftover = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "seg=*"))}
     assert leftover == {os.path.basename(p) for p in new_eng.seg_dirs.values()}
+
+    # vacuum must KEEP the committed generation's derived trigram cache
+    # (regression: the keep-set used a stale naming scheme and deleted the
+    # live cache out from under fuzzy/contains readers)
+    from project_gutenberg_full_text_search_ray.stages.trigram import (
+        ensure_trigram_index, fuzzy_expand)
+
+    tri_dir = ensure_trigram_index(idx)
+    assert os.path.isdir(tri_dir)
+    removed2 = vacuum_index(idx)
+    assert os.path.isdir(tri_dir), f"vacuum deleted the live trigram cache: {removed2}"
+    assert fuzzy_expand(idx, "alpah")  # still serves expansions
