@@ -82,6 +82,11 @@ def vbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     is_end = (raw & 0x80) != 0
     n_vals = int(is_end.sum())
+    if n_vals == len(raw):
+        # every byte is a terminator (all values < 128 — tf streams and
+        # dense gap streams, the encoder's fast-path case): the value IS the
+        # low 7 bits, no scatter-accumulate needed
+        return (raw & 0x7F).astype(np.uint64)
     # group id for each byte = number of terminators strictly before it
     gid = np.cumsum(is_end) - is_end  # 0-based group index per byte
     data = (raw & 0x7F).astype(np.uint64)

@@ -84,6 +84,19 @@ class ParsedQuery:
                         seen.setdefault(t)
         return list(seen)
 
+    def phrase_terms(self) -> list[str]:
+        """Terms appearing inside Phrase atoms (incl. negated phrases) — the
+        only terms whose POSITIONAL payload a query needs; everything else
+        can skip reading the pos column entirely."""
+        seen: dict[str, None] = {}
+        for g in self.groups:
+            for a in g.atoms:
+                inner = a.atom if isinstance(a, Not) else a
+                if isinstance(inner, Phrase):
+                    for t in inner.terms:
+                        seen.setdefault(t)
+        return list(seen)
+
     @property
     def is_empty(self) -> bool:
         return not self.groups
@@ -119,9 +132,12 @@ def parse_query(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> ParsedQuery
             raw_tokens.append((m.group(2), True, m.group(1) == "-"))
             continue
         tok = m.group(3)
+        # websearch_to_tsquery: ONE leading '-' negates; any further dashes
+        # are token punctuation the analyzer drops ('--cat' == NOT cat, not
+        # a double negation back to positive)
         neg = False
-        while tok.startswith("-") and len(tok) > 1:
-            neg = not neg
+        if tok.startswith("-") and len(tok) > 1:
+            neg = True
             tok = tok[1:]
         if tok.lower() == "or" and not neg:
             raw_tokens.append(("\x00OR", False, False))

@@ -42,7 +42,13 @@ def batch_search_dataset(engine, queries: dict[str, SearchQuery], k: int = 100) 
     plans_ref = ray.put(plans)
     seg_dirs = dict(engine.seg_dirs)  # committed-generation paths
 
+    if not plans:
+        raise ValueError("batch_search_dataset: empty query set")
+
     def run_segment(batch: pa.Table) -> pa.Table:
+        from ..stages.segment_build import limit_worker_arrow_threads
+
+        limit_worker_arrow_threads()
         p = ray.get(plans_ref)
         outs = []
         for seg_id in batch["seg_id"].to_pylist():
@@ -62,25 +68,32 @@ def batch_search_dataset(engine, queries: dict[str, SearchQuery], k: int = 100) 
 def finalize_batch_results(
     engine, queries: dict[str, SearchQuery], ds: rd.Dataset, k: int = 100
 ) -> dict[str, SearchResult]:
-    """Merge the per-segment partials into per-query top-k SearchResults
-    (same comparator as the single-query path — rank identical)."""
+    """Merge the per-segment partials into per-query top-k SearchResults.
+    Same contract as single-query ``execute()``: the same merge comparator
+    (rank identical), the query's crosswalk projection applied, and
+    ``page_size`` reporting the actual row cap (k) rather than the paging
+    default the batch path doesn't use."""
+    from ..crosswalks import apply_crosswalk
+
     parts = [ray.get(r) for r in ds.to_arrow_refs()]
     parts = [p for p in parts if p.num_rows]
     merged_all = pa.concat_tables(parts) if parts else None
     out: dict[str, SearchResult] = {}
     for name, q in queries.items():
         if merged_all is None:
-            out[name] = SearchResult(0, 1, q.page_size, engine._empty_result_table())
+            out[name] = SearchResult(0, 1, k, engine._empty_result_table())
             continue
         sub = merged_all.filter(pc.equal(merged_all[QUERY_COL], name))
         if sub.num_rows == 0:
-            out[name] = SearchResult(0, 1, q.page_size, engine._empty_result_table())
+            out[name] = SearchResult(0, 1, k, engine._empty_result_table())
             continue
         segsum = sub.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
         total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py() or 0)
         sub = sub.drop_columns([QUERY_COL, SEG_ID_COL, SEG_TOTAL_COL])
         idx = _merge_comparator_indices(sub, q.order, engine.spec.id_cols)[:k]
-        out[name] = SearchResult(total, 1, q.page_size, sub.take(pa.array(idx)))
+        tbl = apply_crosswalk(sub.take(pa.array(idx)), q.crosswalk, engine.spec,
+                              engine._custom_transformer)
+        out[name] = SearchResult(total, 1, k, tbl)
     return out
 
 

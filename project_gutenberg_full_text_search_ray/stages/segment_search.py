@@ -99,7 +99,10 @@ def apply_filters(table: pa.Table, filters: list[FilterSpec]) -> np.ndarray:
             vals = pa.array(list(f.value)).cast(col.type)
             m = pc.is_in(col, value_set=vals)
             if f.op == "not_in":
-                m = pc.invert(pc.fill_null(m, True))
+                # SQL NOT IN excludes NULLs (NULL NOT IN (...) is not true);
+                # pc.is_in returns plain false for NULL inputs, so a bare
+                # invert would let them through
+                m = pc.and_(pc.invert(m), pc.is_valid(col))
         elif f.op == "between":
             lo = pa.scalar(f.value[0]).cast(col.type)
             hi = pa.scalar(f.value[1]).cast(col.type)
@@ -157,7 +160,8 @@ class SearchPlan:
 
 # ---------------------------------------------------------------- postings
 class _TermPostings:
-    __slots__ = ("ords", "tfs", "pos_bytes_per_block", "block_tf_slices", "_positions")
+    __slots__ = ("ords", "tfs", "pos_bytes_per_block", "block_tf_slices",
+                 "_positions", "has_pos")
 
     def __init__(self) -> None:
         self.ords = np.empty(0, dtype=np.int64)
@@ -165,6 +169,9 @@ class _TermPostings:
         self.pos_bytes_per_block: list[bytes] = []
         self.block_tf_slices: list[np.ndarray] = []
         self._positions: tuple[np.ndarray, np.ndarray] | None = None
+        # False when loaded WITHOUT the pos column (non-phrase terms skip the
+        # largest per-term payload); a later phrase query must reload
+        self.has_pos = True
 
     def positions(self) -> tuple[np.ndarray, np.ndarray]:
         """→ (offsets[int64, len=df+1], flat_positions[int64]) per posting entry."""
@@ -201,7 +208,7 @@ class _PostingsFile:
             self.mins.append(st.min if st else None)
             self.maxs.append(st.max if st else None)
 
-    def read_terms(self, terms: list[str]) -> pa.Table:
+    def read_terms(self, terms: list[str], with_pos: bool = True) -> pa.Table:
         want = sorted(set(terms))
         rgs = [
             i
@@ -209,24 +216,29 @@ class _PostingsFile:
             if self.mins[i] is None
             or any(self.mins[i] <= t <= self.maxs[i] for t in want)
         ]
+        cols = ["term", "block", "ords", "tfs"] + (["pos"] if with_pos else [])
         if not rgs:
-            return self.pf.schema_arrow.empty_table()
-        t = self.pf.read_row_groups(rgs, columns=["term", "block", "ords", "tfs", "pos"])
+            return self.pf.schema_arrow.empty_table().select(cols)
+        t = self.pf.read_row_groups(rgs, columns=cols)
         return t.filter(pc.is_in(t["term"], value_set=pa.array(want)))
 
 
 def load_postings(
-    postings_path: str, terms: list[str], pfile: _PostingsFile | None = None
+    postings_path: str, terms: list[str], pfile: _PostingsFile | None = None,
+    with_pos: bool = True,
 ) -> dict[str, _TermPostings]:
+    """``with_pos=False`` skips reading the positional payload — the largest
+    per-term column — for terms no phrase atom references."""
     out: dict[str, _TermPostings] = {}
     if not terms:
         return out
+    cols = ["term", "block", "ords", "tfs"] + (["pos"] if with_pos else [])
     if pfile is not None:
-        t = pfile.read_terms(terms)
+        t = pfile.read_terms(terms, with_pos=with_pos)
     else:
         t = pq.read_table(
             postings_path,
-            columns=["term", "block", "ords", "tfs", "pos"],
+            columns=cols,
             filters=[("term", "in", sorted(set(terms)))],
         )
     if t.num_rows == 0:
@@ -235,21 +247,23 @@ def load_postings(
     terms_col = t["term"].to_pylist()
     ords_col = t["ords"].to_pylist()
     tfs_col = t["tfs"].to_pylist()
-    pos_col = t["pos"].to_pylist()
+    pos_col = t["pos"].to_pylist() if with_pos else None
     # accumulate per-term block arrays and concatenate ONCE per term — a
     # per-block np.concatenate onto the growing array is O(blocks²) copying
     # for hot terms (1M-df term ≈ 1000 blocks)
     acc: dict[str, tuple[list, list]] = {}
     for i, term in enumerate(terms_col):
         tp = out.setdefault(term, _TermPostings())
+        tp.has_pos = with_pos
         deltas = vbyte_decode(ords_col[i]).astype(np.int64)
         ords = np.cumsum(deltas)  # per-block deltas: first is absolute
         tfb = vbyte_decode(tfs_col[i]).astype(np.int32)
         o_list, t_list = acc.setdefault(term, ([], []))
         o_list.append(ords)
         t_list.append(tfb)
-        tp.pos_bytes_per_block.append(pos_col[i])
-        tp.block_tf_slices.append(tfb)
+        if with_pos:
+            tp.pos_bytes_per_block.append(pos_col[i])
+            tp.block_tf_slices.append(tfb)
     for term, (o_list, t_list) in acc.items():
         tp = out[term]
         tp.ords = o_list[0] if len(o_list) == 1 else np.concatenate(o_list)
@@ -447,10 +461,15 @@ def topk_maxscore(
     terms = sorted(set(positive_terms))
 
     def term_dl_av(t: str) -> tuple[np.ndarray, float]:
+        # EXACTLY score_docs' field fallback (dl and avgdl fall back
+        # INDEPENDENTLY): a segment lacking the dl__<field> column but whose
+        # manifest carries avgdl_fields[field] must normalize identically on
+        # both paths, or paged and export scoring diverge on that segment
         fld = _term_field(t)
-        if fld is not None and dl_fields and fld in dl_fields:
-            return dl_fields[fld], (avgdl_fields or {}).get(fld, avgdl)
-        return dl, avgdl
+        if fld is None:
+            return dl, avgdl
+        fdl = (dl_fields or {}).get(fld)
+        return (fdl if fdl is not None else dl), (avgdl_fields or {}).get(fld, avgdl)
 
     infos = []
     for t in terms:
@@ -548,15 +567,34 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
     # 1. boolean retrieval (AND across .search() clauses — P4)
     if plan.queries:
         all_terms = sorted({t for q in plan.queries for t in q.all_terms()})
+        # only phrase atoms need the positional payload — everything else
+        # skips the largest per-term column at the read
+        need_pos = {t for q in plan.queries for t in q.phrase_terms()}
+
+        def _split(ts):
+            return ([t for t in ts if t in need_pos],
+                    [t for t in ts if t not in need_pos])
+
         if cache is not None:
-            # per-term posting cache: queries sharing terms skip the parquet read
-            missing = [t for t in all_terms if (postings_path, t) not in cache]
+            # per-term posting cache: queries sharing terms skip the parquet
+            # read; a cached pos-less entry is a MISS for a phrase query
+            _SENT = object()
+
+            def _hit(t):
+                e = cache.get((postings_path, t), _SENT)
+                if e is _SENT:
+                    return False
+                return e is None or e.has_pos or t not in need_pos
+
+            missing = [t for t in all_terms if not _hit(t)]
             if missing:
                 pf = cache.get(("__pf__", postings_path))
                 if pf is None:
                     pf = _PostingsFile(postings_path)
                     cache[("__pf__", postings_path)] = pf
-                loaded = load_postings(postings_path, missing, pfile=pf)
+                m_pos, m_nopos = _split(missing)
+                loaded = load_postings(postings_path, m_pos, pfile=pf, with_pos=True)
+                loaded.update(load_postings(postings_path, m_nopos, pfile=pf, with_pos=False))
                 for t in missing:
                     cache[(postings_path, t)] = loaded.get(t)
             postings = {
@@ -565,7 +603,13 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
                 if cache[(postings_path, t)] is not None
             }
         else:
-            postings = load_postings(postings_path, all_terms)
+            p_terms, np_terms = _split(all_terms)
+            if p_terms and np_terms:
+                pf = _PostingsFile(postings_path)
+                postings = load_postings(postings_path, p_terms, pfile=pf, with_pos=True)
+                postings.update(load_postings(postings_path, np_terms, pfile=pf, with_pos=False))
+            else:
+                postings = load_postings(postings_path, all_terms, with_pos=bool(p_terms))
         matched = evaluate_query(postings, plan.queries[0], n_docs)
         for q in plan.queries[1:]:
             matched = np.intersect1d(matched, evaluate_query(postings, q, n_docs), assume_unique=True)
@@ -609,7 +653,10 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
             dl_fields, plan.avgdl_fields,
         )
     elif plan.order.kind == "random":
-        ids = [tuple(docs[c][int(o)].as_py() for c in plan.id_cols) for o in matched]
+        # vectorized take + column to_pylist (one per-row .as_py() loop over
+        # chunked arrays is seconds of pure Python on a 1M-doc segment)
+        sub = docs.select(list(plan.id_cols)).take(pa.array(matched))
+        ids = list(zip(*[sub[c].to_pylist() for c in plan.id_cols]))
         keys = _random_keys(ids, plan.order.seed)
         order = np.argsort(keys, kind="stable")[: plan.k]
         sel = matched[order]
@@ -637,15 +684,21 @@ def search_segment(seg_path: str, plan: SearchPlan, cache: dict | None = None) -
 def make_search_fn(plan: SearchPlan, index_dir: str,
                    seg_dirs: dict[int, str] | None = None):
     """Stateless-task form: map over a dataset of segment-id rows.
-    ``seg_dirs`` (from the committed manifest) pins the generation; the
-    legacy-name fallback resolves the manifest inside the task."""
+    ``seg_dirs`` (from the committed manifest) pins the generation; when not
+    given, the manifest is resolved ONCE here on the driver — resolving
+    inside each task would let a refresh committing mid-scan hand different
+    tasks different generations (mixed results, or KeyError on a changed
+    segment count)."""
+    if seg_dirs is None:
+        from ..state.manifest import resolve_dirs
+
+        seg_dirs = resolve_dirs(index_dir)[0]
 
     def fn(batch: pa.Table) -> pa.Table:
-        from ..state.manifest import resolve_dirs
         from .segment_build import limit_worker_arrow_threads
 
         limit_worker_arrow_threads()
-        dirs = seg_dirs if seg_dirs is not None else resolve_dirs(index_dir)[0]
+        dirs = seg_dirs
         tables = []
         for seg_id in batch["seg_id"].to_pylist():
             t = search_segment(dirs[int(seg_id)], plan)

@@ -120,6 +120,17 @@ class TestQueryLang:
         q = parse_query('-"spam" ham')
         assert q.groups[0].atoms == (Not(Term("spam")), Term("ham"))
 
+    def test_double_dash_stays_negated(self):
+        # websearch_to_tsquery: ONE leading '-' negates, further dashes are
+        # punctuation — '--cat' is NOT cat, not a double negation
+        q = parse_query("--cat dog")
+        assert q.groups[0].atoms == (Not(Term("cat")), Term("dog"))
+
+    def test_phrase_terms(self):
+        q = parse_query('"big data" -"spam ham" fox')
+        assert sorted(q.phrase_terms()) == ["big", "data", "ham", "spam"]
+        assert parse_query("plain words").phrase_terms() == []
+
 
 class TestCodec:
     def test_empty(self):

@@ -121,6 +121,46 @@ def test_chunked_list_column():
     assert mask.tolist() == [True, False, True]
 
 
+def test_not_in_excludes_nulls():
+    """SQL NOT IN: a NULL column value is NOT TRUE for the predicate —
+    regression for pc.is_in's plain-false-on-NULL letting NULL rows through."""
+    import pyarrow as pa
+
+    t = pa.table({"lang": ["en", "fr", None, "de"]})
+    mask = apply_filters(t, [FilterSpec("lang", "not_in", ["en"])])
+    assert mask.tolist() == [False, True, False, True]
+    mask_in = apply_filters(t, [FilterSpec("lang", "in", ["fr"])])
+    assert mask_in.tolist() == [False, True, False, False]
+
+
+def test_posting_cache_upgrades_to_positions(ray_session, tmp_path):
+    """A term first loaded WITHOUT positions (plain term query) must be
+    reloaded with them when a later phrase query through the same cache
+    needs positional verification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import (CorpusSpec, FullTextSearchEngine,
+                                                        build_index)
+    from project_gutenberg_full_text_search_ray.stages.segment_search import search_segment
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["alpha beta gamma", "beta alpha", "gamma alpha beta"]})
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, CorpusSpec(("doc_id",), "text", (), "pc"), idx)
+    eng = FullTextSearchEngine(idx)
+    (seg_path,) = eng.seg_dirs.values()
+    cache: dict = {}
+    term_plan = eng.build_plan(eng.query().search("alpha beta"), 10)
+    r1 = search_segment(seg_path, term_plan, cache=cache)
+    assert r1.num_rows == 3
+    phrase_plan = eng.build_plan(eng.query().search('"alpha beta"'), 10)
+    r2 = search_segment(seg_path, phrase_plan, cache=cache)  # same cache
+    assert sorted(r2["doc_id"].to_pylist()) == [1, 3]  # adjacency verified
+
+
 def test_broadcast_interval_join_edges(ray_session):
     """Inclusive bounds both ends, unknown keys count 0, empty right side."""
     import pyarrow as pa
