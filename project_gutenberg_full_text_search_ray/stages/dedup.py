@@ -258,12 +258,19 @@ def _candidate_pairs(
     pairs = out.map_batches(
         lambda b: b.filter(pc.is_valid(b["id_b"])), batch_format="pyarrow"
     ).select_columns(keep_cols)
-    # edge-key fixup: runs that may span block boundaries (tiny — collect)
-    edge_tabs = [t for t in ray.get(out.to_arrow_refs())
+    # edge-key fixup: runs that may span block boundaries.  The edge subset
+    # is tiny (≤ 2 × blocks × occupancy rows) but the mapped output holds
+    # EVERY inner pair — filter distributed FIRST, collect only edge rows
+    # (collecting the raw refs would pull the full pair set through the
+    # driver: tens of GB at 10⁹ candidate pairs)
+    edge_only = out.map_batches(
+        lambda b: (b.filter(pc.is_valid(b["__bkey"]))
+                   if "__bkey" in b.column_names else b.slice(0, 0)),
+        batch_format="pyarrow",
+    )
+    edge_tabs = [t for t in ray.get(edge_only.to_arrow_refs())
                  if t.num_rows and "__bkey" in t.column_names]
-    edge_rows = (pa.concat_tables(
-        [t.filter(pc.is_valid(t["__bkey"])) for t in edge_tabs])
-        if edge_tabs else None)
+    edge_rows = pa.concat_tables(edge_tabs) if edge_tabs else None
     if edge_rows is not None and edge_rows.num_rows:
         sh = edge_rows["__bkey"].to_numpy(zero_copy_only=False)
         ids = edge_rows["id_a"].to_numpy(zero_copy_only=False)
@@ -728,53 +735,61 @@ def embedding_neardup_pairs_lsh(
     cosine verified in-bucket.  One groupby whose rows carry
     (id, band_key, vec); approximate — recall rises with bands and falls
     with tighter buckets (asserted ≥ baseline in pytest)."""
+    from .similarity import _matrix, _normalize, quantize_i4
+
     planes_by_dim: dict[int, np.ndarray] = {}
     per_band = n_planes // bands
+    pow2 = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    band_tag = (np.arange(bands, dtype=np.int64) << np.int64(32))
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        M = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        M = _normalize(_matrix(batch[vec_col]))
         dim = M.shape[1]
         if dim not in planes_by_dim:
             planes_by_dim[dim] = np.random.default_rng(seed).standard_normal((dim, n_planes))
-        n = np.linalg.norm(M, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        bits = ((M / n) @ planes_by_dim[dim]) > 0
-        ids = batch[id_col].to_pylist()
-        vecs = batch[vec_col].to_pylist()
-        oi, ok, ov = [], [], []
-        for i in range(len(ids)):
-            for b in range(bands):
-                code = 0
-                for p in range(per_band):
-                    code = (code << 1) | int(bits[i, b * per_band + p])
-                oi.append(ids[i])
-                ok.append(f"{b}:{code}")
-                ov.append(vecs[i])
-        return pa.table({id_col: pa.array(oi, type=batch[id_col].type),
-                         "band_key": pa.array(ok),
-                         vec_col: pa.array(ov, type=batch[vec_col].type)})
+        bits = (M @ planes_by_dim[dim]) > 0
+        # vectorized band codes: (n, bands, per_band) · 2-powers, then an
+        # int64 (band << 32 | code) key — no per-row Python loop
+        codes = bits.reshape(len(M), bands, per_band) @ pow2
+        keys = (band_tag[None, :] | codes).ravel()
+        take = pa.array(np.repeat(np.arange(batch.num_rows), bands))
+        return pa.table({id_col: batch[id_col].take(take),
+                         "band_key": pa.array(keys, type=pa.int64()),
+                         vec_col: batch[vec_col].take(take)})
+
+    def _empty(g: pd.DataFrame) -> pd.DataFrame:
+        # explicit dtypes: a bare empty frame defaults every column to
+        # float64, poisoning schema unification (and rounding 64-bit ids)
+        # in blocks that mix skipped and real groups
+        return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                             "id_b": pd.Series([], dtype=g[id_col].dtype),
+                             "cos_i4": pd.Series([], dtype=np.int64)})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
         if len(g) < 2 or (max_bucket_occupancy is not None and len(g) > max_bucket_occupancy):
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_i4": []})
+            return _empty(g)
         ids = g[id_col].to_numpy()
-        M = np.asarray(g[vec_col].tolist(), dtype=np.float64)
-        n = np.linalg.norm(M, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (M / n) @ (M / n).T
-        ra, rb, rc = [], [], []
-        for i in range(len(ids)):
-            js = np.flatnonzero(sims[i, i + 1 :] >= threshold) + i + 1
-            for j in js:
-                ra.append(ids[i])
-                rb.append(ids[j])
-                rc.append(int(np.floor(sims[i, j] * 10000 + 0.5)))
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "cos_i4": rc})
+        Mn = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        sims = Mn @ Mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = sims[iu, ju] >= threshold
+        if not m.any():
+            return _empty(g)
+        iu, ju = iu[m], ju[m]
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju],
+                             "cos_i4": quantize_i4(sims[iu, ju])})
 
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(verify, batch_format="pandas")
     )
-    return _pair_dedupe(pairs)
+    # value-preserving dedupe: the same pair surfaces from several bands with
+    # the SAME cosine (it's a function of the pair), so grouped MIN keeps it —
+    # _pair_dedupe would silently drop the cos_i4 column.  Aliased aggregate
+    # (not rename_columns): the Project op can't rename pandas-format blocks.
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cos_i4", alias_name="cos_i4"))
