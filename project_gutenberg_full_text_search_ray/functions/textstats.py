@@ -74,15 +74,19 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
     if maxlen == 0:
         return out
     flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
-    buf = np.zeros((n, maxlen), dtype=np.uint8)
-    offs = np.concatenate(([0], np.cumsum(lens)))
-    rows = np.repeat(np.arange(n), lens)
-    cols = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
-    buf[rows, cols] = flat
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    # fancy-index the FLAT byte stream per position: memory stays O(total
+    # bytes).  A dense (n, maxlen) pad would multiply the batch by the
+    # LONGEST token's length — one 1 MB base64/hex run in a 50k-token doc
+    # is a 50 GB allocation and a dead worker.
+    alive = np.arange(n)
     with np.errstate(over="ignore"):
         for j in range(maxlen):
-            m = lens > j
-            out[m] = (out[m] ^ buf[m, j].astype(np.uint64)) * _FNV_PRIME
+            alive = alive[lens[alive] > j]
+            if not len(alive):
+                break
+            by = flat[starts[alive] + j].astype(np.uint64)
+            out[alive] = (out[alive] ^ by) * _FNV_PRIME
     return out
 
 

@@ -321,9 +321,18 @@ class VerifyJaccardStage:
                 self.sh_cache.clear()
                 missing = set(a) | set(b)
             texts = self.fetcher.fetch(missing)
+            absent = missing - texts.keys()
+            if absent:
+                # a candidate id the doc store can't produce is a stale/partial
+                # store, not an empty document — treating it as '' would pair
+                # ALL such ids at Jaccard 1.0 and delete real distinct docs
+                raise KeyError(
+                    f"doc store is missing {len(absent)} candidate id(s), "
+                    f"e.g. {sorted(absent)[:5]} — stale or partial doc_source?")
             for did in missing:
+                # NULL text is a real stored value (tokenizes to nothing)
                 self.sh_cache[did] = shingles(
-                    self.analyzer.tokenize(texts.get(did) or ""), self.k)
+                    self.analyzer.tokenize(texts[did] or ""), self.k)
         sh = self.sh_cache
         ra, rb, rj = [], [], []
         for x, y in zip(a, b):
@@ -479,11 +488,14 @@ def simhash_pairs(
     max_bucket_occupancy: int | None = 65_536,
 ) -> rd.Dataset:
     """SimHash near-dup pairs: 64-bit signature per doc, block on 4×16-bit
-    bands (any doc pair within Hamming ≤ 16/band-count shares ≥1 exact band),
-    Hamming verified with a vectorized popcount.  Only (id, band_key,
-    sig8bytes) is shuffled — text stays at rest; candidates come from the
-    same sort-based run generator as the other dedup operators, with the
-    signature riding along as the value column."""
+    bands, Hamming verified with a vectorized popcount.  Banding recall: a
+    pair sharing ≥1 exact band is a candidate — GUARANTEED only for Hamming
+    ≤ 3 (pigeonhole over 4 bands); pairs with 4 ≤ Hamming ≤ ``max_hamming``
+    are found iff their differing bits miss some band (most do in practice,
+    none are guaranteed).  Only (id, band_key, sig8bytes) is shuffled — text
+    stays at rest; candidates come from the same sort-based run generator as
+    the other dedup operators, with the signature riding along as the value
+    column."""
 
     def sig_fn(batch: pa.Table) -> pa.Table:
         sigs = [simhash64(analyzer.tokenize(t or "")) for t in batch[text_col].to_pylist()]
@@ -657,6 +669,7 @@ def connected_components_ds(
             batch_format="pyarrow")))
 
     prev = int(labels.sum("lbl") or 0)
+    converged = False
     for _ in range(max_rounds):
         # each node offers its current label to every neighbor (one hash join
         # + one grouped MIN per round — no per-node Python)
@@ -667,8 +680,17 @@ def connected_components_ds(
         )
         cur = int(labels.sum("lbl") or 0)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # returning unconverged labels would silently split clusters (and
+        # downstream dedup would keep extra copies) — diameter > max_rounds
+        # is a caller decision, not a silent degradation
+        raise RuntimeError(
+            f"connected_components_ds: min-label propagation did not reach a "
+            f"fixpoint in max_rounds={max_rounds} (graph diameter exceeds the "
+            f"round budget) — raise max_rounds")
     return labels.rename_columns({"lbl": "rep"})
 
 
@@ -686,42 +708,37 @@ def embedding_neardup_pairs(
     ``embedding_neardup_pairs_lsh`` (bucketed, approximate)."""
     refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
     refs_handle = ray.put(refs)
+    id_type = ds.schema().base_schema.field(id_col).type
 
-    from .similarity import _matrix
+    from .similarity import _matrix, _normalize, quantize_i4
 
     class ScoreBlock:
         def __init__(self):
             tables = [t for t in ray.get(ray.get(refs_handle)) if t.num_rows]
             tbl = pa.concat_tables(tables)
+            # object ndarray keeps string/int ids alike comparable
             ids = np.asarray(tbl[id_col].to_pylist())
-            M = _matrix(tbl[vec_col])
             order = np.argsort(ids)
             self.ids = ids[order]
-            norms = np.linalg.norm(M[order], axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            self.Mn = M[order] / norms
+            self.Mn = _normalize(_matrix(tbl[vec_col])[order])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = np.asarray(batch[id_col].to_pylist())
-            B = _matrix(batch[vec_col])
-            bn = np.linalg.norm(B, axis=1, keepdims=True)
-            bn[bn == 0] = 1.0
-            sims = (B / bn) @ self.Mn.T
+            sims = _normalize(_matrix(batch[vec_col])) @ self.Mn.T
             # vectorized pair emit: all qualifying (row, col) at once,
             # a < b kept once, no per-row Python loop
             ai, aj = np.nonzero(sims >= threshold)
             keep = self.ids[aj] > bids[ai]
             ai, aj = ai[keep], aj[keep]
-            cos = np.floor(sims[ai, aj] * 10000 + 0.5).astype(np.int64)
-            return pa.table({"id_a": pa.array(bids[ai].astype(np.int64)),
-                             "id_b": pa.array(self.ids[aj].astype(np.int64)),
-                             "cos_i4": pa.array(cos)})
+            return pa.table({"id_a": pa.array(bids[ai], type=id_type),
+                             "id_b": pa.array(self.ids[aj], type=id_type),
+                             "cos_i4": pa.array(quantize_i4(sims[ai, aj]))})
 
     out = ds.map_batches(ScoreBlock, batch_format="pyarrow",
                          concurrency=(1, concurrency)).to_pandas()
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
-                     "id_b": pa.array(out["id_b"], type=pa.int64()),
+    return pa.table({"id_a": pa.array(out["id_a"], type=id_type),
+                     "id_b": pa.array(out["id_b"], type=id_type),
                      "cos_i4": pa.array(out["cos_i4"], type=pa.int64())})
 
 

@@ -52,8 +52,9 @@ def brute_force_topk(
     ds: rd.Dataset, vec_col: str, id_col: str, query_vecs: np.ndarray, k: int = 10,
     exclude_ids: set | None = None,
 ) -> pa.Table:
-    """Exact cosine top-k for each query vector → (query_idx, id, cos_i4)."""
-    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    """Exact cosine top-k for each query vector → (query_idx, id, cos_i4).
+    Accepts a single 1-D query vector or an (n_q, dim) matrix."""
+    Q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     q_ref = ray.put(Q)
     excl = exclude_ids or set()
 
@@ -159,7 +160,7 @@ def ivf_topk(
         return brute_force_topk(ds, vec_col, id_col, query_vecs, k, exclude_ids)
     cent = kmeans_lite(sample, n_lists, seed=seed)
     c_ref = ray.put(cent)
-    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    Q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     probe_lists = set()
     for qi in range(len(Q)):
         sims = Q[qi] @ cent.T
@@ -318,7 +319,7 @@ class IVFIndex:
         """The list-partition directories a query set must read."""
         import os
 
-        Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+        Q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
         probe: set[int] = set()
         for qi in range(len(Q)):
             sims = Q[qi] @ self.centroids.T

@@ -627,3 +627,97 @@ def test_asof_join_backward_inclusive(ray_session):
     assert got == exp
     assert exp.count(None) > 0  # some lefts precede every right
     assert got[0] == 99_999  # inclusive: right at the exact same t matches
+
+
+def test_connected_components_ds_raises_on_nonconvergence(ray_session):
+    """A chain whose diameter exceeds max_rounds must raise, not silently
+    return split clusters (each round advances min-labels one hop)."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        connected_components_ds,
+    )
+
+    pairs = pa.table({"id_a": list(range(11)), "id_b": list(range(1, 12))})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_ds(rd.from_arrow(pairs), driver_threshold=0,
+                                max_rounds=2)
+
+
+def test_verify_jaccard_raises_on_missing_doc(ray_session):
+    """Candidate ids absent from the doc store are a stale-store error, not
+    empty documents (two fetch-misses would otherwise pair at Jaccard 1.0)."""
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        VerifyJaccardStage,
+    )
+
+    store = pa.table({"doc_id": [1, 2], "text": ["alpha beta gamma", None]})
+    stage = VerifyJaccardStage(store, "doc_id", "text", k_shingle=2, threshold=0.5)
+    # NULL text is a real stored value: tokenizes to nothing, no raise
+    ok = stage(pa.table({"id_a": [1], "id_b": [2]}))
+    assert ok.num_rows == 0  # jaccard(nonempty, empty) = 0 < 0.5
+    with pytest.raises(KeyError, match="missing"):
+        stage(pa.table({"id_a": [1], "id_b": [99]}))
+
+
+def test_ann_accepts_1d_query_vector(ray_session):
+    """A single 1-D query vector must work through brute-force, LSH and IVF
+    paths (not just an (n_q, dim) matrix)."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((80, 8))
+    tbl = pa.table({"id": pa.array(np.arange(80, dtype=np.int64)),
+                    "vec": pa.array(vecs.tolist(), type=pa.list_(pa.float64()))})
+    q1d = vecs[17]  # 1-D: nearest neighbour is row 17 itself
+    ds = rd.from_arrow(tbl)
+    bf = brute_force_topk(ds, "vec", "id", q1d, k=3)
+    assert bf["id"].to_pylist()[0] == 17
+    lsh = lsh_bucket_topk(ds, "vec", "id", q1d, k=3)
+    assert 17 in lsh["id"].to_pylist()
+    ivf = ivf_topk(ds, "vec", "id", q1d, k=3, n_lists=4, n_probe=4)
+    assert ivf["id"].to_pylist()[0] == 17
+
+
+def test_token_hashes_long_token_no_dense_pad():
+    """One very long token must not blow memory (fold works off the flat
+    byte stream) and stays bit-identical to the scalar FNV-1a fold."""
+    from project_gutenberg_full_text_search_ray.functions.textstats import (
+        token_hashes,
+    )
+
+    def fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for byte in b:
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    toks = ["hello", "", "a", "x" * 200_000, "the"]
+    got = token_hashes(toks).tolist()
+    assert got == [fnv(t.encode()) for t in toks]
+
+
+def test_embedding_neardup_preserves_string_ids(ray_session):
+    """embedding_neardup_pairs must work for non-integer doc ids (id dtype
+    rides through from the input schema)."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((20, 8))
+    vecs[15] = vecs[3] * 1.01  # planted near-dup
+    tbl = pa.table({"doc": pa.array([f"d{i:03d}" for i in range(20)]),
+                    "vec": pa.array(vecs.tolist(), type=pa.list_(pa.float64()))})
+    out = embedding_neardup_pairs(rd.from_arrow(tbl), "vec", "doc", threshold=0.98)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert ("d003", "d015") in pairs
+    assert out.schema.field("id_a").type == pa.string()
