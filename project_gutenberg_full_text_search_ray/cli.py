@@ -102,6 +102,17 @@ def main(argv: list[str] | None = None) -> int:
 
     _ray_up()
     eng = FullTextSearchEngine(args.index_dir)
+    filters = []
+    for f in args.filter:
+        parts = f.split(":", 2)
+        col, op = parts[0], parts[1]
+        val = parts[2] if len(parts) > 2 else None
+        if val is not None:
+            try:
+                val = json.loads(val)
+            except json.JSONDecodeError:
+                pass
+        filters.append(FilterSpec(col, op, val))
     q = eng.query()
     if args.type == "fuzzy":
         # per-word like the HTTP facade: trigram expansion runs against
@@ -113,32 +124,23 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.http_api import SearchAPI
 
         if not SearchAPI._single_token_indexable(eng, args.query):
-            # multi-word / short / punctuated substring: same routing as the
-            # HTTP facade — index-assisted candidates verified against the
-            # corpus parquet (a single-token plan would silently return 0)
-            ds = eng.contains_multi_dataset(args.query).materialize()
-            total = ds.count()
+            # multi-word / short / punctuated substring: same routing (and
+            # the same filter + paging semantics — shared helper) as the
+            # HTTP facade; a single-token plan would silently return 0
+            total, rows = SearchAPI.contains_multi_page(
+                eng, eng.spec, args.query, args.page, args.size,
+                filters=filters)
             if args.count_only:
-                print(json.dumps({"total": int(total)}))
+                print(json.dumps({"total": total}))
                 return 0
-            head = ds.sort(list(eng.spec.id_cols)).limit(args.page * args.size).take_all()
-            rows = head[(args.page - 1) * args.size: args.page * args.size]
-            print(json.dumps({"total": int(total), "page": args.page, "rows": rows},
+            print(json.dumps({"total": total, "page": args.page, "rows": rows},
                              default=str))
             return 0
         q = q.search_contains(args.query)
     else:
         q = q.search(args.query)
-    for f in args.filter:
-        parts = f.split(":", 2)
-        col, op = parts[0], parts[1]
-        val = parts[2] if len(parts) > 2 else None
-        if val is not None:
-            try:
-                val = json.loads(val)
-            except json.JSONDecodeError:
-                pass
-        q = q.where(FilterSpec(col, op, val))
+    for spec_f in filters:
+        q = q.where(spec_f)
     if args.order == "relevance":
         q = q.order_by(RELEVANCE)
     elif args.order == "random":

@@ -86,8 +86,10 @@ def opds_like_crosswalk(
       pass through;
     * at least one acquisition link is GUARANTEED — rows with no matching
       variant get the default-href fallback (:180-186);
-    * cover selection prefers ``cover.medium``, else the first ``cover``
-      (:190-205).
+    * cover selection mirrors the reference loop EXACTLY (:190-205): the
+      first plain ``cover`` is appended if it precedes, then ``cover.medium``
+      stops the scan — so a medium cover that follows a plain one lands
+      SECOND in ``images`` (quirk inherited for parity, not preference).
 
     Applied to the final result page (≤ page_size rows), like the
     reference's per-row ``_transform`` — not a corpus-scale stage."""

@@ -133,6 +133,9 @@ def json_extract_int(col: pa.Array | pa.ChunkedArray, key: str) -> pa.Array:
     query-able analog of the reference's ``dc`` jsonb path extraction
     (full_text_search.py:215-253).  Vectorized RE2 extraction; NULL when the
     key is absent or non-integer."""
-    pat = '"' + key + '"\\s*:\\s*(?P<v>-?\\d+)'
+    # trailing [,}] delimiter (RE2 has no lookahead): without it the integer
+    # PREFIX of a float/exponent value would match — 12.5 → 12, 1e3 → 1 —
+    # instead of the documented NULL-for-non-integer
+    pat = '"' + key + '"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}]'
     st = pc.extract_regex(_arr(col), pattern=pat)
     return pc.struct_field(st, "v").cast(pa.int64())

@@ -106,8 +106,16 @@ class BruteForceOracle:
             return v is not None
         if v is None:
             return False
-        if isinstance(v, _dt.datetime) and isinstance(value, int):
-            v = int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        if isinstance(v, _dt.datetime):
+            # engine filters compare timestamp columns against integer
+            # microseconds (segment_search casts the value set to the column
+            # type) — mirror for scalar AND list-valued ops (in/between)
+            as_us = lambda: int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+            if isinstance(value, int):
+                v = as_us()
+            elif (isinstance(value, (list, tuple, set)) and value
+                  and all(isinstance(x, int) for x in value)):
+                v = as_us()
         if op == "==":
             return v == value
         if op == "!=":
@@ -129,7 +137,8 @@ class BruteForceOracle:
         if op == "startswith":
             return str(v).startswith(value)
         if op == "substr":
-            return value in str(v)
+            # engine kernel is pc.match_substring(ignore_case=True) — ILIKE
+            return str(value).lower() in str(v).lower()
         raise ValueError(op)
 
     def _score(self, i: int, positive_terms: list[str]) -> float:

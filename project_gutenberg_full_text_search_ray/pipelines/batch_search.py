@@ -80,12 +80,18 @@ def finalize_batch_results(
     merged_all = pa.concat_tables(parts) if parts else None
     out: dict[str, SearchResult] = {}
     for name, q in queries.items():
+        # empty results get the SAME crosswalk projection as engine.execute()
+        # (a raw doc-store-schema empty next to projected non-empties makes
+        # the per-query parquet export unreadable as one dataset)
+        empty = lambda: apply_crosswalk(engine._empty_result_table(),
+                                        q.crosswalk, engine.spec,
+                                        engine._custom_transformer)
         if merged_all is None:
-            out[name] = SearchResult(0, 1, k, engine._empty_result_table())
+            out[name] = SearchResult(0, 1, k, empty())
             continue
         sub = merged_all.filter(pc.equal(merged_all[QUERY_COL], name))
         if sub.num_rows == 0:
-            out[name] = SearchResult(0, 1, k, engine._empty_result_table())
+            out[name] = SearchResult(0, 1, k, empty())
             continue
         segsum = sub.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
         total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py() or 0)

@@ -184,6 +184,21 @@ class SearchAPI:
         toks = engine.analyzer.tokenize(query)
         return len(toks) == 1 and toks[0] == query.lower()
 
+    @staticmethod
+    def contains_multi_page(engine, spec, query: str, page: int, limit: int,
+                            filters=None, field: str | None = None,
+                            ) -> tuple[int, list[dict]]:
+        """ONE contains-multi pipeline execution serving both the count and
+        the identity-ordered page (candidate generation + corpus verify is
+        the expensive part and must not run twice per request).  Shared by
+        the HTTP feed and the CLI so their filter/paging semantics can't
+        drift."""
+        ds = engine.contains_multi_dataset(query, filters=filters or None,
+                                           field=field).materialize()
+        total = int(ds.count())
+        head = ds.sort(list(spec.id_cols)).limit(page * limit).take_all()
+        return total, head[(page - 1) * limit: page * limit]
+
     def _contains_multi_feed(self, engine, spec, query: str, params: dict,
                              page: int, limit: int,
                              field: str | None = None) -> dict:
@@ -195,14 +210,9 @@ class SearchAPI:
 
         filters = [FilterSpec(k[2:], "==", _coerce(v))
                    for k, v in params.items() if k.startswith("f.")]
-        # ONE pipeline execution serves both the count and the page: the
-        # candidate generation + corpus verify is the expensive part and
-        # must not run twice per request
-        ds = engine.contains_multi_dataset(query, filters=filters or None,
-                                           field=field).materialize()
-        total = ds.count()
-        head = ds.sort(list(spec.id_cols)).limit(page * limit).take_all()
-        rows = head[(page - 1) * limit: page * limit]
+        total, rows = self.contains_multi_page(engine, spec, query, page,
+                                               limit, filters=filters,
+                                               field=field)
         return {
             "title": self.title,
             "query": query,
@@ -238,7 +248,11 @@ class SearchAPI:
                 for v, n in zip(out[facet_col].to_pylist(), out["n"].to_pylist())]
 
     def count(self, params: dict) -> dict:
-        feed = self.search({**params, "limit": "1", "page": "1"})
+        # strip facet params: a facet block would trigger a top_docs sampling
+        # fan-out whose output count() immediately throws away
+        slim = {k: v for k, v in params.items()
+                if k not in ("facet", "facet_sample", "facet_k")}
+        feed = self.search({**slim, "limit": "1", "page": "1"})
         return {"query": feed["query"], "total": feed["total"]}
 
     def facets(self, params: dict) -> tuple[int, dict]:

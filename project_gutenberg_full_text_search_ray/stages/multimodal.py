@@ -276,8 +276,10 @@ class DecodeImageStage:
 
 class ResizeImageStage:
     """Actor stage: resize.  ``fake=False`` REALLY resizes PPM payloads
-    (nearest-neighbor) and re-encodes; fake mode passes bytes through with
-    updated metadata (plumbing-only)."""
+    (nearest-neighbor, dispatched on the P6 magic like DecodeImageStage) and
+    re-encodes; non-image rows pass through untouched (the synthetic media
+    corpus interleaves WAV rows — one of them must not kill the batch).
+    Fake mode passes bytes through with updated metadata (plumbing-only)."""
 
     def __init__(self, width: int, height: int, fake: bool = True):
         self.width, self.height, self.fake = width, height, fake
@@ -286,14 +288,19 @@ class ResizeImageStage:
         metas = batch["meta"].to_pylist()
         if self.fake:
             payloads = batch["payload"]
+            for m in metas:
+                m["width"], m["height"] = self.width, self.height
         else:
             out = []
-            for payload in batch["payload"].to_pylist():
-                px = decode_ppm(payload or b"")
-                out.append(encode_ppm(resize_nearest(px, self.width, self.height)))
+            for i, payload in enumerate(batch["payload"].to_pylist()):
+                payload = payload or b""
+                if payload.startswith(b"P6"):
+                    px = decode_ppm(payload)
+                    out.append(encode_ppm(resize_nearest(px, self.width, self.height)))
+                    metas[i]["width"], metas[i]["height"] = self.width, self.height
+                else:
+                    out.append(payload)  # pass-through: meta stays truthful
             payloads = pa.array(out, type=pa.binary())
-        for m in metas:
-            m["width"], m["height"] = self.width, self.height
         return pa.table(
             {
                 "media_id": batch["media_id"],

@@ -45,3 +45,20 @@ def test_cli_search_and_stats(cli_index):
     assert c["total"] >= r["total"]
     s = _run_cli("stats", cli_index)
     assert s["n_docs"] == 480
+
+
+def test_cli_contains_multi_honors_filters(cli_index):
+    """The contains-multi CLI path must apply --filter like the HTTP facade
+    (it used to return before the filter loop, printing every role)."""
+    # 'w00001 w00002' is a deterministic two-token phrase in gen_transcripts;
+    # its lowered form is multi-token, so it routes through contains_multi
+    all_rows = _run_cli("search", cli_index, "w00001 w00002", "--type", "contains",
+                        "--size", "100")
+    flt = _run_cli("search", cli_index, "w00001 w00002", "--type", "contains",
+                   "--size", "100", "--filter", "role:==:user")
+    assert all_rows["total"] > 0
+    assert all(row["role"] == "user" for row in flt["rows"])
+    assert flt["total"] == sum(1 for r in all_rows["rows"] if r["role"] == "user")
+    c = _run_cli("search", cli_index, "w00001 w00002", "--type", "contains",
+                 "--count-only", "--filter", "role:==:user")
+    assert c["total"] == flt["total"]

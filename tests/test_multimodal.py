@@ -105,3 +105,24 @@ def test_frame_sample_stage_real(ray_session):
     row = out[(out["media_id"] == 1) & (out["frame_idx"] == 5)].iloc[0]
     src = decode_ppmv_frame(vids["payload"][1].as_py(), 5)
     assert (decode_ppm(row["frame_payload"]) == src).all()
+
+
+def test_resize_stage_real_passes_through_non_images(ray_session):
+    """Real resize over the MIXED synthetic corpus (PPM + WAV interleaved):
+    images resize, non-images pass through byte-identical with their meta
+    untouched (used to crash on the first WAV row)."""
+    import ray.data as rd
+
+    media = synth_media_table(6)  # even ids PPM, odd ids WAV
+    out = rd.from_arrow(media).map_batches(
+        ResizeImageStage, fn_constructor_kwargs={"width": 4, "height": 3, "fake": False},
+        batch_format="pyarrow", concurrency=1, batch_size=6,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    src = media.to_pandas().sort_values("media_id").reset_index(drop=True)
+    for i in range(6):
+        if src["payload"][i].startswith(b"P6"):
+            assert decode_ppm(out["payload"][i]).shape == (3, 4, 3)
+            assert out["meta"][i]["width"] == 4 and out["meta"][i]["height"] == 3
+        else:
+            assert out["payload"][i] == src["payload"][i]
+            assert out["meta"][i] == src["meta"][i]

@@ -373,3 +373,12 @@ def test_stopword_phrase_preserves_gaps(ray_session, tmp_path):
     assert ids('"war and peace"') == [1]   # gap of 2 preserved
     assert ids('"war peace"') == [2]       # strict adjacency
     assert ids('"peace and war"') == [3]
+
+
+def test_json_extract_int_rejects_float_prefix():
+    """Non-integer values must be NULL, not their integer prefix (12.5 used
+    to extract as 12; DuckDB's CAST rounds, so prefix-matching broke parity)."""
+    col = pa.array(['{"k": 12.5}', '{"k": 1e3}', '{"k": 12}', '{"k": -3.9}',
+                    '{"k": 7, "m": 2}', '{ "k" : 5 }'])
+    got = P.json_extract_int(col, "k").to_pylist()
+    assert got == [None, None, 12, None, 7, 5]

@@ -81,7 +81,11 @@ FILTER_CASES = [
     ([("conv_id", "==", "conv-00000000")], None),
     ([("conv_id", "startswith", "conv-0000001")], None),
     ([("ts", ">=", 1767312000000000)], ["the"]),  # 2026-01-02
+    # list-valued ops on a timestamp column (oracle must coerce like scalars)
+    ([("ts", "between", (1767312000000000, 1767571200000000))], ["the"]),
     ([("role", "==", "user"), ("turn_idx", "<=", 3), ("tool", "isnull", None)], ["the"]),
+    # mixed-case substr: engine kernel is ILIKE (ignore_case=True)
+    ([("role", "substr", "SSIST")], ["the"]),
 ]
 
 
