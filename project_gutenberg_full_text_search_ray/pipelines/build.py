@@ -447,9 +447,13 @@ def compact_index(
     Ray schedules against this declaration per node, so the cap holds on a
     multi-node cluster too."""
     from ..stages.segment_merge import merge_segment_group
-    from ..state.manifest import load_index_manifest
+    from ..state.manifest import load_index_manifest, resolve_dirs
 
     m = load_index_manifest(index_dir)
+    # pin the SOURCE generation now and ship the resolved dirs into every
+    # merge task: a refresh committing mid-compaction must not retarget
+    # running tasks at a generation the plan below never saw
+    src_dirs, _ = resolve_dirs(index_dir, m)
     c = m["corpus"]
     spec = CorpusSpec(tuple(c["id_cols"]), c["text_col"], tuple(c["meta_cols"]), c["name"],
                       tuple(c.get("field_cols") or ()))
@@ -479,7 +483,8 @@ def compact_index(
         for row in batch.to_pylist():
             outs.append(
                 merge_segment_group(
-                    index_dir, out_dir, row["members"], row["new_seg_id"], spec,
+                    {s: src_dirs[s] for s in row["members"]}, out_dir,
+                    row["members"], row["new_seg_id"], spec,
                     build_fp, store_positions=store_positions,
                 )
             )

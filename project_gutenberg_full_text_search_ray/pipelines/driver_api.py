@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 from ..corpus import DOCUMENTS_SPEC
 from ..crosswalks import Crosswalk
 from ..functions.analyzer import TOKEN_SPLIT_PATTERN
-from ..functions.bm25 import B, K1, SCORE_SCALE
+from ..functions.bm25 import SCORE_SCALE, bm25_sql_expr
 from ..pipelines.build import build_index
 from ..pipelines.search import RANDOM, FullTextSearchEngine
 from ..stages.segment_search import FilterSpec
@@ -97,8 +97,7 @@ def _bm25_cte(terms: list[str]) -> str:
         f"df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok "
         f"WHERE term IN ({tl}) GROUP BY term), "
         f"scored AS (SELECT tf.doc_id, "
-        f"sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) * (tf.tf * ({K1} + 1)) / "
-        f"(tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS score_raw, "
+        f"sum({bm25_sql_expr('tf.tf', 'df.df', 'dl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw, "
         f"count(DISTINCT tf.term) AS nmatched "
         f"FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats "
         f"GROUP BY tf.doc_id)"
@@ -240,8 +239,7 @@ ORACLE_SQL: dict[str, str] = {
         "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok "
         "WHERE term IN ('table','scan') GROUP BY term), "
         "scored AS (SELECT tf.doc_id, "
-        f"sum(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) * (tf.tf * ({K1} + 1)) / "
-        f"(tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS score_raw "
+        f"sum({bm25_sql_expr('tf.tf', 'df.df', 'dl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw "
         "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats "
         "WHERE tf.doc_id IN (SELECT doc_id FROM phrase_docs) GROUP BY tf.doc_id)"
         + _bm25_select()
@@ -737,8 +735,7 @@ _FIELD_SEARCH_SQL = (
     "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM htok "
     "WHERE term IN ('table','scan') GROUP BY term), "
     "scored AS (SELECT tf.doc_id, "
-    f"sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * ({K1} + 1)) / "
-    f"(tf.tf + {K1} * (1 - {B} + {B} * hdl.dl / stats.avgdl))) AS score_raw, "
+    f"sum({bm25_sql_expr('tf.tf', 'df.df', 'hdl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw, "
     "count(DISTINCT tf.term) AS nmatched "
     "FROM tf JOIN df USING(term) JOIN hdl USING(doc_id) CROSS JOIN stats "
     "GROUP BY tf.doc_id) "
@@ -934,8 +931,7 @@ def _flagship_sql() -> str:
         f"df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM "
         f"(SELECT DISTINCT term, conv_id, turn_idx FROM tok WHERE term IN ({terms})) GROUP BY term), "
         "scored AS (SELECT tf.conv_id, tf.turn_idx, "
-        f"sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * ({K1} + 1)) / "
-        f"(tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS score_raw "
+        f"sum({bm25_sql_expr('tf.tf', 'df.df', 'dl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw "
         "FROM tf JOIN df USING(term) "
         "JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx CROSS JOIN stats "
         "WHERE EXISTS (SELECT 1 FROM matched m WHERE m.conv_id = tf.conv_id "

@@ -279,9 +279,12 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def counts(b: pa.Table) -> pa.Table:
+        # drop NULLs like quantile_disc (a null int64 surfaces as NaN from
+        # to_numpy and would poison the int64 cast)
+        col = pc.drop_null(b["n_chars"])
         vals, cnts = np.unique(
-            b["n_chars"].to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table({"v": pa.array(vals, type=pa.int64()),
+            col.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(vals.astype(np.int64), type=pa.int64()),
                          "c": pa.array(cnts, type=pa.int64())})
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),

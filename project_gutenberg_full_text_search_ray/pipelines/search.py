@@ -196,6 +196,35 @@ def _merge_comparator_indices(t: pa.Table, order: OrderSpec, id_cols: tuple[str,
     return pc.sort_indices(t, sort_keys=sort_keys, null_placement="at_end").to_numpy(zero_copy_only=False)
 
 
+def merge_segment_partials(parts, order: OrderSpec, id_cols: tuple[str, ...],
+                           k: int, empty_fn) -> tuple[int, pa.Table]:
+    """Per-segment partial top-k tables → (total, merged top-k).  The SINGLE
+    owner of the distributed merge contract: the engine's fan-out branch and
+    the SearchService actor pool both call this, so totals / ordering /
+    tie-break cannot drift between the two query paths."""
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return 0, empty_fn()
+    merged = pa.concat_tables(parts)
+    segsum = merged.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
+    total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py() or 0)
+    merged = merged.drop_columns(
+        [c for c in (SEG_ID_COL, SEG_TOTAL_COL) if c in merged.column_names])
+    idx = _merge_comparator_indices(merged, order, id_cols)[:k]
+    return total, merged.take(pa.array(idx))
+
+
+def paginate_result(total: int, merged: pa.Table, q: "SearchQuery",
+                    spec: CorpusSpec, custom) -> SearchResult:
+    """Page-clamp + crosswalk tail shared by ``engine.execute`` and
+    ``SearchService.execute`` — one owner of the pagination contract."""
+    total_pages = max(1, math.ceil(total / q.page_size)) if total else 1
+    page = min(q.page, total_pages)
+    off = (page - 1) * q.page_size
+    tbl = apply_crosswalk(merged.slice(off, q.page_size), q.crosswalk, spec, custom)
+    return SearchResult(total=total, page=page, page_size=q.page_size, table=tbl)
+
+
 class FullTextSearchEngine:
     """Engine facade — analog of reference ``FullTextSearch``
     (full_text_search.py:333-389). Holds manifest + dictionary cache; the
@@ -241,12 +270,7 @@ class FullTextSearchEngine:
 
     def execute(self, q: SearchQuery) -> SearchResult:
         total, merged = self._run(q)
-        total_pages = max(1, math.ceil(total / q.page_size)) if total else 1
-        page = min(q.page, total_pages)
-        off = (page - 1) * q.page_size
-        page_tbl = merged.slice(off, q.page_size)
-        page_tbl = apply_crosswalk(page_tbl, q.crosswalk, self.spec, self._custom_transformer)
-        return SearchResult(total=total, page=page, page_size=q.page_size, table=page_tbl)
+        return paginate_result(total, merged, q, self.spec, self._custom_transformer)
 
     def matches_dataset(self, q: SearchQuery) -> rd.Dataset:
         """Stream EVERY matching doc as a Ray Dataset (no top-k, no driver
@@ -533,28 +557,19 @@ class FullTextSearchEngine:
             nonempty = [t for t in tables if t.num_rows]
             merged = pa.concat_tables(nonempty) if nonempty else None
             total = sum(seg_totals.values())
-        else:
-            segs = rd.from_items([{"seg_id": s} for s in seg_ids])
-            res = segs.map_batches(
-                make_search_fn(plan, self.index_dir, self.seg_dirs),
-                batch_format="pyarrow", batch_size=1,
-            )
-            parts = [ray.get(ref) for ref in res.to_arrow_refs()]
-            parts = [p for p in parts if p is not None and p.num_rows]
-            merged = pa.concat_tables(parts) if parts else None
-            if merged is not None and merged.num_rows:
-                segsum = merged.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
-                total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py())
-            else:
-                total = 0
-        if merged is None or merged.num_rows == 0:
-            empty = self._empty_result_table()
-            return total, empty
-        if SEG_ID_COL in merged.column_names:
-            merged = merged.drop_columns([SEG_ID_COL])
-        merged = merged.drop_columns([SEG_TOTAL_COL])
-        idx = _merge_comparator_indices(merged, q.order, self.spec.id_cols)[:k]
-        return total, merged.take(pa.array(idx))
+            if merged is None or merged.num_rows == 0:
+                return total, self._empty_result_table()
+            merged = merged.drop_columns([SEG_TOTAL_COL])
+            idx = _merge_comparator_indices(merged, q.order, self.spec.id_cols)[:k]
+            return total, merged.take(pa.array(idx))
+        segs = rd.from_items([{"seg_id": s} for s in seg_ids])
+        res = segs.map_batches(
+            make_search_fn(plan, self.index_dir, self.seg_dirs),
+            batch_format="pyarrow", batch_size=1,
+        )
+        parts = [ray.get(ref) for ref in res.to_arrow_refs()]
+        return merge_segment_partials(parts, q.order, self.spec.id_cols, k,
+                                      self._empty_result_table)
 
     def _empty_result_table(self) -> pa.Table:
         d0 = pq.read_table(os.path.join(self.seg_dirs[self.seg_ids[0]], "docs.parquet")).slice(0, 0)

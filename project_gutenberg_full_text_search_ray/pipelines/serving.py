@@ -13,15 +13,12 @@ scheduling, which a latency path cannot.
 
 from __future__ import annotations
 
-import math
-
 import pyarrow as pa
 
 import ray
 
-from ..crosswalks import apply_crosswalk
-from .search import SearchQuery, SearchResult, _merge_comparator_indices
-from ..stages.segment_search import SEG_ID_COL, SEG_TOTAL_COL, SearchPlan, SegmentSearchActor
+from .search import SearchQuery, SearchResult, merge_segment_partials, paginate_result
+from ..stages.segment_search import SearchPlan, SegmentSearchActor
 
 
 # Serving must survive worker loss on a long-lived cluster: searches are
@@ -30,11 +27,16 @@ from ..stages.segment_search import SEG_ID_COL, SEG_TOTAL_COL, SearchPlan, Segme
 # retried on the new incarnation.
 @ray.remote(max_restarts=4, max_task_retries=2)
 class SearcherWorker:
-    def __init__(self, index_dir: str, seg_ids: list[int]):
+    def __init__(self, index_dir: str, seg_ids: list[int],
+                 seg_dirs: dict[int, str] | None = None):
         from ..stages.segment_build import limit_worker_arrow_threads
 
         limit_worker_arrow_threads()  # N workers × full-size Arrow pools thrash
-        self.inner = SegmentSearchActor(index_dir)
+        # the service passes its engine's PINNED generation paths: a worker
+        # that Ray restarts after a refresh committed a new generation must
+        # keep serving the generation its siblings serve, not re-read disk
+        # (constructor args replay on restart, so the pin survives crashes)
+        self.inner = SegmentSearchActor(index_dir, seg_dirs=seg_dirs)
         self.seg_ids = seg_ids
 
     def warm(self) -> int:
@@ -61,6 +63,8 @@ class SearcherWorker:
         # from the worker fan-out, and intra-actor threads measurably hurt
         # tail latency on an oversubscribed node
         tables = [self.inner.search(s, plan) for s in self.seg_ids]
+        if not tables:  # empty partition (zero-segment index)
+            return pa.table({})
         return pa.concat_tables(tables)
 
 
@@ -83,7 +87,8 @@ class SearchService:
         for i, s in enumerate(segs):
             parts[i % n_workers].append(s)
         self.pools = [
-            [SearcherWorker.remote(engine.index_dir, p) for p in parts]
+            [SearcherWorker.remote(engine.index_dir, p, engine.seg_dirs)
+             for p in parts]
             for _ in range(max(1, replicas))
         ]
         ray.get([w.warm.remote() for pool in self.pools for w in pool])
@@ -100,32 +105,19 @@ class SearchService:
         return self.engine.query(*a, **kw)
 
     def _run(self, q: SearchQuery, k: int):
+        # same merge contract as the engine's distributed branch — shared
+        # helper, so totals/ordering/tie-break cannot drift between paths
         plan = self.engine.build_plan(q, k)
         with self._lock:
             pool = self.pools[next(self._rr)]
         tables = ray.get([w.search.remote(plan) for w in pool])
-        tables = [t for t in tables if t.num_rows]
-        if not tables:
-            return 0, self.engine._empty_result_table()
-        merged = pa.concat_tables(tables)
-        import pyarrow.compute as pc
-
-        segsum = merged.group_by(SEG_ID_COL).aggregate([(SEG_TOTAL_COL, "max")])
-        total = int(pc.sum(segsum[f"{SEG_TOTAL_COL}_max"]).as_py() or 0)
-        merged = merged.drop_columns([SEG_ID_COL, SEG_TOTAL_COL])
-        idx = _merge_comparator_indices(merged, q.order, self.engine.spec.id_cols)[:k]
-        return total, merged.take(pa.array(idx))
+        return merge_segment_partials(tables, q.order, self.engine.spec.id_cols,
+                                      k, self.engine._empty_result_table)
 
     def execute(self, q: SearchQuery) -> SearchResult:
         total, merged = self._run(q, q.page * q.page_size)
-        total_pages = max(1, math.ceil(total / q.page_size)) if total else 1
-        page = min(q.page, total_pages)
-        off = (page - 1) * q.page_size
-        tbl = apply_crosswalk(
-            merged.slice(off, q.page_size), q.crosswalk, self.engine.spec,
-            self.engine._custom_transformer,
-        )
-        return SearchResult(total=total, page=page, page_size=q.page_size, table=tbl)
+        return paginate_result(total, merged, q, self.engine.spec,
+                               self.engine._custom_transformer)
 
     def count(self, q: SearchQuery) -> int:
         return self._run(q, 1)[0]

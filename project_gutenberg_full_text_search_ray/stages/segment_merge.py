@@ -90,7 +90,7 @@ def _decode_member_postings(postings_path: str) -> tuple:
 
 
 def merge_segment_group(
-    index_dir_in: str,
+    src_dirs: dict[int, str],
     index_dir_out: str,
     member_seg_ids: list[int],
     new_seg_id: int,
@@ -98,14 +98,18 @@ def merge_segment_group(
     build_fp: str,
     store_positions: bool = True,
 ) -> pa.Table:
-    """Merge member segments into one; returns (term, df, cf) partials."""
+    """Merge member segments into one; returns (term, df, cf) partials.
+
+    ``src_dirs`` is the {seg_id: dir} mapping of the generation the
+    compaction driver PLANNED against — resolved once by the driver and
+    shipped into every task.  Re-resolving the committed manifest here would
+    race a concurrent refresh commit: tasks would silently read a different
+    generation than the one the plan (group membership, fingerprints) came
+    from, mixing generations in the merged output."""
     import os
     import time as _time
 
     _t0 = _time.monotonic()
-    from ..state.manifest import resolve_dirs
-
-    src_dirs, _ = resolve_dirs(index_dir_in)  # committed-generation paths
 
     docs_tables = []
     member_offsets = [0]

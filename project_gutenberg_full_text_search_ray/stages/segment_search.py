@@ -715,14 +715,17 @@ class SegmentSearchActor:
     Use with ``map_batches(SegmentSearchActor, fn_constructor_kwargs=...,
     concurrency=N)`` or as a raw @ray.remote actor via SearchService."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, seg_dirs: dict[int, str] | None = None):
         from ..state.manifest import resolve_dirs
 
         self.index_dir = index_dir
         # resolve once at construction: the actor serves THIS committed
         # generation for its lifetime (generation-qualified dirs stay valid
-        # even while a refresh writes the next one)
-        self.seg_dirs = resolve_dirs(index_dir)[0]
+        # even while a refresh writes the next one).  A caller that already
+        # holds a pinned generation (SearchService) passes ``seg_dirs`` so an
+        # actor RESTART after a refresh commit rejoins its siblings'
+        # generation instead of resolving the newer one from disk.
+        self.seg_dirs = dict(seg_dirs) if seg_dirs is not None else resolve_dirs(index_dir)[0]
         self.cache: dict = {}
 
     def search(self, seg_id: int, plan: SearchPlan) -> pa.Table:

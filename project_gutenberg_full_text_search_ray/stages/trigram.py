@@ -78,20 +78,40 @@ def ensure_trigram_index(index_dir: str) -> str:
     def explode(batch: pa.Table) -> pa.Table:
         from ..corpus import FIELD_SEP
 
-        tri_col: list[str] = []
-        term_col: list[str] = []
-        for t in batch["term"].to_pylist():
-            # field-scoped posting keys ("<field>\x1f<term>") are indexed by
-            # the trigrams of their WORD PART (a field's vocabulary need not
-            # be a subset of the body's), but the stored term stays the full
-            # key — expansion filters by scope so a plain fuzzy/contains
-            # query never leaks "title\x1freport"-style keys
-            word = t.split(FIELD_SEP, 1)[1] if FIELD_SEP in t else t
-            for g in trigrams(word):
-                tri_col.append(g)
-                term_col.append(t)
-        return pa.table({"tri": pa.array(tri_col, type=pa.string()),
-                         "term": pa.array(term_col, type=pa.string())})
+        terms = batch["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        # field-scoped posting keys ("<field>\x1f<term>") are indexed by
+        # the trigrams of their WORD PART (a field's vocabulary need not
+        # be a subset of the body's), but the stored term stays the full
+        # key — expansion filters by scope so a plain fuzzy/contains
+        # query never leaks "title\x1freport"-style keys.
+        # Vectorized: strip the scope prefix, pad "  w ", then one
+        # utf8_slice per window offset (loop bound = LONGEST word, not
+        # total trigrams — the only Python loop is ~word-length long)
+        words = pc.replace_substring_regex(
+            terms.cast(pa.string()), pattern=f"^[^{FIELD_SEP}]*{FIELD_SEP}",
+            replacement="")
+        padded = pc.binary_join_element_wise(
+            pa.scalar("  "), words, pa.scalar(" "), pa.scalar(""))
+        lens = pc.utf8_length(padded)
+        maxlen = pc.max(lens).as_py() or 0
+        tri_parts, term_parts = [], []
+        for i in range(max(0, int(maxlen) - 2)):
+            mask = pc.greater_equal(lens, i + 3)
+            tri_parts.append(pc.utf8_slice_codeunits(
+                padded.filter(mask), start=i, stop=i + 3))
+            term_parts.append(terms.filter(mask))
+        if not tri_parts:
+            return pa.table({"tri": pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string())})
+        out = pa.table({"tri": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in tri_parts]),
+                        "term": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in term_parts])})
+        # per-term trigram SET semantics: word_similarity counts DISTINCT
+        # shared trigrams, so duplicate (tri, term) rows (e.g. "aaaa") must
+        # collapse.  Terms are unique across the dictionary, so within-batch
+        # dedupe is global dedupe.
+        return out.group_by(["tri", "term"]).aggregate([])
 
     tmp = f"{out}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -104,9 +124,27 @@ def ensure_trigram_index(index_dir: str) -> str:
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(gen)
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
-    return out
+    # commit: existing-dir-WINS.  Two processes can derive the same
+    # generation concurrently (HTTP server + batch job on one index); the
+    # loser must adopt the winner's committed cache, never rmtree it from
+    # under the winner's readers.  A directory without a matching _DONE was
+    # never returned to any reader (commits are atomic renames), so clearing
+    # THAT and retrying is safe.
+    for _ in range(3):
+        try:
+            os.rename(tmp, out)
+            return out
+        except OSError:
+            pass
+        try:
+            with open(done_path) as f:
+                if f.read().strip() == gen:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return out
+        except OSError:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    raise RuntimeError(f"could not commit trigram cache at {out}")
 
 
 def _candidates(index_dir: str, query_trigrams: set[str]) -> pa.Table:
@@ -161,6 +199,7 @@ def prefix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64,
     from ..corpus import FIELD_SEP
     from ..state.manifest import resolve_dirs
 
+    frag = frag.lower()  # vocabulary is lowercase, like fuzzy/contains_expand
     dict_dir = resolve_dirs(index_dir)[1]
     lo = f"{field}{FIELD_SEP}{frag}" if field is not None else frag
     hi = lo + "\U0010ffff"
@@ -182,6 +221,7 @@ def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64,
     shorter fragments fall back to a vectorized ends_with scan of the
     dictionary (vocabulary-sized, columnar).  With ``field``, candidates are
     that field's posting keys (full keys returned)."""
+    frag = frag.lower()  # vocabulary is lowercase, like fuzzy/contains_expand
     if len(frag) >= 2:
         boundary = f"{frag[-2:]} "  # last two chars + padding space
         cand = _candidates(index_dir, {boundary})

@@ -721,3 +721,83 @@ def test_embedding_neardup_preserves_string_ids(ray_session):
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert ("d003", "d015") in pairs
     assert out.schema.field("id_a").type == pa.string()
+
+
+def test_trigram_commit_race_existing_dir_wins(ray_session, tmp_path):
+    """Concurrent trigram derivations of the same generation: the loser must
+    adopt the winner's committed cache (and never rmtree it); an occupant
+    without a matching _DONE is cleared and rebuilt."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index
+    from project_gutenberg_full_text_search_ray.stages.trigram import (
+        ensure_trigram_index, fuzzy_expand,
+    )
+
+    spec = CorpusSpec(("doc_id",), "text", (), "tg_race")
+    src = str(tmp_path / "src.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["window merge", "report title"]}), src)
+    build_index(src, spec, idx)
+
+    out1 = ensure_trigram_index(idx)
+    mtime = os.path.getmtime(os.path.join(out1, "_DONE"))
+    # second call adopts the committed cache untouched
+    assert ensure_trigram_index(idx) == out1
+    assert os.path.getmtime(os.path.join(out1, "_DONE")) == mtime
+    # uncommitted occupant (no _DONE) is cleared and rebuilt
+    os.remove(os.path.join(out1, "_DONE"))
+    out2 = ensure_trigram_index(idx)
+    assert out2 == out1 and os.path.exists(os.path.join(out1, "_DONE"))
+    assert fuzzy_expand(idx, "windoq")  # index still serves lookups
+    shutil.rmtree(idx)
+
+
+def test_prefix_suffix_terms_case_insensitive(ray_session, tmp_path):
+    """Mixed-case fragments must match the lowercase vocabulary, like their
+    sibling fuzzy/contains expanders."""
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index
+    from project_gutenberg_full_text_search_ray.stages.trigram import (
+        prefix_terms, suffix_terms,
+    )
+
+    spec = CorpusSpec(("doc_id",), "text", (), "tg_case")
+    src = str(tmp_path / "src.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(pa.table({"doc_id": [1], "text": ["title window"]}), src)
+    build_index(src, spec, idx)
+    assert prefix_terms(idx, "Tit") == prefix_terms(idx, "tit") == ["title"]
+    assert suffix_terms(idx, "DOW") == suffix_terms(idx, "dow") == ["window"]
+
+
+def test_quantiles_ignore_nulls_like_quantile_disc(ray_session, tmp_path):
+    """q_quantiles over a documents table containing NULL n_chars must match
+    DuckDB quantile_disc (which ignores NULLs) instead of crashing on the
+    NaN the null int64 becomes through to_numpy."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.pipelines.driver_nested import (
+        _QUANTILES,
+        q_quantiles,
+    )
+
+    vals = list(range(1, 101)) + [None] * 17
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(vals)), type=pa.int64()),
+                  "n_chars": pa.array(vals, type=pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    got = q_quantiles(str(tmp_path)).to_pandas().sort_values("pct").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    sql = " UNION ALL ".join(
+        f"SELECT '{name}' AS pct, quantile_disc(n_chars, {q}) AS val FROM documents"
+        for name, q in _QUANTILES)
+    exp = con.execute(f"SELECT pct, CAST(val AS BIGINT) AS val FROM ({sql}) ORDER BY pct").df()
+    assert got["pct"].tolist() == exp["pct"].tolist()
+    assert got["val"].tolist() == exp["val"].tolist()

@@ -373,3 +373,52 @@ def test_refresh_preserves_committed_generation(ray_session, tmp_path):
     removed2 = vacuum_index(idx)
     assert os.path.isdir(tri_dir), f"vacuum deleted the live trigram cache: {removed2}"
     assert fuzzy_expand(idx, "alpah")  # still serves expansions
+
+
+def test_service_worker_restart_stays_on_pinned_generation(ray_session, tmp_path):
+    """A SearchService worker that Ray restarts AFTER a refresh committed a
+    new generation must rejoin its siblings' pinned generation (constructor
+    args replay the pinned seg_dirs), not re-resolve the newer manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index
+    from project_gutenberg_full_text_search_ray.pipelines.build import refresh_index
+    from project_gutenberg_full_text_search_ray.pipelines.search import FullTextSearchEngine
+    from project_gutenberg_full_text_search_ray.pipelines.serving import SearchService
+
+    spec = CorpusSpec(("doc_id",), "text", (), "gen_pin")
+    src = str(tmp_path / "src.parquet")
+    idx = str(tmp_path / "idx")
+    pq.write_table(pa.table({"doc_id": list(range(8)),
+                             "text": [f"old common w{i}" for i in range(8)]}), src)
+    build_index(src, spec, idx, docs_per_segment=2)
+
+    eng = FullTextSearchEngine(idx)
+    svc = SearchService(eng, n_workers=2)
+    try:
+        q = eng.query().search("old")[1, 10]
+        before = svc.execute(q)
+        assert before.total == 8
+
+        # commit a NEW generation (different corpus) under the same index dir
+        pq.write_table(pa.table({"doc_id": list(range(4)),
+                                 "text": [f"new common w{i}" for i in range(4)]}), src)
+        refresh_index(idx)
+
+        # restart one worker: it must come back on the OLD pinned generation
+        _ray.kill(svc.pools[0][0], no_restart=False)
+        after = svc.execute(q)
+        assert after.total == 8
+        assert after.table.equals(before.table)
+
+        # zero-segment worker partition: searches return empty, not a crash
+        from project_gutenberg_full_text_search_ray.pipelines.serving import SearcherWorker
+        w = SearcherWorker.remote(idx, [], eng.seg_dirs)
+        plan = eng.build_plan(q, 10)
+        t = _ray.get(w.search.remote(plan))
+        assert t.num_rows == 0
+        _ray.kill(w)
+    finally:
+        svc.shutdown()
