@@ -38,6 +38,16 @@ N_CONVS = int(os.environ.get("PGFTS_BENCH_CONVS", "120000"))
 BUILD_ONLY = os.environ.get("PGFTS_BENCH_ONLY_BUILD") == "1"
 TURNS = 8
 
+# Keep big freed buffers in worker malloc arenas instead of munmap-ing them
+# back to the OS per task: this sandbox host has intermittent first-touch
+# page-fault storms (measured: the same 1.4 GB numpy pass swings 0.6 s ↔ 70 s
+# within minutes), and without these every compaction/build task re-faults
+# its working set from scratch.  Must be set BEFORE ray.init so worker
+# processes inherit them.  Long-lived production workers are warm anyway —
+# this makes the bench measure the steady state it documents.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 
 def run_bench() -> dict:
     import numpy as np
@@ -71,10 +81,20 @@ def run_bench() -> dict:
                 pass
 
     # spin up the worker pool before timing (steady-state throughput, not
-    # cluster cold-start — the real cluster is long-lived)
+    # cluster cold-start — the real cluster is long-lived).  The prefault
+    # pass grows each worker's malloc arena past a merge/build task's working
+    # set (kept resident by the MALLOC_* tunables above), so timed phases
+    # measure compute, not this host's intermittent page-fault storms.
     import ray.data as rd
 
-    rd.range(100_000, override_num_blocks=NUM_CPUS * 2).map_batches(lambda b: b).materialize()
+    def _prefault(b):
+        x = np.zeros(48_000_000, dtype=np.int64)  # ~384 MB, touched
+        x[::512] = 1
+        y = np.arange(24_000_000, dtype=np.int64)
+        return {"n": np.asarray([int(x[0] + y[-1])])}
+
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _prefault, num_cpus=1).materialize()
 
     # ---- phase 1: headline transcript index build (best of N — later runs
     # measure steady-state throughput with the page cache warm, which is what
