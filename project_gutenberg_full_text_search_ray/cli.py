@@ -127,9 +127,15 @@ def main(argv: list[str] | None = None) -> int:
             # multi-word / short / punctuated substring: same routing (and
             # the same filter + paging semantics — shared helper) as the
             # HTTP facade; a single-token plan would silently return 0
+            if args.order not in ("relevance", "identity"):
+                # loud failure beats silently returning identity order
+                print(json.dumps({"error": "contains-multi results are "
+                                  "identity-ordered; --order is not supported "
+                                  "on this path"}), file=sys.stderr)
+                return 2
             total, rows = SearchAPI.contains_multi_page(
                 eng, eng.spec, args.query, args.page, args.size,
-                filters=filters)
+                filters=filters, count_only=args.count_only)
             if args.count_only:
                 print(json.dumps({"total": total}))
                 return 0

@@ -187,15 +187,18 @@ class SearchAPI:
     @staticmethod
     def contains_multi_page(engine, spec, query: str, page: int, limit: int,
                             filters=None, field: str | None = None,
-                            ) -> tuple[int, list[dict]]:
+                            count_only: bool = False) -> tuple[int, list[dict]]:
         """ONE contains-multi pipeline execution serving both the count and
         the identity-ordered page (candidate generation + corpus verify is
         the expensive part and must not run twice per request).  Shared by
         the HTTP feed and the CLI so their filter/paging semantics can't
-        drift."""
+        drift.  ``count_only`` skips the page sort entirely — a count of a
+        million-match pattern must not pay a distributed sort it discards."""
         ds = engine.contains_multi_dataset(query, filters=filters or None,
                                            field=field).materialize()
         total = int(ds.count())
+        if count_only:
+            return total, []
         head = ds.sort(list(spec.id_cols)).limit(page * limit).take_all()
         return total, head[(page - 1) * limit: page * limit]
 

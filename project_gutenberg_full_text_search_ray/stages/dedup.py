@@ -756,8 +756,17 @@ def embedding_neardup_pairs_lsh(
 
     planes_by_dim: dict[int, np.ndarray] = {}
     per_band = n_planes // bands
+    if per_band < 1:
+        raise ValueError(f"n_planes={n_planes} < bands={bands}")
+    # the int64 key is (band << per_band | code); both parts must fit without
+    # overlap or distinct buckets silently merge (and a merged bucket can
+    # trip max_bucket_occupancy, dropping real pairs)
+    if per_band + max(1, (bands - 1).bit_length()) > 62:
+        raise ValueError(f"n_planes={n_planes}/bands={bands}: band key overflows int64")
+    used_planes = bands * per_band  # remainder planes are ignored, like the
+    # scalar banding this replaced (only full bands hash)
     pow2 = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
-    band_tag = (np.arange(bands, dtype=np.int64) << np.int64(32))
+    band_tag = (np.arange(bands, dtype=np.int64) << np.int64(per_band))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         M = _normalize(_matrix(batch[vec_col]))
@@ -766,8 +775,8 @@ def embedding_neardup_pairs_lsh(
             planes_by_dim[dim] = np.random.default_rng(seed).standard_normal((dim, n_planes))
         bits = (M @ planes_by_dim[dim]) > 0
         # vectorized band codes: (n, bands, per_band) · 2-powers, then an
-        # int64 (band << 32 | code) key — no per-row Python loop
-        codes = bits.reshape(len(M), bands, per_band) @ pow2
+        # int64 (band << per_band | code) key — no per-row Python loop
+        codes = bits[:, :used_planes].reshape(len(M), bands, per_band) @ pow2
         keys = (band_tag[None, :] | codes).ravel()
         take = pa.array(np.repeat(np.arange(batch.num_rows), bands))
         return pa.table({id_col: batch[id_col].take(take),

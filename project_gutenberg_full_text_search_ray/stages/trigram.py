@@ -124,27 +124,65 @@ def ensure_trigram_index(index_dir: str) -> str:
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(gen)
-    # commit: existing-dir-WINS.  Two processes can derive the same
-    # generation concurrently (HTTP server + batch job on one index); the
-    # loser must adopt the winner's committed cache, never rmtree it from
-    # under the winner's readers.  A directory without a matching _DONE was
-    # never returned to any reader (commits are atomic renames), so clearing
-    # THAT and retrying is safe.
-    for _ in range(3):
-        try:
-            os.rename(tmp, out)
-            return out
-        except OSError:
-            pass
+    # commit: existing-dir-WINS, under a short exclusive lock.  Two
+    # processes can derive the same generation concurrently (HTTP server +
+    # batch job on one index); the loser adopts the winner's committed
+    # cache.  The lock makes "check _DONE → clear stale occupant → rename"
+    # atomic w.r.t. other committers, so a cache whose _DONE matches (one
+    # readers may already hold) is never rmtree'd — without it, B could
+    # clear a stale occupant AFTER A committed into the same name.  Readers
+    # never take the lock; a lock left by a crashed holder is broken after
+    # LOCK_STALE_S.
+    import time as _time
+
+    LOCK_STALE_S = 60.0
+    lock = f"{out}.lock"
+
+    def _committed() -> bool:
         try:
             with open(done_path) as f:
-                if f.read().strip() == gen:
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    return out
+                return f.read().strip() == gen
         except OSError:
-            pass
-        shutil.rmtree(out, ignore_errors=True)
-    raise RuntimeError(f"could not commit trigram cache at {out}")
+            return False
+
+    won = False
+    try:
+        deadline = _time.monotonic() + LOCK_STALE_S * 2
+        while True:
+            if _committed():
+                return out
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
+                        os.unlink(lock)  # crashed holder — break the lock
+                        continue
+                except OSError:
+                    continue  # lock vanished under us — retry acquire
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"could not commit trigram cache at {out}: lock held")
+                _time.sleep(0.1)
+                continue
+            try:
+                if _committed():
+                    return out
+                # occupant (if any) has no matching _DONE → never committed
+                # → no reader can hold it → safe to clear under the lock
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(tmp, out)
+                won = True
+                return out
+            finally:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+    finally:
+        if not won:
+            shutil.rmtree(tmp, ignore_errors=True)  # never leak a tmp build
 
 
 def _candidates(index_dir: str, query_trigrams: set[str]) -> pa.Table:

@@ -801,3 +801,28 @@ def test_quantiles_ignore_nulls_like_quantile_disc(ray_session, tmp_path):
     exp = con.execute(f"SELECT pct, CAST(val AS BIGINT) AS val FROM ({sql}) ORDER BY pct").df()
     assert got["pct"].tolist() == exp["pct"].tolist()
     assert got["val"].tolist() == exp["val"].tolist()
+
+
+def test_embedding_lsh_uneven_planes_and_wide_codes(ray_session):
+    """n_planes not a multiple of bands must work (remainder planes ignored,
+    like the scalar banding); oversized codes must raise loudly instead of
+    silently merging buckets across bands."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((40, 8))
+    vecs[30] = vecs[3] * 1.01
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(40, dtype=np.int64)),
+        "vec": pa.array(vecs.tolist(), type=pa.list_(pa.float64()))}))
+    out = embedding_neardup_pairs_lsh(ds, "vec", "id", threshold=0.98,
+                                      n_planes=18, bands=4).to_pandas()
+    assert (3, 30) in set(zip(out["id_a"], out["id_b"]))
+    with pytest.raises(ValueError, match="overflow"):
+        embedding_neardup_pairs_lsh(ds, "vec", "id", n_planes=256, bands=4)
+    with pytest.raises(ValueError, match="<"):
+        embedding_neardup_pairs_lsh(ds, "vec", "id", n_planes=2, bands=4)
