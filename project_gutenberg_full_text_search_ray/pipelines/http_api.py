@@ -102,7 +102,7 @@ class SearchAPI:
             ],
         }
 
-    def search(self, params: dict) -> dict:
+    def search(self, params: dict, count_only: bool = False) -> dict:
         query = (params.get("query") or "").strip()
         page, limit = parse_pagination(params.get("page", 1),
                                        params.get("limit", DEFAULT_LIMIT))
@@ -146,7 +146,8 @@ class SearchAPI:
                     # against the corpus parquet) and page its output
                     return self._contains_multi_feed(
                         engine, spec, query, params, page, limit,
-                        field=field_name if known_field else None)
+                        field=field_name if known_field else None,
+                        count_only=count_only)
             else:
                 q.search(query, field=field_name if known_field else None)
         for key, val in params.items():
@@ -204,7 +205,8 @@ class SearchAPI:
 
     def _contains_multi_feed(self, engine, spec, query: str, params: dict,
                              page: int, limit: int,
-                             field: str | None = None) -> dict:
+                             field: str | None = None,
+                             count_only: bool = False) -> dict:
         """ILIKE-'%q%' feed for patterns the posting index can't represent:
         verified matches stream from ``contains_multi_dataset``; rows are
         identity-ordered corpus rows (id cols + text), like the reference's
@@ -215,7 +217,8 @@ class SearchAPI:
                    for k, v in params.items() if k.startswith("f.")]
         total, rows = self.contains_multi_page(engine, spec, query, page,
                                                limit, filters=filters,
-                                               field=field)
+                                               field=field,
+                                               count_only=count_only)
         return {
             "title": self.title,
             "query": query,
@@ -252,10 +255,11 @@ class SearchAPI:
 
     def count(self, params: dict) -> dict:
         # strip facet params: a facet block would trigger a top_docs sampling
-        # fan-out whose output count() immediately throws away
+        # fan-out whose output count() immediately throws away.  count_only
+        # also skips the contains-multi page sort a count discards.
         slim = {k: v for k, v in params.items()
                 if k not in ("facet", "facet_sample", "facet_k")}
-        feed = self.search({**slim, "limit": "1", "page": "1"})
+        feed = self.search({**slim, "limit": "1", "page": "1"}, count_only=True)
         return {"query": feed["query"], "total": feed["total"]}
 
     def facets(self, params: dict) -> tuple[int, dict]:
