@@ -35,6 +35,21 @@ def _gen_filters(rng):
         out.append(("turn_idx", "between", (lo, lo + int(rng.integers(1, 4)))))
     if rng.random() < 0.2:
         out.append(("tool", "isnull", None))
+    if rng.random() < 0.2:
+        # mixed-case substr: engine kernel is ILIKE (match_substring
+        # ignore_case) and the oracle must agree
+        out.append(("role", "substr", ["SsIs", "ser", "OOL", "yst"][rng.integers(0, 4)]))
+    if rng.random() < 0.2:
+        out.append(("conv_id", "startswith", f"conv-0000000{int(rng.integers(0, 10))}"))
+    if rng.random() < 0.2:
+        pool = ["user", "assistant", "tool", "system"]
+        k = int(rng.integers(1, 4))
+        vals = [pool[j] for j in rng.choice(len(pool), size=k, replace=False)]
+        out.append(("role", "in" if rng.random() < 0.5 else "not_in", vals))
+    if rng.random() < 0.15:
+        # list-valued op on the timestamp column (µs ints vs datetime col)
+        lo = 1767225600000000 + int(rng.integers(0, 3)) * 86_400_000_000
+        out.append(("ts", "between", (lo, lo + 2 * 86_400_000_000)))
     return out
 
 
@@ -93,3 +108,18 @@ def test_fuzz_multiseg_ray_path(engine_multi, oracle):
         assert res.total == exp.total, ctx
         got = list(zip(res.table["conv_id"].to_pylist(), res.table["turn_idx"].to_pylist()))
         assert got == [(r["conv_id"], r["turn_idx"]) for r in exp.rows], ctx
+
+
+def test_fuzz_count_matches_execute_total(engine, oracle):
+    """count(q) must equal execute(q).total for fuzzed query+filter combos
+    (the count path plans k=1 — totals must not depend on k)."""
+    rng = np.random.default_rng(777)
+    for i in range(20):
+        qtext = _gen_query(rng)
+        filters = _gen_filters(rng)
+        q = engine.query().search(qtext)
+        for f in filters:
+            q = q.where(FilterSpec(*f))
+        exp = oracle.search([qtext], filters=filters, page_size=10)
+        ctx = f"i={i} q={qtext!r} f={filters}"
+        assert engine.count(q) == exp.total, ctx
