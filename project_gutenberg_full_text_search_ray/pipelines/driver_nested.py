@@ -370,6 +370,10 @@ ORACLE_SQL_NESTED: dict[str, str] = {
             for name, q in _QUANTILES)
         + ") ORDER BY pct"
     ),
+    "heavy_hitters_users": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
+    ),
     "value_histogram": (
         # value IS NOT NULL: the engine excludes NULL/NaN from binning
         "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, "
@@ -396,6 +400,25 @@ ORACLE_SQL_NESTED: dict[str, str] = {
     ),
 }
 
+
+# ---------------------------------------------------------------- sketches
+def q_heavy_hitters_users(sf_dir: str) -> pa.Table:
+    """Distributed Misra–Gries heavy hitters over ``events.user_id`` —
+    capacity is sized ABOVE the column's distinct count, so the sketch
+    truncates nothing, err == 0, and the result is exact (the SQL-checkable
+    configuration; the approximate regime's guarantees are pytest-asserted
+    in tests/test_extras.py)."""
+    import ray.data as rd
+
+    from ..stages.sketches import heavy_hitters
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    top, err = heavy_hitters(ds, "user_id", k=10, capacity=1 << 15)
+    assert err == 0  # exact regime by construction
+    return pa.table({"user_id": top["user_id"].cast(pa.int64()),
+                     "n": top["count_lower"]})
+
 QUERIES_NESTED = {
     "nested_containment": q_nested_containment,
     "props_json_range": q_props_json_range,
@@ -406,4 +429,5 @@ QUERIES_NESTED = {
     "range_join_windows": q_range_join_windows,
     "quantiles": q_quantiles,
     "value_histogram": q_value_histogram,
+    "heavy_hitters_users": q_heavy_hitters_users,
 }

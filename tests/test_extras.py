@@ -826,3 +826,42 @@ def test_embedding_lsh_uneven_planes_and_wide_codes(ray_session):
         embedding_neardup_pairs_lsh(ds, "vec", "id", n_planes=256, bands=4)
     with pytest.raises(ValueError, match="<"):
         embedding_neardup_pairs_lsh(ds, "vec", "id", n_planes=2, bands=4)
+
+
+def test_heavy_hitters_misra_gries_guarantees(ray_session):
+    """Approximate regime (capacity < distinct): every value with true
+    count > err must be present, and true counts must lie within
+    [count_lower, count_lower + err].  Exact regime (capacity >= distinct):
+    err == 0 and counts match an exact groupby."""
+    import collections
+
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few heavy users over a long tail, plus NULLs as a group
+    vals = ([7] * 400 + [13] * 250 + [99] * 120 + [None] * 60
+            + [int(v) for v in rng.integers(1000, 1150, size=600)])
+    rng.shuffle(vals)
+    tbl = pa.table({"user_id": pa.array(vals, type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(7)
+    true = collections.Counter(v if v is not None else "NULL" for v in vals)
+
+    top, err = heavy_hitters(ds, "user_id", k=8, capacity=16)
+    assert err > 0  # truncation really happened
+    got = {(v if v is not None else "NULL"): c
+           for v, c in zip(top["user_id"].to_pylist(), top["count_lower"].to_pylist())}
+    for v, c in true.items():
+        if c > err:
+            assert v in got, (v, c, err)
+    for v, lo in got.items():
+        assert lo <= true[v] <= lo + err, (v, lo, true[v], err)
+    assert top["user_id"].type == pa.int64()
+
+    exact, err0 = heavy_hitters(ds, "user_id", k=4, capacity=4096)
+    assert err0 == 0
+    expect = sorted(true.items(), key=lambda kv: (-kv[1], float("inf") if kv[0] == "NULL" else kv[0]))[:4]
+    got_exact = [((v if v is not None else "NULL"), c) for v, c in
+                 zip(exact["user_id"].to_pylist(), exact["count_lower"].to_pylist())]
+    assert got_exact == expect
