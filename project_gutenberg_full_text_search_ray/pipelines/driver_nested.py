@@ -370,6 +370,9 @@ ORACLE_SQL_NESTED: dict[str, str] = {
             for name, q in _QUANTILES)
         + ") ORDER BY pct"
     ),
+    "distinct_users_kmv": (
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events"
+    ),
     "heavy_hitters_users": (
         "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n "
         "FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
@@ -419,6 +422,25 @@ def q_heavy_hitters_users(sf_dir: str) -> pa.Table:
     return pa.table({"user_id": top["user_id"].cast(pa.int64()),
                      "n": top["count_lower"]})
 
+
+def q_distinct_users_kmv(sf_dir: str) -> pa.Table:
+    """K-Minimum-Values distinct-count sketch over ``events.user_id`` in its
+    EXACT regime (k far above the column's cardinality → the sketch has seen
+    every distinct hash and the count is exact, matching count(DISTINCT)).
+    NULLs are filtered first for SQL count(DISTINCT) parity; the approximate
+    regime's relative-error behavior is pytest-asserted."""
+    import ray.data as rd
+
+    from ..stages.sketches import distinct_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    ds = ds.map_batches(lambda b: b.filter(pc.is_valid(b["user_id"])),
+                        batch_format="pyarrow")
+    est, exact = distinct_count(ds, "user_id", k=1 << 16)
+    assert exact
+    return pa.table({"n": pa.array([est], type=pa.int64())})
+
 QUERIES_NESTED = {
     "nested_containment": q_nested_containment,
     "props_json_range": q_props_json_range,
@@ -430,4 +452,5 @@ QUERIES_NESTED = {
     "quantiles": q_quantiles,
     "value_histogram": q_value_histogram,
     "heavy_hitters_users": q_heavy_hitters_users,
+    "distinct_users_kmv": q_distinct_users_kmv,
 }

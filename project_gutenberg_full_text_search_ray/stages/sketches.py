@@ -108,3 +108,54 @@ def heavy_hitters(
                                            (col, "ascending")],
                           null_placement="at_end")
     return body.take(idx).slice(0, k), err
+
+
+def distinct_count(
+    ds: rd.Dataset, col: str, k: int = 1024,
+) -> tuple[int, bool]:
+    """Approximate COUNT(DISTINCT col) via a K-Minimum-Values sketch →
+    (estimate, exact).
+
+    Per batch: hash the distinct values (deterministic 64-bit FNV-1a over
+    the value's string form — the same fold the SQL oracles re-express) and
+    keep the ``k`` smallest hashes; merging = union + re-truncate, so at
+    most ``k`` rows leave any batch regardless of cardinality.  If the
+    merged sketch holds fewer than ``k`` hashes it has seen EVERY distinct
+    value and the count is exact (``exact=True`` — the SQL-oracle-checkable
+    regime); otherwise the classic KMV estimator (k-1)/h_(k) scaled to the
+    hash space, unbiased with RSE ≈ 1/√(k−2).  NULL counts as one value
+    (DuckDB's count(DISTINCT) ignores NULL — callers subtract it; the
+    driver query does)."""
+    from ..functions.textstats import token_hashes
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def _mix64(h: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer: FNV-1a of short similar strings (decimal
+        # ids) is NOT uniform enough for min-order statistics — the raw
+        # estimator ran ~1.7× high.  A bijective mix fixes uniformity
+        # without introducing collisions (the exact regime is unaffected).
+        with np.errstate(over="ignore"):
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return h ^ (h >> np.uint64(31))
+
+    def batch_mins(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = pc.unique(b[col])
+        strs = [("\x00NULL" if v is None else str(v)) for v in vals.to_pylist()]
+        h = np.unique(_mix64(token_hashes(strs)))  # uint64, sorted
+        return pa.table({"h": pa.array(h[:k].view(np.int64), type=pa.int64())})
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(batch_mins, batch_format="pyarrow")
+        .take_all()
+    )
+    hs = np.unique(np.array([r["h"] for r in parts], dtype=np.int64).view(np.uint64))
+    if len(hs) < k:
+        return int(len(hs)), True
+    kth = float(hs[k - 1])  # k-th smallest over the union
+    return int(round((k - 1) * (2.0 ** 64) / (kth + 1.0))), False

@@ -865,3 +865,22 @@ def test_heavy_hitters_misra_gries_guarantees(ray_session):
     got_exact = [((v if v is not None else "NULL"), c) for v, c in
                  zip(exact["user_id"].to_pylist(), exact["count_lower"].to_pylist())]
     assert got_exact == expect
+
+
+def test_kmv_distinct_count_regimes(ray_session):
+    """Exact regime (k > distinct) returns the true distinct count; the
+    approximate regime estimates within a few standard errors."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.sketches import distinct_count
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 5000, size=20000)
+    true = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.int64())})).repartition(8)
+    est, exact = distinct_count(ds, "v", k=1 << 14)
+    assert exact and est == true
+    est2, exact2 = distinct_count(ds, "v", k=256)
+    assert not exact2
+    rse = 1.0 / np.sqrt(256 - 2)
+    assert abs(est2 - true) <= 5 * rse * true, (est2, true)
