@@ -106,6 +106,42 @@ def simhash64(tokens: list[str]) -> int:
     return int(sig)
 
 
+_SIMHASH_CHUNK = 1 << 17  # tokens per vote-matrix chunk (~32 MB of int32)
+
+
+def simhash64_column(texts: pa.Array, analyzer: Analyzer = DEFAULT_ANALYZER) -> np.ndarray:
+    """Vectorized ``simhash64`` over a string column → uint64 per row,
+    bit-identical to the scalar form (same tf-weighted token stream): ONE
+    tokenize_column pass, ONE token_hashes fold over the flat stream, one
+    bit-unpack, per-doc segment sums via ``reduceat`` (doc_index is
+    nondecreasing).  Replaces a per-row Python loop that dominated
+    simhash_pairs' signature stage."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    terms, doc_index, _ = analyzer.tokenize_column(texts)
+    sigs = np.zeros(len(texts), dtype=np.uint64)  # empty doc → 0, like scalar
+    if len(terms) == 0:
+        return sigs
+    h = token_hashes(list(terms))
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    # chunked vote pass: the (tokens × 64) ±1 matrix is built 128k tokens at
+    # a time (~32 MB) and folded into a docs×64 accumulator — an unchunked
+    # matrix over a large batch is hundreds of MB of fresh allocation per
+    # call, which this host's page-fault storms turn into tens of seconds
+    v = np.zeros((len(texts), 64), dtype=np.int64)
+    CH = _SIMHASH_CHUNK
+    for s in range(0, len(h), CH):
+        hv = h[s:s + CH]
+        di = doc_index[s:s + CH]
+        votes = (2 * ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(di)) + 1))
+        v[di[starts]] += np.add.reduceat(votes, starts, axis=0)
+    touched = np.unique(doc_index)
+    pos = v[touched] > 0
+    sigs[touched] = (pos.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    return sigs
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -498,9 +498,12 @@ def simhash_pairs(
     column."""
 
     def sig_fn(batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(analyzer.tokenize(t or "")) for t in batch[text_col].to_pylist()]
-        # int64 reinterpret of the uint64 signature: transport-friendly
-        sv = np.array(sigs, dtype=np.uint64).view(np.int64)
+        from ..functions.textstats import simhash64_column
+
+        # vectorized signatures (one tokenize/hash/vote pass per batch),
+        # bit-identical to the scalar simhash64 fold; int64 reinterpret of
+        # the uint64 signature is transport-friendly
+        sv = simhash64_column(batch[text_col], analyzer).view(np.int64)
         return pa.table({id_col: batch[id_col], "sim": pa.array(sv, type=pa.int64())})
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -209,3 +209,38 @@ class TestFastTokenizer:
         t2, d2, p2 = DEFAULT_ANALYZER.tokenize_column_fast(col)
         assert t1.to_pylist() == t2.to_pylist()
         assert list(d1) == list(d2) and list(p1) == list(p2)
+
+
+def test_simhash64_column_matches_scalar():
+    """Vectorized column SimHash must be bit-identical to the scalar fold
+    for every row, including empties, NULLs, duplicates-heavy and unicode."""
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.functions.textstats import (
+        simhash64,
+        simhash64_column,
+    )
+
+    texts = ["the quick brown fox", "", None, "a a a a a b", "日本語 abc 123",
+             "one", " punct!! split--case MIXED Case ", "z " * 500]
+    got = simhash64_column(pa.array(texts)).tolist()
+    exp = [simhash64(DEFAULT_ANALYZER.tokenize(t or "")) for t in texts]
+    assert got == exp
+
+
+def test_simhash64_column_chunk_straddling_docs(monkeypatch):
+    """Docs whose token runs straddle vote-chunk boundaries must still fold
+    into one signature (accumulator += across chunks)."""
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.functions import textstats as T
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+
+    monkeypatch.setattr(T, "_SIMHASH_CHUNK", 7)  # force many tiny chunks
+    texts = ["alpha beta gamma delta epsilon zeta eta theta iota",
+             "one two three four five six seven eight nine ten eleven",
+             "x", "", "dup dup dup dup dup dup dup dup dup dup dup"]
+    got = T.simhash64_column(pa.array(texts)).tolist()
+    exp = [T.simhash64(DEFAULT_ANALYZER.tokenize(t)) for t in texts]
+    assert got == exp
