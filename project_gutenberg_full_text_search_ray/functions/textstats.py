@@ -229,3 +229,63 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     (one definition, so the dedup candidate generator and the fingerprinting
     oracle can never drift)."""
     return np.unique(rolling_fingerprints(tokens, window=k))
+
+
+def shingle_hashes_column(
+    texts: pa.Array, k: int = 3, analyzer: Analyzer = DEFAULT_ANALYZER,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct per-doc k-gram hashes over a string column → (fp, doc_row),
+    sorted by (doc_row, fp) — the vectorized form of per-row
+    ``shingle_hashes(analyzer.tokenize(...))``: ONE tokenize pass, the
+    rolling polynomial over the flat token stream with windows crossing doc
+    boundaries masked out, one lexsort for per-doc dedupe."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    empty = np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    terms, doc_index, _ = analyzer.tokenize_column(texts)
+    if len(terms) < k:
+        return empty
+    th = token_hashes(list(terms))
+    base = np.uint64(1099511628211)
+    mults = base ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64, like scalar
+    n_win = len(th) - k + 1
+    with np.errstate(over="ignore"):
+        fp = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            fp += th[j: j + n_win] * mults[k - 1 - j]
+    # a window is a real shingle only when it stays inside one doc
+    valid = doc_index[:n_win] == doc_index[k - 1:]
+    fp, docs = fp[valid], doc_index[:n_win][valid]
+    if not len(fp):
+        return empty
+    order = np.lexsort((fp, docs))
+    fp, docs = fp[order], docs[order]
+    keep = np.empty(len(fp), dtype=bool)
+    keep[0] = True
+    keep[1:] = (docs[1:] != docs[:-1]) | (fp[1:] != fp[:-1])
+    return fp[keep], docs[keep]
+
+
+def minhash_signature_column(
+    texts: pa.Array, a: np.ndarray, b: np.ndarray, k: int = 3,
+    analyzer: Analyzer = DEFAULT_ANALYZER,
+) -> np.ndarray:
+    """Vectorized MinHash over a string column → (n_rows, num_perm) uint64,
+    bit-identical to the scalar ``minhash_signature(shingle_hashes(...))``
+    per row: the shared flat shingle pass, then each permutation is one
+    exact Mersenne mulmod over the flat shingle stream + a
+    ``minimum.reduceat`` per-doc fold.  Replaces a per-row Python loop (the
+    signature stage of minhash_lsh_pairs)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    p = np.uint64(_MERSENNE)
+    sigs = np.full((len(texts), len(a)), _MERSENNE, dtype=np.uint64)  # empty → p
+    fp, docs = shingle_hashes_column(texts, k, analyzer)
+    if not len(fp):
+        return sigs
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(docs)) + 1))
+    rows = docs[starts]
+    for j in range(len(a)):
+        vals = (_mulmod_mersenne(np.uint64(a[j]), fp) + np.uint64(b[j])) % p
+        sigs[rows, j] = np.minimum.reduceat(vals, starts)
+    return sigs

@@ -408,17 +408,17 @@ class MinHashStage:
         self.a, self.b = minhash_params(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sigs = []
-        for txt in batch[self.text_col].to_pylist():
-            toks = self.analyzer.tokenize(txt or "")
-            sigs.append(minhash_signature(shingle_hashes(toks, self.k), self.a, self.b))
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
-            }
-        )
+        from ..functions.textstats import minhash_signature_column
+
+        # one vectorized column pass (tokenize → flat shingle polynomial →
+        # per-perm mulmod + reduceat mins), bit-identical to the per-doc
+        # scalar minhash_signature fold
+        S = minhash_signature_column(batch[self.text_col], self.a, self.b,
+                                     k=self.k, analyzer=self.analyzer)
+        flat = pa.array(S.reshape(-1), type=pa.uint64())
+        sig_col = pa.FixedSizeListArray.from_arrays(flat, S.shape[1]).cast(
+            pa.list_(pa.uint64()))
+        return pa.table({self.id_col: batch[self.id_col], "sig": sig_col})
 
 
 def minhash_lsh_pairs(
@@ -565,15 +565,14 @@ def ngram_jaccard_pairs(
             ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs())))
 
     def explode_shingle_hashes(batch: pa.Table) -> pa.Table:
-        ids_out: list = []
-        sh_out: list = []
-        for did, txt in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sh = shingle_hashes(analyzer.tokenize(txt or ""), k_shingle)
-            for h in sh.view(np.int64):  # reinterpret uint64 as int64 group key
-                ids_out.append(did)
-                sh_out.append(int(h))
-        return pa.table({id_col: pa.array(ids_out, type=batch[id_col].type),
-                         "sh": pa.array(sh_out, type=pa.int64())})
+        from ..functions.textstats import shingle_hashes_column
+
+        # one vectorized column pass: flat rolling polynomial + per-doc
+        # dedupe (identical hashes to the per-row shingle_hashes fold);
+        # uint64 reinterpreted as int64 group key for transport
+        fp, doc_rows = shingle_hashes_column(batch[text_col], k_shingle, analyzer)
+        return pa.table({id_col: batch[id_col].take(pa.array(doc_rows)),
+                         "sh": pa.array(fp.view(np.int64), type=pa.int64())})
 
     keyed = ds.map_batches(explode_shingle_hashes, batch_format="pyarrow")
     candidates = _candidate_pairs(keyed, id_col, "sh", max_bucket_occupancy)

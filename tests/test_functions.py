@@ -244,3 +244,45 @@ def test_simhash64_column_chunk_straddling_docs(monkeypatch):
     got = T.simhash64_column(pa.array(texts)).tolist()
     exp = [T.simhash64(DEFAULT_ANALYZER.tokenize(t)) for t in texts]
     assert got == exp
+
+
+def test_minhash_signature_column_matches_scalar():
+    """Vectorized column MinHash must be bit-identical to the scalar
+    per-doc fold for every row: empties, NULLs, short docs (< k tokens),
+    duplicate-shingle docs, unicode."""
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.functions.textstats import (
+        minhash_params,
+        minhash_signature,
+        minhash_signature_column,
+        shingle_hashes,
+    )
+
+    a, b = minhash_params(16, seed=9)
+    texts = ["the quick brown fox jumps over the lazy dog", "", None,
+             "one two", "ab", "rep rep rep rep rep rep",
+             "日本語 テスト abc def ghi jkl", "x " * 300]
+    got = minhash_signature_column(pa.array(texts), a, b, k=3)
+    for i, t in enumerate(texts):
+        exp = minhash_signature(shingle_hashes(DEFAULT_ANALYZER.tokenize(t or ""), 3), a, b)
+        assert got[i].tolist() == exp.tolist(), (i, t)
+
+
+def test_shingle_hashes_column_matches_scalar():
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.functions.textstats import (
+        shingle_hashes,
+        shingle_hashes_column,
+    )
+
+    texts = ["the quick brown fox jumps", "", None, "a b", "dup dup dup dup",
+             "one two three four five six"]
+    fp, rows = shingle_hashes_column(pa.array(texts), k=3)
+    per_doc = {i: sorted(fp[rows == i].tolist()) for i in set(rows.tolist())}
+    for i, t in enumerate(texts):
+        exp = sorted(shingle_hashes(DEFAULT_ANALYZER.tokenize(t or ""), 3).tolist())
+        assert per_doc.get(i, []) == exp, (i, t)
