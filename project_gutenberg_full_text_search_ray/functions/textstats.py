@@ -146,19 +146,28 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _rolling_poly(th: np.ndarray, window: int) -> np.ndarray:
+    """The ONE w-gram polynomial over a token-hash stream (base
+    1099511628211, big-endian fold, wraps mod 2^64).  Both the scalar
+    fingerprinting path and the vectorized column shingle path call this —
+    a second copy of the fold would let the dedup candidate generator and
+    the fingerprinting oracle drift apart."""
+    base = np.uint64(1099511628211)
+    mults = base ** np.arange(window, dtype=np.uint64)
+    n = len(th) - window + 1
+    out = np.zeros(max(n, 0), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            out += th[j : j + n] * mults[window - 1 - j]
+    return out
+
+
 def rolling_fingerprints(tokens: list[str], window: int = 4) -> np.ndarray:
     """Rabin-Karp-style rolling hashes of token w-grams (document
     fingerprinting; winnowing selects minima per window downstream)."""
     if len(tokens) < window:
         return np.empty(0, dtype=np.uint64)
-    th = token_hashes(tokens)
-    base = np.uint64(1099511628211)
-    mults = base ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64 — fine
-    n = len(tokens) - window + 1
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(window):
-        out += th[j : j + n] * mults[window - 1 - j]
-    return out
+    return _rolling_poly(token_hashes(tokens), window)
 
 
 def winnow(fps: np.ndarray, w: int = 5) -> np.ndarray:
@@ -246,13 +255,8 @@ def shingle_hashes_column(
     if len(terms) < k:
         return empty
     th = token_hashes(list(terms))
-    base = np.uint64(1099511628211)
-    mults = base ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64, like scalar
+    fp = _rolling_poly(th, k)  # the same fold as rolling_fingerprints
     n_win = len(th) - k + 1
-    with np.errstate(over="ignore"):
-        fp = np.zeros(n_win, dtype=np.uint64)
-        for j in range(k):
-            fp += th[j: j + n_win] * mults[k - 1 - j]
     # a window is a real shingle only when it stays inside one doc
     valid = doc_index[:n_win] == doc_index[k - 1:]
     fp, docs = fp[valid], doc_index[:n_win][valid]

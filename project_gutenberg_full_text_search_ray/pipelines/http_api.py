@@ -37,6 +37,10 @@ DEFAULT_LIMIT = 28
 MAX_LIMIT = 100
 
 
+class BadRequest(ValueError):
+    """Request-shaped error → HTTP 400 (engine failures stay 500)."""
+
+
 def parse_pagination(page, limit, default_limit: int = DEFAULT_LIMIT) -> tuple[int, int]:
     """Clamp exactly like the reference (opds.py:55-60).  Each param falls
     back independently — an invalid limit must not discard a valid page."""
@@ -213,6 +217,12 @@ class SearchAPI:
         CONTAINS listing."""
         from ..stages.segment_search import FilterSpec
 
+        if (params.get("sort") or "").strip():
+            # same loud failure as the CLI: silently returning identity
+            # order for an explicit sort request is worse than a 400
+            raise BadRequest("contains-multi results are identity-ordered; "
+                             "sort is not supported on this path")
+
         filters = [FilterSpec(k[2:], "==", _coerce(v))
                    for k, v in params.items() if k.startswith("f.")]
         total, rows = self.contains_multi_page(engine, spec, query, page,
@@ -304,6 +314,8 @@ class SearchAPI:
             if path == "/facets":
                 return self.facets(params)
             return 404, {"error": f"no such endpoint: {path}"}
+        except BadRequest as e:
+            return 400, {"error": str(e)}
         except Exception as e:  # opds.py:1011-1013 → HTTPError(500)
             return 500, {"error": f"search failed: {e}"}
 

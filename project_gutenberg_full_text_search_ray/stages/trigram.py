@@ -135,7 +135,7 @@ def ensure_trigram_index(index_dir: str) -> str:
     # LOCK_STALE_S.
     import time as _time
 
-    LOCK_STALE_S = 60.0
+    LOCK_STALE_S = 300.0
     lock = f"{out}.lock"
 
     def _committed() -> bool:
@@ -156,10 +156,16 @@ def ensure_trigram_index(index_dir: str) -> str:
             except FileExistsError:
                 try:
                     if _time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
-                        os.unlink(lock)  # crashed holder — break the lock
+                        # break a crashed holder's lock via RENAME, not
+                        # unlink: rename is atomic, so exactly ONE waiter
+                        # wins the break — two unlink-based breakers could
+                        # each remove the other's fresh lock and both enter
+                        # the critical section
+                        os.rename(lock, f"{lock}.broken.{os.getpid()}")
+                        os.unlink(f"{lock}.broken.{os.getpid()}")
                         continue
                 except OSError:
-                    continue  # lock vanished under us — retry acquire
+                    continue  # lock vanished / lost the break race — retry
                 if _time.monotonic() > deadline:
                     raise RuntimeError(
                         f"could not commit trigram cache at {out}: lock held")

@@ -170,3 +170,19 @@ def test_close_without_start_does_not_hang(engine):
     t0 = time.time()
     srv.close()
     assert time.time() - t0 < 2
+
+
+def test_contains_multi_sort_is_400(engine):
+    """An explicit sort on the identity-ordered contains-multi path must be
+    a 400, not a silently dropped parameter (CLI parity)."""
+    from project_gutenberg_full_text_search_ray.pipelines.http_api import SearchAPI
+
+    api = SearchAPI(engine)
+    status, payload = api.handle(
+        "/search", {"query": "w00001 w00002", "field": "contains_text",
+                    "sort": "ts"})
+    assert status == 400 and "identity-ordered" in payload["error"]
+    # no sort -> normal 200 feed via the same path
+    status2, payload2 = api.handle(
+        "/search", {"query": "w00001 w00002", "field": "contains_text"})
+    assert status2 == 200 and payload2["total"] >= 0
