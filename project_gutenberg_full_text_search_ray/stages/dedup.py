@@ -18,7 +18,6 @@ All operators follow the same Ray-Data shape:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -73,6 +72,38 @@ class DocFetcher:
         for i, did in enumerate(t[self.id_col].to_pylist()):
             out[did] = cols[0][i] if len(cols) == 1 else tuple(c[i] for c in cols)
         return out
+
+
+def _default_doc_source(ds: rd.Dataset, id_col: str, need_col: str,
+                        max_rows: int = 200_000):
+    """Doc-store default when the caller didn't pass one: the dataset's own
+    parquet input files when it was read straight from parquet (targeted
+    filtered fetches — nothing materializes), else a driver-broadcast copy
+    CAPPED at ``max_rows`` (tests / small corpora).  A corpus-sized driver
+    concat must never happen implicitly — above the cap this raises and the
+    caller passes ``doc_source`` (the parquet path) explicitly.
+
+    Note: the file fallback assumes ``id_col``/``need_col`` are stored
+    unmodified in those files — if the pipeline transformed them upstream,
+    pass ``doc_source`` explicitly."""
+    import pyarrow.parquet as pq
+
+    files = [f for f in (ds.input_files() or []) if f.endswith(".parquet")]
+    if files:
+        try:
+            names = set(pq.read_schema(files[0]).names)
+        except OSError:
+            names = set()
+        if id_col in names and need_col in names:
+            return files
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"doc_source is required at this scale ({n} rows > {max_rows}): "
+            f"refusing to materialize the corpus on the driver — pass the "
+            f"parquet path(s) of the (id, {need_col}) store")
+    return ray.put(pa.concat_tables(
+        ray.get(ds.select_columns([id_col, need_col]).to_arrow_refs())))
 
 
 def _pair_dedupe(pairs: rd.Dataset) -> rd.Dataset:
@@ -441,26 +472,37 @@ def minhash_lsh_pairs(
 
     The band shuffle carries (id, band_key) ONLY — document text never enters
     an exchange; verification re-fetches just the candidate docs via
-    ``doc_source`` (parquet path / small table; defaults to materializing
-    ``ds`` — fine for tests, pass the parquet path at scale)."""
+    ``doc_source`` (parquet path / small table; defaults to the dataset's own
+    parquet input files when it was read from parquet, else to a
+    driver-capped broadcast — pass the path explicitly at scale)."""
     rows_per_band = num_perm // bands
+    if bands > 31:
+        raise ValueError(f"bands={bands} > 31: band tag overflows the int64 key")
     if doc_source is None:
-        doc_source = ray.put(pa.concat_tables(
-            ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs())))
+        doc_source = _default_doc_source(ds, id_col, text_col)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sigs = batch["sig"].to_pylist()
-        out_id, out_key = [], []
-        for i, sig in enumerate(sigs):
-            s = np.asarray(sig, dtype=np.uint64)
-            for b in range(bands):
-                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = int(np.bitwise_xor.reduce(chunk * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 63) - 1))
-                out_id.append(ids[i])
-                out_key.append(f"{b}:{bh}")
-        return pa.table({id_col: pa.array(out_id, type=batch[id_col].type),
-                         "band_key": pa.array(out_key)})
+        # fully vectorized banding: one reshape + per-band xor-reduce over the
+        # (n, num_perm) signature matrix, int64 (band << 58 | hash) keys.
+        # The 58-bit truncation (vs the oracle's 63-bit band hash) can only
+        # MERGE buckets (extra candidates, removed by the TRUE-Jaccard
+        # verify), never split an oracle bucket — recall is preserved.
+        sig = batch["sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        n = len(sig)
+        flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            # remainder perms past bands*rows_per_band are ignored (only full
+            # bands hash), like the scalar banding this replaced
+            mixed = (flat.reshape(n, num_perm)[:, : bands * rows_per_band]
+                     * np.uint64(0x9E3779B97F4A7C15))
+        bh = np.bitwise_xor.reduce(mixed.reshape(n, bands, rows_per_band), axis=2)
+        keys = ((np.arange(bands, dtype=np.uint64) << np.uint64(58))[None, :]
+                | (bh & np.uint64((1 << 58) - 1))).ravel()
+        take = pa.array(np.repeat(np.arange(n), bands))
+        return pa.table({id_col: batch[id_col].take(take),
+                         "band_key": pa.array(keys.view(np.int64), type=pa.int64())})
 
     keyed = (
         # autoscaling actor pool (1, N): a FIXED pool of N would reserve N
@@ -507,18 +549,18 @@ def simhash_pairs(
         return pa.table({id_col: batch[id_col], "sim": pa.array(sv, type=pa.int64())})
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sigs = batch["sim"].to_numpy(zero_copy_only=False)
-        usigs = sigs.view(np.uint64)
-        oi, ob, os_ = [], [], []
-        for i in range(len(ids)):
-            u = int(usigs[i])
-            for b in range(4):
-                oi.append(ids[i])
-                ob.append(f"{b}:{(u >> (16 * b)) & 0xFFFF}")
-                os_.append(int(sigs[i]))
-        return pa.table({id_col: pa.array(oi, type=batch[id_col].type),
-                         "band_key": pa.array(ob), "sim": pa.array(os_, type=pa.int64())})
+        # fully vectorized 4×16-bit banding: int64 (band << 16 | chunk) keys
+        # — injective over (band, chunk), so bucket equality is IDENTICAL to
+        # the string keys this replaced (no per-row Python loop)
+        u = batch["sim"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = ((bands << np.uint64(16))[None, :]
+                | ((u[:, None] >> (np.uint64(16) * bands)[None, :])
+                   & np.uint64(0xFFFF))).ravel()
+        take = pa.array(np.repeat(np.arange(len(u)), 4))
+        return pa.table({id_col: batch[id_col].take(take),
+                         "band_key": pa.array(keys.view(np.int64), type=pa.int64()),
+                         "sim": batch["sim"].take(take)})
 
     keyed = ds.map_batches(sig_fn, batch_format="pyarrow").map_batches(
         explode, batch_format="pyarrow")
@@ -559,10 +601,11 @@ def ngram_jaccard_pairs(
     shingle's doc frequency (any pair with Jaccard > 0 shares a shingle,
     hence a bucket → recall is exact down to Jaccard > 0, modulo buckets
     skipped by ``max_bucket_occupancy``).  The shuffle carries
-    (id, shingle_hash) only; TRUE Jaccard is verified against the doc store."""
+    (id, shingle_hash) only; TRUE Jaccard is verified against the doc store
+    (``doc_source`` defaults like ``minhash_lsh_pairs``: input parquet files,
+    else a row-capped broadcast — pass the path explicitly at scale)."""
     if doc_source is None:
-        doc_source = ray.put(pa.concat_tables(
-            ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs())))
+        doc_source = _default_doc_source(ds, id_col, text_col)
 
     def explode_shingle_hashes(batch: pa.Table) -> pa.Table:
         from ..functions.textstats import shingle_hashes_column
@@ -744,17 +787,88 @@ def embedding_neardup_pairs(
                      "cos_i4": pa.array(out["cos_i4"], type=pa.int64())})
 
 
+class VerifyCosineStage:
+    """Actor stage over candidate-pair batches: fetch both vectors from the
+    vector store, exact cosine (dot of normalized rows, fully vectorized per
+    batch), keep pairs ≥ threshold.  Mirrors ``VerifyJaccardStage``: an
+    autoscaling actor pool whose per-actor (id → normalized row) cache
+    persists across batches — candidate batches are bucket-clustered, so a
+    vector in thousands of pairs is fetched once per actor."""
+
+    CACHE_CAP = 200_000
+
+    def __init__(self, source, id_col: str, vec_col: str, threshold: float):
+        self.fetcher = DocFetcher(source, id_col, [vec_col])
+        self.threshold = threshold
+        self._ids: np.ndarray | None = None  # sorted id keys
+        self._M: np.ndarray | None = None    # normalized rows, id-sorted
+
+    def _ensure(self, need: set) -> None:
+        from .similarity import _normalize
+
+        have = set() if self._ids is None else set(self._ids.tolist())
+        missing = need - have
+        if not missing:
+            return
+        if len(have) + len(missing) > self.CACHE_CAP:
+            # candidate batches are bucket-clustered — clearing barely costs
+            # hit rate; refetch everything this call still needs
+            self._ids, self._M = None, None
+            missing = set(need)
+        vecs = self.fetcher.fetch(missing)
+        absent = missing - vecs.keys()
+        if absent:
+            # an id the vector store can't produce is a stale/partial store —
+            # a zero-filled fallback would silently pair NOTHING or everything
+            raise KeyError(
+                f"vector store is missing {len(absent)} candidate id(s), "
+                f"e.g. {sorted(absent)[:5]} — stale or partial vec_source?")
+        mids = sorted(missing)
+        Mnew = _normalize(np.asarray([vecs[i] for i in mids], dtype=np.float64))
+        if self._ids is None:
+            self._ids, self._M = np.asarray(mids), Mnew
+        else:
+            all_ids = np.concatenate([self._ids, np.asarray(mids)])
+            order = np.argsort(all_ids, kind="stable")
+            self._ids = all_ids[order]
+            self._M = np.concatenate([self._M, Mnew])[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import quantize_i4
+
+        if batch.num_rows == 0:
+            return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                             "cos_i4": pa.array([], type=pa.int64())})
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        self._ensure(set(a.tolist()) | set(b.tolist()))
+        # vectorized gather: sorted-id searchsorted → row indices → one
+        # einsum row-wise dot of normalized rows (cosine); no per-pair Python
+        Ma = self._M[np.searchsorted(self._ids, a)]
+        Mb = self._M[np.searchsorted(self._ids, b)]
+        sims = np.einsum("ij,ij->i", Ma, Mb)
+        keep = sims >= self.threshold
+        t = batch.filter(pa.array(keep))
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "cos_i4": pa.array(quantize_i4(sims[keep]), type=pa.int64())})
+
+
 def embedding_neardup_pairs_lsh(
     ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.9,
     n_planes: int = 16, bands: int = 4, seed: int = 11,
     max_bucket_occupancy: int | None = 4096,
+    vec_source=None, concurrency: int = 8,
 ) -> rd.Dataset:
     """Scale path: banded sign-LSH bucketing (like MinHash bands — a pair is
     a candidate if ANY band of hyperplane signs matches exactly), exact
-    cosine verified in-bucket.  One groupby whose rows carry
-    (id, band_key, vec); approximate — recall rises with bands and falls
-    with tighter buckets (asserted ≥ baseline in pytest)."""
-    from .similarity import _matrix, _normalize, quantize_i4
+    cosine verified per candidate pair.  The exchange carries (id, int64
+    band_key) ONLY — vectors stay at rest and are re-fetched just for
+    candidate ids via ``vec_source`` (same contract as the text dedup
+    operators' ``doc_source``).  Candidates come from the shared sort-based
+    run generator (``_candidate_pairs``) — no per-bucket ``map_groups``.
+    Approximate — recall rises with bands and falls with tighter buckets
+    (asserted ≥ baseline in pytest)."""
+    from .similarity import _matrix, _normalize
 
     planes_by_dim: dict[int, np.ndarray] = {}
     per_band = n_planes // bands
@@ -769,6 +883,8 @@ def embedding_neardup_pairs_lsh(
     # scalar banding this replaced (only full bands hash)
     pow2 = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
     band_tag = (np.arange(bands, dtype=np.int64) << np.int64(per_band))
+    if vec_source is None:
+        vec_source = _default_doc_source(ds, id_col, vec_col)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         M = _normalize(_matrix(batch[vec_col]))
@@ -782,42 +898,13 @@ def embedding_neardup_pairs_lsh(
         keys = (band_tag[None, :] | codes).ravel()
         take = pa.array(np.repeat(np.arange(batch.num_rows), bands))
         return pa.table({id_col: batch[id_col].take(take),
-                         "band_key": pa.array(keys, type=pa.int64()),
-                         vec_col: batch[vec_col].take(take)})
+                         "band_key": pa.array(keys, type=pa.int64())})
 
-    def _empty(g: pd.DataFrame) -> pd.DataFrame:
-        # explicit dtypes: a bare empty frame defaults every column to
-        # float64, poisoning schema unification (and rounding 64-bit ids)
-        # in blocks that mix skipped and real groups
-        return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
-                             "id_b": pd.Series([], dtype=g[id_col].dtype),
-                             "cos_i4": pd.Series([], dtype=np.int64)})
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2 or (max_bucket_occupancy is not None and len(g) > max_bucket_occupancy):
-            return _empty(g)
-        ids = g[id_col].to_numpy()
-        Mn = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
-        sims = Mn @ Mn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        m = sims[iu, ju] >= threshold
-        if not m.any():
-            return _empty(g)
-        iu, ju = iu[m], ju[m]
-        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju],
-                             "cos_i4": quantize_i4(sims[iu, ju])})
-
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+    keyed = ds.map_batches(bucketize, batch_format="pyarrow")
+    candidates = _candidate_pairs(keyed, id_col, "band_key", max_bucket_occupancy)
+    return candidates.map_batches(
+        VerifyCosineStage,
+        fn_constructor_kwargs={"source": vec_source, "id_col": id_col,
+                               "vec_col": vec_col, "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
     )
-    # value-preserving dedupe: the same pair surfaces from several bands with
-    # the SAME cosine (it's a function of the pair), so grouped MIN keeps it —
-    # _pair_dedupe would silently drop the cos_i4 column.  Aliased aggregate
-    # (not rename_columns): the Project op can't rename pandas-format blocks.
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("cos_i4", alias_name="cos_i4"))
