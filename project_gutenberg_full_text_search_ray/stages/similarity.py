@@ -146,6 +146,42 @@ def kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 13) -> n
     return cent
 
 
+def _train_sample_vectors(ds: rd.Dataset, vec_col: str, id_col: str,
+                          train_sample: int) -> np.ndarray:
+    """UNBIASED deterministic k-means training sample: per-batch bottom-k by
+    a hash of the id (hash order statistics = a uniform sample without
+    replacement, independent of how the corpus is sorted or partitioned),
+    then one tiny distributed sort picks the global bottom ``train_sample``.
+
+    Replaces ``ds.limit(train_sample)``: the FIRST blocks of a sorted /
+    partitioned corpus are one biased corner of the vector space — centroids
+    trained there skew list occupancy (probe-all stays correct, which is why
+    an exactness oracle can't see the skew)."""
+    from pandas.util import hash_array
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = hash_array(np.asarray(ids.to_pylist(), dtype=object), categorize=False)
+        vecs = batch[vec_col]
+        if len(h) > train_sample:
+            idx = np.argpartition(h, train_sample - 1)[:train_sample]
+            h = h[idx]
+            vecs = vecs.take(pa.array(idx))
+        return pa.table({"__h": pa.array(h.view(np.int64), type=pa.int64()),
+                         vec_col: vecs})
+
+    from .dedup import _drop_empty_blocks
+
+    keyed = _drop_empty_blocks(
+        ds.select_columns([id_col, vec_col]).map_batches(bottomk, batch_format="pyarrow"))
+    if keyed.count() == 0:  # empty corpus — callers fall back / raise
+        return np.empty(0, dtype=np.float64)
+    rows = keyed.sort("__h").limit(train_sample).take_all()
+    return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     ds: rd.Dataset, vec_col: str, id_col: str, query_vecs: np.ndarray, k: int = 10,
     n_lists: int = 8, n_probe: int = 2, train_sample: int = 1024, seed: int = 13,
@@ -154,8 +190,7 @@ def ivf_topk(
     """IVF ANN scale path: train coarse centroids on a sample, assign every
     batch to its nearest list (vectorized argmax — no shuffle), and score only
     the vectors whose list is among the query's ``n_probe`` closest lists."""
-    sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sample = _train_sample_vectors(ds, vec_col, id_col, train_sample)
     if sample.size == 0:  # empty corpus → empty result, not an AxisError
         return brute_force_topk(ds, vec_col, id_col, query_vecs, k, exclude_ids)
     cent = kmeans_lite(sample, n_lists, seed=seed)
@@ -271,8 +306,7 @@ class IVFIndex:
         import json
         import os
 
-        sample_rows = ds.limit(train_sample).select_columns([vec_col]).take_all()
-        sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+        sample = _train_sample_vectors(ds, vec_col, id_col, train_sample)
         if sample.size == 0:
             raise ValueError("IVFIndex.build: dataset has no vectors")
         cent = kmeans_lite(sample, n_lists, seed=seed)

@@ -301,6 +301,41 @@ def test_ivf_persisted_index_prunes_and_matches_inmemory(ray_session, tmp_path):
     assert reloaded.topk(Q, k=10, n_probe=2, exclude_ids={0}).equals(got)
 
 
+def test_ivf_training_unbiased_on_sorted_input(ray_session, tmp_path):
+    """k-means training must sample the WHOLE corpus, not the first blocks:
+    on an input sorted by cluster, limit()-based sampling trains centroids in
+    one corner of the space and every other cluster piles into few lists.
+    With the hash-bottom-k sample, list occupancy stays balanced."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.similarity import IVFIndex
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)) * 4
+    rows = []
+    for c in range(4):  # SORTED by cluster — the adversarial layout
+        for i in range(512):
+            rows.append({"vec_id": c * 512 + i,
+                         "embedding": (centers[c] + rng.standard_normal(16) * 0.1).tolist()})
+    ds = rd.from_items(rows)  # from_items preserves order; first blocks = cluster 0
+    idx = IVFIndex.build(ds, "embedding", "vec_id", str(tmp_path / "ivf_sorted"),
+                         n_lists=4, train_sample=256)  # sample < one cluster
+    occ = []
+    for li in range(4):
+        d = os.path.join(str(tmp_path / "ivf_sorted"), "lists", f"ivf_list={li}")
+        n = (rd.read_parquet(d).count() if os.path.isdir(d) else 0)
+        occ.append(n)
+    occ.sort()
+    assert sum(occ) == 2048
+    # balanced: every list populated and max/median bounded (a limit()-trained
+    # index on this layout collapses 3 clusters into 1-2 lists)
+    assert occ[0] > 0
+    assert occ[-1] <= 3 * max(1, occ[1])
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
     """Unlike MinHash-LSH, the shingle-bucket candidate generation is exact
     for Jaccard > 0, so the result must EQUAL the brute-force pair set."""
