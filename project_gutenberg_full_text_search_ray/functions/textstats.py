@@ -53,6 +53,73 @@ def quality_metrics(tokens: list[str], text: str) -> dict:
     }
 
 
+def predict_language_column(
+    texts: pa.Array, analyzer: Analyzer = DEFAULT_ANALYZER,
+) -> np.ndarray:
+    """Vectorized ``predict_language`` over a string column → object array of
+    lang codes, row-identical to the scalar form: one ``tokenize_column``
+    pass, per-language marker hits via ``np.isin`` + ``bincount``, argmax
+    with the same first-alphabetical tie-break ('hits > best' over sorted
+    langs == argmax taking the first maximum), CJK short-circuit via one
+    Arrow regex pass.  Replaces a per-row token loop."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    langs = sorted(STOPWORD_MARKERS)
+    terms, doc_index, _ = analyzer.tokenize_column(texts)
+    terms = np.asarray(terms, dtype=object)
+    hits = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        m = np.isin(terms, list(STOPWORD_MARKERS[lang]))
+        if m.any():
+            hits[:, j] = np.bincount(doc_index[m], minlength=n)
+    best = hits.argmax(axis=1)  # first max == scalar 'hits > best' tie-break
+    out = np.asarray(langs, dtype=object)[best]
+    out[hits.max(axis=1) == 0] = "und"
+    cjk = pc.match_substring_regex(
+        pc.coalesce(texts, pa.scalar("")), "[一-鿿]").to_numpy(zero_copy_only=False)
+    out[cjk] = "zh"
+    return out
+
+
+def quality_metrics_column(
+    texts: pa.Array, analyzer: Analyzer = DEFAULT_ANALYZER,
+) -> dict[str, np.ndarray]:
+    """Vectorized ``quality_metrics`` over a string column → int64 arrays
+    {n_tokens, distinct_terms, stop_hits, n_chars}, row-identical to the
+    scalar form: one tokenize pass; distinct terms via a (doc, term-code)
+    lexsort-dedupe; stop hits via ``np.isin`` + weighted bincount."""
+    import pandas as _pd
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    terms, doc_index, _ = analyzer.tokenize_column(texts)
+    terms = np.asarray(terms, dtype=object)
+    n_tokens = np.bincount(doc_index, minlength=n).astype(np.int64)
+    if len(terms):
+        codes, _ = _pd.factorize(terms, sort=False)
+        order = np.lexsort((codes, doc_index))
+        dc, cc = doc_index[order], codes[order]
+        first = np.empty(len(dc), dtype=bool)
+        first[0] = True
+        first[1:] = (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])
+        distinct = np.bincount(dc[first], minlength=n).astype(np.int64)
+        m = np.isin(terms, list(STOPWORD_MARKERS["en"]))
+        stop_hits = (np.bincount(doc_index[m], minlength=n).astype(np.int64)
+                     if m.any() else np.zeros(n, dtype=np.int64))
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
+        stop_hits = np.zeros(n, dtype=np.int64)
+    n_chars = pc.utf8_length(pc.coalesce(texts, pa.scalar(""))).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    return {"n_tokens": n_tokens, "distinct_terms": distinct,
+            "stop_hits": stop_hits, "n_chars": n_chars}
+
+
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 

@@ -402,18 +402,18 @@ def q_token_counts(sf_dir: str) -> pa.Table:
 
 
 def q_quality_scores(sf_dir: str) -> pa.Table:
-    from ..functions.analyzer import DEFAULT_ANALYZER
-    from ..functions.textstats import quality_metrics
+    from ..functions.textstats import quality_metrics_column
 
     def score(batch: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "n_tokens": [], "distinct_terms": [], "stop_hits": []}
-        for did, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            m = quality_metrics(DEFAULT_ANALYZER.tokenize(txt or ""), txt or "")
-            rows["doc_id"].append(did)
-            rows["n_tokens"].append(m["n_tokens"])
-            rows["distinct_terms"].append(m["distinct_terms"])
-            rows["stop_hits"].append(m["stop_hits"])
-        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+        # one vectorized column pass (row-identical to the scalar
+        # quality_metrics fold — pytest asserts the equivalence)
+        m = quality_metrics_column(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(m["n_tokens"], type=pa.int64()),
+            "distinct_terms": pa.array(m["distinct_terms"], type=pa.int64()),
+            "stop_hits": pa.array(m["stop_hits"], type=pa.int64()),
+        })
 
     t = (
         _docs_ds(sf_dir, ["doc_id", "text"])
@@ -600,13 +600,13 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_langid(sf_dir: str) -> pa.Table:
-    from ..functions.analyzer import DEFAULT_ANALYZER
-    from ..functions.textstats import predict_language
+    from ..functions.textstats import predict_language_column
 
     def pred(batch: pa.Table) -> pa.Table:
-        preds = [predict_language(DEFAULT_ANALYZER.tokenize(t or ""), raw_text=t or "")
-                 for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds)})
+        # vectorized marker-hit langid (row-identical to the scalar kernel)
+        preds = predict_language_column(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pred_lang": pa.array(preds, type=pa.string())})
 
     t = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(pred, batch_format="pyarrow").to_pandas()
     agg = t.groupby("pred_lang").size().reset_index(name="n").sort_values("pred_lang")

@@ -286,3 +286,38 @@ def test_shingle_hashes_column_matches_scalar():
     for i, t in enumerate(texts):
         exp = sorted(shingle_hashes(DEFAULT_ANALYZER.tokenize(t or ""), 3).tolist())
         assert per_doc.get(i, []) == exp, (i, t)
+
+
+def test_langid_quality_columns_match_scalar():
+    """Vectorized langid/quality column kernels must be row-identical to the
+    scalar folds on adversarial rows: NULL, empty, CJK, marker ties, dups."""
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.functions.textstats import (
+        predict_language,
+        predict_language_column,
+        quality_metrics,
+        quality_metrics_column,
+    )
+
+    texts = [
+        "the quick brown fox and the dog",       # en
+        "le chat est sur la table et le lit",    # fr
+        "el perro y el gato es que por",         # es
+        "der hund und die katze ist ein tier",   # de
+        None, "",                                 # null / empty -> und
+        "de un une le el",                        # cross-language tie
+        "漢字テスト mixed with the and of",        # CJK short-circuit -> zh
+        "zzz qqq xxx",                            # no markers -> und
+        "dup dup dup the the",                    # dup tokens
+    ]
+    col = pa.array(texts, type=pa.string())
+    got_lang = predict_language_column(col)
+    qm = quality_metrics_column(col)
+    for i, t in enumerate(texts):
+        toks = DEFAULT_ANALYZER.tokenize(t or "")
+        assert got_lang[i] == predict_language(toks, raw_text=t or ""), (i, t)
+        exp = quality_metrics(toks, t or "")
+        for k in ("n_tokens", "distinct_terms", "stop_hits", "n_chars"):
+            assert int(qm[k][i]) == exp[k], (i, t, k)
