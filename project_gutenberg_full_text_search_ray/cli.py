@@ -151,6 +151,11 @@ def main(argv: list[str] | None = None) -> int:
         q = q.order_by(RELEVANCE)
     elif args.order == "random":
         q = q.order_by(RANDOM)
+    elif args.order == "identity":
+        # identity order == ascending id columns (same ordering the
+        # contains-multi path serves): order by the leading id column — the
+        # merge comparator tie-breaks on the remaining id cols ascending
+        q = q.order_by(eng.spec.id_cols[0], descending=False)
     else:
         q = q.order_by(args.order, descending=not args.asc)
     q = q[args.page, args.size]

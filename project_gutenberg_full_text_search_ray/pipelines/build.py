@@ -145,8 +145,20 @@ def build_index(
     """Build (or resume) an index generation at ``index_dir``."""
     paths: list[str] | None = None
     ds = None
+    def _absolutize(s: str) -> str:
+        # absolutize sources AT BUILD TIME: the manifest records
+        # input_sources for refresh, and a refresh run from a different cwd
+        # with relative recorded sources would re-expand different files (or
+        # none) and silently full-rebuild.  Globs keep their pattern (just
+        # anchored); concrete paths take realpath so symlinked mounts
+        # fingerprint identically across hosts.
+        if any(c in s for c in "*?"):
+            return s if os.path.isabs(s) else os.path.join(os.getcwd(), s)
+        return os.path.realpath(s)
+
     if isinstance(source, (str, list)):
-        raw = [source] if isinstance(source, str) else list(source)
+        raw = [_absolutize(s) for s in
+               ([source] if isinstance(source, str) else list(source))]
         paths = []
         for s in raw:
             # every element may be a directory or a glob, same as the
@@ -291,7 +303,7 @@ def build_index(
         input_fp=input_fp, input_paths=paths,
         n_segments=n_segments, store_positions=store_positions,
         expected_fps=expected_fps, target_rows=target_rows,
-        input_sources=(source if paths is not None else None),
+        input_sources=(raw if paths is not None else None),
     )
 
 

@@ -198,13 +198,43 @@ class SearchAPI:
         the expensive part and must not run twice per request).  Shared by
         the HTTP feed and the CLI so their filter/paging semantics can't
         drift.  ``count_only`` skips the page sort entirely — a count of a
-        million-match pattern must not pay a distributed sort it discards."""
+        million-match pattern must not pay a distributed sort it discards.
+
+        Paging is TOP-K, not a distributed sort: each block keeps its local
+        bottom-k by identity (one vectorized Arrow sort per block), the
+        driver merges the partials — "first page of a million-match pattern"
+        moves k×blocks rows instead of every match through a range exchange.
+        Beyond a deep-paging bound the driver-side partial merge would hold
+        more rows than the sort moves, so it falls back to sort+limit."""
+        import pyarrow.compute as pc
+
+        import ray
+
         ds = engine.contains_multi_dataset(query, filters=filters or None,
                                            field=field).materialize()
         total = int(ds.count())
         if count_only:
             return total, []
-        head = ds.sort(list(spec.id_cols)).limit(page * limit).take_all()
+        k = page * limit
+        keys = [(c, "ascending") for c in spec.id_cols]
+        if k > 10_000:  # deep paging: the k×blocks driver merge stops paying
+            head = ds.sort(list(spec.id_cols)).limit(k).take_all()
+            return total, head[(page - 1) * limit: page * limit]
+
+        def local_bottomk(b: pa.Table) -> pa.Table:
+            if b.num_rows <= k:
+                return b
+            idx = pc.sort_indices(b, sort_keys=keys)
+            return b.take(idx.slice(0, k))
+
+        parts = [t for t in ray.get(
+            ds.map_batches(local_bottomk, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        if not parts:
+            return total, []
+        merged = pa.concat_tables(parts)
+        idx = pc.sort_indices(merged, sort_keys=keys)
+        head = merged.take(idx.slice(0, k)).to_pylist()
         return total, head[(page - 1) * limit: page * limit]
 
     def _contains_multi_feed(self, engine, spec, query: str, params: dict,

@@ -122,8 +122,12 @@ def distinct_count(
     most ``k`` rows leave any batch regardless of cardinality.  If the
     merged sketch holds fewer than ``k`` hashes it has seen EVERY distinct
     value and the count is exact (``exact=True`` — the SQL-oracle-checkable
-    regime); otherwise the classic KMV estimator (k-1)/h_(k) scaled to the
-    hash space, unbiased with RSE ≈ 1/√(k−2).  NULL counts as one value
+    regime) — exact up to 64-bit hash collisions: two distinct values
+    colliding would undercount by one while still claiming exactness, with
+    probability ≈ n²/2⁶⁵ (< 1e-10 below a million distinct values; callers
+    needing collision-free exactness at tiny cardinalities should count raw
+    values instead).  Otherwise the classic KMV estimator (k-1)/h_(k) scaled
+    to the hash space, unbiased with RSE ≈ 1/√(k−2).  NULL counts as one value
     (DuckDB's count(DISTINCT) ignores NULL — callers subtract it; the
     driver query does)."""
     from ..functions.textstats import token_hashes

@@ -175,7 +175,17 @@ def ensure_trigram_index(index_dir: str) -> str:
                 if _committed():
                     return out
                 # occupant (if any) has no matching _DONE → never committed
-                # → no reader can hold it → safe to clear under the lock
+                # → no reader can hold it → safe to clear under the lock.
+                # Refresh the lock mtime first: waiters break locks older
+                # than LOCK_STALE_S, so the critical section's long op (this
+                # rmtree of a stale occupant) gets the FULL window measured
+                # from here, not from lock creation.  Assumption (documented,
+                # not enforced): rmtree+rename completes well under
+                # LOCK_STALE_S from this touch — beyond that a waiter may
+                # break in, which is benign-by-construction (both builds of
+                # the same generation have identical content) but
+                # double-work.
+                os.utime(lock)
                 shutil.rmtree(out, ignore_errors=True)
                 os.rename(tmp, out)
                 won = True

@@ -54,7 +54,11 @@ def parquet_input_fingerprint(paths: list[str], metas: dict | None = None) -> st
         st = os.stat(p)
         md = metas.get(p) if metas is not None else None
         nrows = (md if md is not None else pq.read_metadata(p)).num_rows
-        parts.append(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}:{nrows}")
+        # realpath, not abspath: relative sources + a different refresh cwd
+        # (or a symlinked mount) must not change the fingerprint and silently
+        # miss the resume fast-path.  (One-time migration: pre-realpath
+        # indexes whose paths contained symlinks re-fingerprint once.)
+        parts.append(f"{os.path.realpath(p)}:{st.st_size}:{st.st_mtime_ns}:{nrows}")
     return fingerprint(*parts)
 
 

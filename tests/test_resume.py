@@ -422,3 +422,49 @@ def test_service_worker_restart_stays_on_pinned_generation(ray_session, tmp_path
         _ray.kill(w)
     finally:
         svc.shutdown()
+
+
+def test_resume_fast_path_survives_cwd_change(ray_session, small_corpus, tmp_path):
+    """Sources are absolutized at build time and fingerprinted by realpath,
+    so a rebuild launched from a DIFFERENT working directory with the same
+    relative source still hits the resume fast-path (no silent full
+    rebuild)."""
+    idx = str(tmp_path / "idx_cwd")
+    old_cwd = os.getcwd()
+    parent = os.path.dirname(small_corpus)
+    rel = os.path.basename(small_corpus)
+    try:
+        os.chdir(parent)
+        info1 = _build(rel, idx)  # relative source
+        mtimes1 = {p: os.path.getmtime(p)
+                   for p in glob.glob(os.path.join(idx, "seg=*", "postings.parquet"))}
+        os.chdir(old_cwd)  # different cwd; same relative path would now dangle
+        info2 = _build(os.path.join(parent, rel), idx)
+        assert info2.build_fp == info1.build_fp
+        mtimes2 = {p: os.path.getmtime(p)
+                   for p in glob.glob(os.path.join(idx, "seg=*", "postings.parquet"))}
+        assert mtimes2 == mtimes1  # fast path: nothing rebuilt
+        # the committed manifest records absolute sources
+        m = json.load(open(os.path.join(idx, "manifest.json")))
+        assert all(os.path.isabs(s) for s in m["input_sources"])
+    finally:
+        os.chdir(old_cwd)
+
+
+def test_cli_identity_order_on_regular_path(ray_session, small_corpus, tmp_path):
+    """--order identity must work on the regular indexed path (ascending id
+    columns), not just contains-multi (ADVICE r2)."""
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    idx = str(tmp_path / "idx_cli_ident")
+    _build(small_corpus, idx)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["search", idx, "the", "--order", "identity", "--size", "10"])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    ids = [(r["conv_id"], r["turn_idx"]) for r in out["rows"]]
+    assert ids == sorted(ids) and len(ids) > 1
