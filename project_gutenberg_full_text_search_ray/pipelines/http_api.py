@@ -35,6 +35,7 @@ import pyarrow as pa
 
 DEFAULT_LIMIT = 28
 MAX_LIMIT = 100
+SAMPLE_LIMIT = 15  # per-section random-sample size (opds.py:20 SAMPLE_LIMIT)
 
 
 class BadRequest(ValueError):
@@ -103,7 +104,154 @@ class SearchAPI:
                 {"rel": "search", "href": "/search?query={searchTerms}"},
                 {"rel": "count", "href": "/count?query={searchTerms}"},
                 {"rel": "facets", "href": "/facets?col={column}"},
+                {"rel": "values", "href": "/values?col={column}"},
+                {"rel": "browse", "href": "/browse?col={column}"},
+                {"rel": "hierarchy", "href": "/hierarchy?prefix={prefix}"},
             ],
+        }
+
+    # ---------------------------------------------------- browse navigation
+    def _engine(self):
+        return getattr(self.backend, "engine", self.backend)
+
+    def values(self, params: dict) -> dict:
+        """Controlled-vocabulary discovery: the valid values of a stored
+        column + doc counts (the reference ships these as API constants,
+        search/constants.py:18-310; here they're derived by one cached
+        groupby — engine.value_counts)."""
+        col = params.get("col", "")
+        if not col:
+            raise BadRequest("values needs ?col=<stored column>")
+        try:
+            vc = self._engine().value_counts(col)
+        except ValueError as e:
+            raise BadRequest(str(e)) from None
+        return {"col": col,
+                "values": [{"value": _json_val(v), "n": int(n)}
+                           for v, n in zip(vc[col].to_pylist(), vc["n"].to_pylist())]}
+
+    def browse(self, params: dict) -> dict:
+        """Curated-section browse — the bookshelves surface (opds.py:356-594):
+
+        * ``/browse?col=c`` — sections feed: ``navigation`` lists EVERY value
+          of the column with its doc count; ``groups`` carries a seeded
+          random sample of ``SAMPLE_LIMIT`` docs for the top ``sections``
+          values (reference per-shelf samples, opds.py:543-561).
+        * ``/browse?col=c&value=v`` — one section: seeded random sample page
+          of that value's docs (O6 per-group seeded sample + pagination).
+        """
+        col = params.get("col", "")
+        if not col:
+            raise BadRequest("browse needs ?col=<stored column>")
+        eng = self._engine()
+        try:
+            seed = int(params.get("seed", 42))
+        except (TypeError, ValueError):
+            seed = 42
+        value = params.get("value")
+        if value is not None:
+            page, limit = parse_pagination(params.get("page", 1),
+                                           params.get("limit", SAMPLE_LIMIT),
+                                           default_limit=SAMPLE_LIMIT)
+            res = self._section_sample(col, _coerce(value), seed, page, limit)
+            return {
+                "title": f"{self.title}: {col}={value}",
+                "col": col, "value": _json_val(_coerce(value)),
+                "total": int(res.total), "page": page, "limit": limit,
+                "publications": _json_rows(res.table),
+                "links": self._pagination_links("/browse", params, page, limit,
+                                                int(res.total)),
+            }
+        try:
+            vc = eng.value_counts(col)
+        except ValueError as e:
+            raise BadRequest(str(e)) from None
+        try:
+            n_sections = max(0, min(50, int(params.get("sections", 5))))
+        except (TypeError, ValueError):
+            n_sections = 5
+        vals = list(zip(vc[col].to_pylist(), vc["n"].to_pylist()))
+        navigation = [{
+            "href": f"/browse?{urlencode({'col': col, 'value': v})}",
+            "title": f"{v} ({int(n)} docs)",
+            "rel": "subsection",
+        } for v, n in vals if v is not None]
+        # reference sections: per-shelf random samples, biggest shelves first
+        groups = []
+        for v, n in sorted(vals, key=lambda t: (-t[1], str(t[0])))[:n_sections]:
+            if v is None:
+                continue
+            res = self._section_sample(col, v, seed, 1, SAMPLE_LIMIT)
+            groups.append({
+                "metadata": {"title": str(v), "numberOfItems": int(res.total)},
+                "links": [{"rel": "self",
+                           "href": f"/browse?{urlencode({'col': col, 'value': v})}"}],
+                "publications": _json_rows(res.table),
+            })
+        return {"title": f"{self.title}: browse {col}",
+                "metadata": {"numberOfItems": len(navigation)},
+                "links": [{"rel": "self", "href": f"/browse?col={col}"},
+                          {"rel": "start", "href": "/"}],
+                "navigation": navigation, "groups": groups}
+
+    def _section_sample(self, col: str, value, seed: int, page: int, limit: int):
+        """One section's seeded per-group sample: eq filter + seeded RANDOM
+        order + pagination — the O6 kernel the sample_per_source oracle
+        pins."""
+        from .search import RANDOM
+
+        q = self.backend.query().eq(col, value).order_by(RANDOM, seed=seed)
+        q[page, limit]
+        return self.backend.execute(q)
+
+    def hierarchy(self, params: dict) -> dict:
+        """Prefix-hierarchy navigation — the LoCC tree surface
+        (opds.py:598-811): children of ``prefix`` one char deeper with doc
+        counts and has-children flags; a prefix with NO children is a leaf
+        and returns its docs page (identity-ordered), like the reference's
+        leaf → books fallthrough."""
+        eng = self._engine()
+        spec = getattr(self.backend, "spec", None) or eng.spec
+        col = params.get("col") or spec.id_cols[0]
+        prefix = params.get("prefix", "")
+        try:
+            children = eng.prefix_children(col, prefix)
+        except ValueError as e:
+            raise BadRequest(str(e)) from None
+        if children.num_rows:
+            navigation = [{
+                "href": f"/hierarchy?{urlencode({'col': col, 'prefix': c})}",
+                "title": f"{c} ({int(n)} docs)",
+                "rel": "subsection",
+                "has_children": bool(hc),
+            } for c, n, hc in zip(children["child"].to_pylist(),
+                                  children["n"].to_pylist(),
+                                  children["has_children"].to_pylist())]
+            return {
+                "title": prefix or f"{col} hierarchy",
+                "metadata": {"numberOfItems": len(navigation)},
+                "links": [
+                    {"rel": "self",
+                     "href": f"/hierarchy?{urlencode({'col': col, 'prefix': prefix})}"},
+                    {"rel": "start", "href": "/"},
+                    {"rel": "up",
+                     "href": (f"/hierarchy?{urlencode({'col': col, 'prefix': prefix[:-1]})}"
+                              if prefix else "/")},
+                ],
+                "navigation": navigation,
+            }
+        # leaf: identity-ordered docs under this exact prefix
+        page, limit = parse_pagination(params.get("page", 1),
+                                       params.get("limit", DEFAULT_LIMIT))
+        q = self.backend.query().prefix(col, prefix)
+        q.order_by(spec.id_cols[0], descending=False)[page, limit]
+        res = self.backend.execute(q)
+        return {
+            "title": prefix, "col": col, "prefix": prefix,
+            "total": int(res.total), "page": page, "limit": limit,
+            "results": _json_rows(res.table),
+            "links": self._pagination_links("/hierarchy", params, page, limit,
+                                            int(res.total)),
         }
 
     def search(self, params: dict, count_only: bool = False) -> dict:
@@ -343,6 +491,12 @@ class SearchAPI:
                 return 200, self.count(params)
             if path == "/facets":
                 return self.facets(params)
+            if path == "/values":
+                return 200, self.values(params)
+            if path == "/browse":
+                return 200, self.browse(params)
+            if path == "/hierarchy":
+                return 200, self.hierarchy(params)
             return 404, {"error": f"no such endpoint: {path}"}
         except BadRequest as e:
             return 400, {"error": str(e)}

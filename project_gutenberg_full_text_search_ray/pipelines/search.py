@@ -251,6 +251,8 @@ class FullTextSearchEngine:
         # qualified dirs): a refresh writing the next generation is invisible
         self.seg_dirs, self.dict_dir = resolve_dirs(index_dir, self.manifest)
         self._df_cache: dict[str, int] = {}
+        self._vocab_cache: dict[str, pa.Table] = {}
+        self._children_cache: dict[tuple, pa.Table] = {}
         self._custom_transformer: Transformer | None = None
         self._dict_paths = sorted(
             os.path.join(self.dict_dir, f)
@@ -415,6 +417,80 @@ class FullTextSearchEngine:
         page-size clamp; n caps per-segment and merged k."""
         total, merged = self._run(q, k_override=n)
         return merged.slice(0, n)
+
+    def value_counts(self, col: str) -> pa.Table:
+        """Controlled-vocabulary discovery — the reference ships its
+        vocabularies as API constants (Language / LoCCMainClass /
+        CuratedBookshelves / FileType, /root/reference/search/
+        constants.py:18-310); a transcript corpus's role/tool values are
+        data, so this DERIVES them: distinct values + doc counts of a stored
+        column via one column-pruned read + groupby over the segment doc
+        stores.  Cached per column — vocabularies only change on refresh and
+        the engine is generation-pinned, so the cache can never go stale."""
+        if col not in (*self.spec.meta_cols, *self.spec.id_cols):
+            raise ValueError(f"value_counts: {col!r} is not a stored column "
+                             f"(stored: {(*self.spec.id_cols, *self.spec.meta_cols)})")
+        if col not in self._vocab_cache:
+            files = [os.path.join(self.seg_dirs[s], "docs.parquet")
+                     for s in self.seg_ids]
+            agg = (rd.read_parquet(files, columns=[col])
+                   .groupby(col).count().to_pandas()
+                   .rename(columns={"count()": "n"})
+                   .sort_values(col, na_position="last", kind="stable")
+                   .reset_index(drop=True))
+            self._vocab_cache[col] = pa.table({
+                col: pa.Array.from_pandas(agg[col]),
+                "n": pa.array(agg["n"], type=pa.int64())})
+        return self._vocab_cache[col]
+
+    def prefix_children(self, col: str, prefix: str, depth: int = 1) -> pa.Table:
+        """Prefix-hierarchy navigation (the reference's LoCC class tree with
+        has-children lookups, /root/reference/opds/opds.py:598-811): child
+        prefixes ``len(prefix)+depth`` chars deep under ``prefix``, each with
+        its doc count and a ``has_children`` flag (some value extends past
+        the child prefix).  One vectorized column pass + a tiny groupby over
+        the pruned doc stores; cached per (col, prefix, depth)."""
+        if col not in (*self.spec.meta_cols, *self.spec.id_cols):
+            raise ValueError(f"prefix_children: {col!r} is not a stored column")
+        key = (col, prefix, depth)
+        if key in self._children_cache:
+            return self._children_cache[key]
+        from ray.data.aggregate import Count, Max
+
+        plen, clen = len(prefix), len(prefix) + depth
+
+        def kids(b: pa.Table) -> pa.Table:
+            v = pc.cast(b[col], pa.string())
+            m = pc.and_kleene(pc.is_valid(v), pc.starts_with(v, prefix))
+            m = pc.and_kleene(m, pc.greater(pc.utf8_length(v), plen))
+            sub = v.filter(pc.fill_null(m, False))
+            return pa.table({
+                "child": pc.utf8_slice_codeunits(sub, 0, clen),
+                "deeper": pc.cast(pc.greater(pc.utf8_length(sub), clen), pa.int8()),
+            })
+
+        files = [os.path.join(self.seg_dirs[s], "docs.parquet")
+                 for s in self.seg_ids]
+        agg = (rd.read_parquet(files, columns=[col])
+               .map_batches(kids, batch_format="pyarrow")
+               .groupby("child")
+               .aggregate(Count(alias_name="n"), Max("deeper", alias_name="hc"))
+               .to_pandas())
+        if agg.empty or "child" not in agg.columns:
+            # leaf: no value extends past the prefix (an all-empty aggregate
+            # comes back schema-less, hence the column check)
+            self._children_cache[key] = pa.table({
+                "child": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "has_children": pa.array([], type=pa.bool_())})
+            return self._children_cache[key]
+        agg = agg.sort_values("child").reset_index(drop=True)
+        self._children_cache[key] = pa.table({
+            "child": pa.array(agg["child"], type=pa.string()),
+            "n": pa.array(agg["n"], type=pa.int64()),
+            "has_children": pa.array(agg["hc"].astype(bool)),
+        })
+        return self._children_cache[key]
 
     # ------------------------------------------------------------ internals
     def idf_map(self, terms: list[str]) -> dict[str, int]:

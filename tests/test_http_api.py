@@ -186,3 +186,99 @@ def test_contains_multi_sort_is_400(engine):
     status2, payload2 = api.handle(
         "/search", {"query": "w00001 w00002", "field": "contains_text"})
     assert status2 == 200 and payload2["total"] >= 0
+
+
+# ---------------------------------------------------------- browse surface
+def test_values_endpoint_vocabulary(server, transcripts_table):
+    """/values derives the controlled vocabulary (reference constants.py
+    analog): every stored value with its exact doc count."""
+    import collections
+
+    status, feed = _get(server, "/values?col=role")
+    assert status == 200
+    exp = collections.Counter(transcripts_table["role"].to_pylist())
+    got = {d["value"]: d["n"] for d in feed["values"]}
+    assert got == dict(exp)
+    status, err = _get(server, "/values?col=nope")
+    assert status == 400 and "not a stored column" in err["error"]
+
+
+def _md5_sample_oracle(transcripts_table, col, value, seed, k):
+    """The O6 seeded per-group sample oracle: md5(seed|conv_id|turn_idx)
+    ascending — the same key _random_keys pins (segment_search.py)."""
+    import hashlib
+
+    rows = [(c, t) for c, t, r in zip(transcripts_table["conv_id"].to_pylist(),
+                                      transcripts_table["turn_idx"].to_pylist(),
+                                      transcripts_table[col].to_pylist())
+            if r == value]
+    rows.sort(key=lambda ct: hashlib.md5(f"{seed}|{ct[0]}|{ct[1]}".encode()).hexdigest())
+    return rows[:k]
+
+
+def test_browse_sections_with_seeded_samples(server, transcripts_table):
+    """/browse?col=role — navigation lists every value with counts; groups
+    carry per-section seeded random samples whose rows match the md5-order
+    oracle (reference bookshelf sections, opds.py:543-561)."""
+    import collections
+
+    status, feed = _get(server, "/browse?col=role&sections=2")
+    assert status == 200
+    exp = collections.Counter(transcripts_table["role"].to_pylist())
+    nav = {n["title"]: n for n in feed["navigation"]}
+    assert len(nav) == len(exp)
+    for v, n in exp.items():
+        assert f"{v} ({n} docs)" in nav
+    assert len(feed["groups"]) == 2
+    top2 = sorted(exp.items(), key=lambda t: (-t[1], str(t[0])))[:2]
+    for g, (v, n) in zip(feed["groups"], top2):
+        assert g["metadata"]["title"] == str(v)
+        assert g["metadata"]["numberOfItems"] == n
+        assert len(g["publications"]) == min(15, n)  # SAMPLE_LIMIT parity
+        got = [(r["conv_id"], r["turn_idx"]) for r in g["publications"]]
+        assert got == _md5_sample_oracle(transcripts_table, "role", v, 42, 15)
+
+
+def test_browse_section_page_and_seed(server, transcripts_table):
+    """/browse?col&value: seeded sample pages are deterministic, disjoint,
+    and follow the md5 order; changing the seed changes the order."""
+    import collections
+
+    role = collections.Counter(transcripts_table["role"].to_pylist()).most_common(1)[0][0]
+    s1, p1 = _get(server, f"/browse?col=role&value={role}&page=1&limit=10")
+    s2, p2 = _get(server, f"/browse?col=role&value={role}&page=2&limit=10")
+    assert s1 == 200 and s2 == 200
+    got = [(r["conv_id"], r["turn_idx"]) for r in p1["publications"] + p2["publications"]]
+    assert got == _md5_sample_oracle(transcripts_table, "role", role, 42, 20)
+    s3, p3 = _get(server, f"/browse?col=role&value={role}&page=1&limit=10&seed=7")
+    alt = [(r["conv_id"], r["turn_idx"]) for r in p3["publications"]]
+    assert alt == _md5_sample_oracle(transcripts_table, "role", role, 7, 10)
+    assert alt != got[:10]
+
+
+def test_hierarchy_navigation_counts_and_flags(server, transcripts_table):
+    """/hierarchy: children one char deeper with exact doc counts and
+    has_children flags (reference LoCC tree, opds.py:598-811)."""
+    status, feed = _get(server, "/hierarchy?prefix=conv-000001")
+    assert status == 200
+    nav = feed["navigation"]
+    assert [n["href"].split("prefix=")[1] for n in nav] == \
+           [f"conv-000001{d}" for d in "0123456789"]
+    assert all(n["has_children"] for n in nav)
+    assert all("(80 docs)" in n["title"] for n in nav)  # 10 convs × 8 turns
+
+    status, feed = _get(server, "/hierarchy?prefix=conv-0000019")
+    assert status == 200
+    assert len(feed["navigation"]) == 10
+    assert all(not n["has_children"] for n in feed["navigation"])
+    assert all("(8 docs)" in n["title"] for n in feed["navigation"])
+
+
+def test_hierarchy_leaf_returns_identity_ordered_docs(server):
+    """A prefix with no children is a leaf → its docs page, identity-ordered
+    (reference leaf → books fallthrough)."""
+    status, feed = _get(server, "/hierarchy?prefix=conv-00000003")
+    assert status == 200
+    assert feed["total"] == 8
+    assert [r["turn_idx"] for r in feed["results"]] == list(range(8))
+    assert {r["conv_id"] for r in feed["results"]} == {"conv-00000003"}
