@@ -187,6 +187,22 @@ def run_bench() -> dict:
     lat_ms = np.array(lat) * 1000
     svc.shutdown()
 
+    # ---- phase 5: browse-surface feeds (S6/§2.10 navigation): vocabulary
+    # groupby, bookshelf-style sections with seeded per-group samples, and
+    # two levels of prefix hierarchy — engine caches start cold, so this
+    # measures the one-time derivation cost a serving process pays
+    from project_gutenberg_full_text_search_ray.pipelines.http_api import SearchAPI
+
+    api = SearchAPI(eng)
+    t0 = time.time()
+    api.values({"col": "role"})
+    api.browse({"col": "role", "sections": "3"})
+    api.hierarchy({"prefix": ""})
+    api.hierarchy({"prefix": "conv-0001"})
+    dt = time.time() - t0
+    queries_sec["browse_feeds"] = round(dt, 3)
+    total += dt
+
     result = {
         "metric": "fts_index_build_plus_query_bench",
         "value": round(total, 3),
