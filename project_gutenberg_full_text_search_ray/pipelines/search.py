@@ -426,21 +426,41 @@ class FullTextSearchEngine:
         data, so this DERIVES them: distinct values + doc counts of a stored
         column via one column-pruned read + groupby over the segment doc
         stores.  Cached per column — vocabularies only change on refresh and
-        the engine is generation-pinned, so the cache can never go stale."""
+        the engine is generation-pinned, so the cache can never go stale.
+        The result is vocabulary-sized and held driver-side: right for
+        enum-like columns (role/tool/lang) and id prefixes; a column whose
+        cardinality approaches the corpus (e.g. a raw timestamp) makes this
+        a corpus-sized materialization — don't browse on those."""
         if col not in (*self.spec.meta_cols, *self.spec.id_cols):
             raise ValueError(f"value_counts: {col!r} is not a stored column "
                              f"(stored: {(*self.spec.id_cols, *self.spec.meta_cols)})")
         if col not in self._vocab_cache:
             files = [os.path.join(self.seg_dirs[s], "docs.parquet")
                      for s in self.seg_ids]
-            agg = (rd.read_parquet(files, columns=[col])
-                   .groupby(col).count().to_pandas()
-                   .rename(columns={"count()": "n"})
-                   .sort_values(col, na_position="last", kind="stable")
-                   .reset_index(drop=True))
+
+            def partial(b: pa.Table) -> pa.Table:
+                # per-block partial counts (classic combiner): each block
+                # emits vocabulary-sized rows, so there is NO all-to-all
+                # exchange — the driver folds tiny partials
+                return b.select([col]).group_by(col).aggregate([([], "count_all")])
+
+            parts = [t for t in ray.get(
+                rd.read_parquet(files, columns=[col])
+                .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+                if t.num_rows and "count_all" in t.column_names]
+            if not parts:
+                self._vocab_cache[col] = pa.table({
+                    col: pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64())})
+                return self._vocab_cache[col]
+            merged = pa.concat_tables(parts).group_by(col).aggregate(
+                [("count_all", "sum")])
+            idx = pc.sort_indices(merged, sort_keys=[(col, "ascending")],
+                                  null_placement="at_end")
+            merged = merged.take(idx)
             self._vocab_cache[col] = pa.table({
-                col: pa.Array.from_pandas(agg[col]),
-                "n": pa.array(agg["n"], type=pa.int64())})
+                col: merged[col],
+                "n": merged["count_all_sum"].cast(pa.int64())})
         return self._vocab_cache[col]
 
     def prefix_children(self, col: str, prefix: str, depth: int = 1) -> pa.Table:
@@ -448,49 +468,48 @@ class FullTextSearchEngine:
         has-children lookups, /root/reference/opds/opds.py:598-811): child
         prefixes ``len(prefix)+depth`` chars deep under ``prefix``, each with
         its doc count and a ``has_children`` flag (some value extends past
-        the child prefix).  One vectorized column pass + a tiny groupby over
-        the pruned doc stores; cached per (col, prefix, depth)."""
-        if col not in (*self.spec.meta_cols, *self.spec.id_cols):
-            raise ValueError(f"prefix_children: {col!r} is not a stored column")
+        the child prefix).
+
+        Derived ENTIRELY from the cached ``value_counts(col)`` vocabulary —
+        one corpus pass per column total, after which every prefix level is
+        a vectorized Arrow pass over the (distinct-values × counts) table.
+        Navigating N levels must not cost N corpus scans: the distinct-value
+        table is corpus-independent in size (vocabulary-bounded), the corpus
+        is not."""
+        plen, clen = len(prefix), len(prefix) + depth
         key = (col, prefix, depth)
         if key in self._children_cache:
             return self._children_cache[key]
-        from ray.data.aggregate import Count, Max
-
-        plen, clen = len(prefix), len(prefix) + depth
-
-        def kids(b: pa.Table) -> pa.Table:
-            v = pc.cast(b[col], pa.string())
-            m = pc.and_kleene(pc.is_valid(v), pc.starts_with(v, prefix))
-            m = pc.and_kleene(m, pc.greater(pc.utf8_length(v), plen))
-            sub = v.filter(pc.fill_null(m, False))
-            return pa.table({
-                "child": pc.utf8_slice_codeunits(sub, 0, clen),
-                "deeper": pc.cast(pc.greater(pc.utf8_length(sub), clen), pa.int8()),
-            })
-
-        files = [os.path.join(self.seg_dirs[s], "docs.parquet")
-                 for s in self.seg_ids]
-        agg = (rd.read_parquet(files, columns=[col])
-               .map_batches(kids, batch_format="pyarrow")
-               .groupby("child")
-               .aggregate(Count(alias_name="n"), Max("deeper", alias_name="hc"))
-               .to_pandas())
-        if agg.empty or "child" not in agg.columns:
-            # leaf: no value extends past the prefix (an all-empty aggregate
-            # comes back schema-less, hence the column check)
-            self._children_cache[key] = pa.table({
-                "child": pa.array([], type=pa.string()),
-                "n": pa.array([], type=pa.int64()),
-                "has_children": pa.array([], type=pa.bool_())})
-            return self._children_cache[key]
-        agg = agg.sort_values("child").reset_index(drop=True)
-        self._children_cache[key] = pa.table({
-            "child": pa.array(agg["child"], type=pa.string()),
-            "n": pa.array(agg["n"], type=pa.int64()),
-            "has_children": pa.array(agg["hc"].astype(bool)),
+        vc = self.value_counts(col)  # cached: the only corpus-sized pass
+        v = vc[col]
+        if not pa.types.is_string(v.type):
+            v = v.cast(pa.string())
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        m = pc.and_kleene(pc.is_valid(v), pc.starts_with(v, prefix))
+        m = pc.fill_null(pc.and_kleene(m, pc.greater(pc.utf8_length(v), plen)), False)
+        sub = v.filter(m)
+        cnt = vc["n"].filter(m)
+        if len(sub) == 0:
+            out = pa.table({"child": pa.array([], type=pa.string()),
+                            "n": pa.array([], type=pa.int64()),
+                            "has_children": pa.array([], type=pa.bool_())})
+            self._children_cache[key] = out
+            return out
+        grouped = pa.table({
+            "child": pc.utf8_slice_codeunits(sub, 0, clen),
+            "n": cnt,
+            "deeper": pc.cast(pc.greater(pc.utf8_length(sub), clen), pa.int8()),
+        }).group_by("child").aggregate([("n", "sum"), ("deeper", "max")])
+        idx = pc.sort_indices(grouped, sort_keys=[("child", "ascending")])
+        grouped = grouped.take(idx)
+        out = pa.table({
+            "child": grouped["child"],
+            "n": grouped["n_sum"].cast(pa.int64()),
+            "has_children": pc.cast(grouped["deeper_max"], pa.bool_()),
         })
-        return self._children_cache[key]
+        self._children_cache[key] = out
+        return out
 
     # ------------------------------------------------------------ internals
     def idf_map(self, terms: list[str]) -> dict[str, int]:

@@ -163,7 +163,9 @@ def _train_sample_vectors(ds: rd.Dataset, vec_col: str, id_col: str,
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        h = hash_array(np.asarray(ids.to_pylist(), dtype=object), categorize=False)
+        # to_numpy: zero-copy int64 for integer ids, object array for strings
+        # — hash_array vectorizes both
+        h = hash_array(ids.to_numpy(zero_copy_only=False), categorize=False)
         vecs = batch[vec_col]
         if len(h) > train_sample:
             idx = np.argpartition(h, train_sample - 1)[:train_sample]
