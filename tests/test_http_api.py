@@ -282,3 +282,22 @@ def test_hierarchy_leaf_returns_identity_ordered_docs(server):
     assert feed["total"] == 8
     assert [r["turn_idx"] for r in feed["results"]] == list(range(8))
     assert {r["conv_id"] for r in feed["results"]} == {"conv-00000003"}
+
+
+def test_browse_and_hierarchy_param_robustness(server):
+    """Bad params degrade like the reference's clamps: garbage ints fall back
+    to defaults, missing/unknown columns are 400s, never 500s."""
+    status, err = _get(server, "/browse")
+    assert status == 400
+    status, err = _get(server, "/browse?col=definitely_not_a_column")
+    assert status == 400 and "not a stored column" in err["error"]
+    status, feed = _get(server, "/browse?col=role&sections=banana&seed=pear")
+    assert status == 200 and len(feed["groups"]) <= 5  # defaults kick in
+    status, feed = _get(server, "/browse?col=role&value=user&page=zzz&limit=-4")
+    assert status == 200 and feed["page"] == 1 and feed["limit"] >= 1
+    status, err = _get(server, "/hierarchy?col=nope&prefix=x")
+    assert status == 400
+    status, feed = _get(server, "/hierarchy?prefix=zzz-no-such-prefix")
+    assert status == 200 and feed["total"] == 0  # leaf with no docs
+    status, feed = _get(server, "/values?col=tool")
+    assert status == 200  # nullable column: NULL group allowed
