@@ -318,6 +318,8 @@ def shingle_hashes_column(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     empty = np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if pa.types.is_null(texts.type):  # all-null block arrives as null-typed
+        return empty
     terms, doc_index, _ = analyzer.tokenize_column(texts)
     if len(terms) < k:
         return empty

@@ -1486,7 +1486,64 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     ),
 }
 
+_BENCH_DOCS = 3  # decontamination eval set = texts of doc_id < _BENCH_DOCS
+
+
+def q_contamination_check(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: training docs sharing >= 1 distinct 3-gram
+    shingle with the eval set (= the first 3 documents' texts, the standard
+    'held-out split leaked into training' check).  Engine path:
+    stages/corpus_prep.contamination_flags — driver-built broadcast bench
+    hash set + one vectorized isin per batch, shuffle-free."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.corpus_prep import contamination_flags
+
+    bench_texts = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"],
+        filters=[("doc_id", "<", _BENCH_DOCS)])["text"].to_pylist()
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], _BENCH_DOCS)),
+        batch_format="pyarrow")
+    out = contamination_flags(
+        ds, "text", "doc_id", bench_texts, k_shingle=3, min_hits=1,
+    ).to_pandas()
+    if out.empty:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_hits": pa.array([], type=pa.int64())})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "n_hits": pa.array(out["n_hits"], type=pa.int64())})
+
+
+def _contamination_sql(min_hits: int = 1) -> str:
+    """DuckDB twin of contamination_flags: per-doc DISTINCT 3-gram rolling
+    shingle hashes (the same mod-2^64 polynomial as the dedup/minhash
+    oracles); the bench set is the shingle-hash set of doc_id < _BENCH_DOCS,
+    derived in-SQL so the oracle is exact at every scale factor."""
+    base_pow = [pow(1099511628211, k, 1 << 64) for k in (2, 1, 0)]
+    terms3 = " + ".join(
+        f"(CAST(a{j}.th AS UHUGEINT) * CAST({base_pow[j]} AS UHUGEINT)) % {_UM64}"
+        for j in range(3)
+    )
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "tokpos AS (SELECT doc_id, CAST(i AS INT) AS i, "
+        f"CAST({_fnv_sql('arr[CAST(i AS INT)]')} AS UBIGINT) AS th "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        f"shash AS (SELECT DISTINCT a0.doc_id, CAST(({terms3}) % {_UM64} AS UBIGINT) AS h "
+        "FROM tokpos a0 JOIN tokpos a1 ON a1.doc_id = a0.doc_id AND a1.i = a0.i + 1 "
+        "JOIN tokpos a2 ON a2.doc_id = a0.doc_id AND a2.i = a0.i + 2), "
+        f"bench AS (SELECT DISTINCT h FROM shash WHERE doc_id < {_BENCH_DOCS}), "
+        "hits AS (SELECT s.doc_id, count(*) AS n FROM shash s "
+        f"JOIN bench b ON s.h = b.h WHERE s.doc_id >= {_BENCH_DOCS} GROUP BY 1) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_hits "
+        f"FROM hits WHERE n >= {min_hits} ORDER BY doc_id"
+    )
+
+
 QUERIES_EXTRAS = {
+    "contamination_check": q_contamination_check,
     "export_matches": q_export_matches,
     "dedup_exact": q_dedup_exact,
     "dedup_prefix10": q_dedup_prefix10,
@@ -1526,6 +1583,7 @@ QUERIES_EXTRAS = {
     "multimodal_decode": q_multimodal_decode,
     "transcripts_flagship": q_transcripts_flagship,
 }
+ORACLE_SQL_EXTRAS["contamination_check"] = _contamination_sql()
 
 QUERIES_CORE = {
     "fts_term": q_fts_term,
@@ -1590,6 +1648,8 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
+    "contamination_check",  # new r3 op, oracled; shingle kernel hard-verified
+    # via ngram_jaccard_pairs above — first in line if the driver checks >50
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

@@ -21,8 +21,17 @@
   exclusive prefix over the tiny bucket table → per-bucket vectorized
   cumsum.  Exchanges carry (doc_id, n_tokens) only — never text.
 
-Both operators are deterministic and DuckDB-oracled end-to-end
-(pipelines/driver_api.py: ``boilerplate_scrub``, ``pack_sequences``).
+* ``contamination_flags`` — benchmark decontamination: flag documents that
+  share ≥ ``min_hits`` distinct k-gram shingles with a (small) benchmark /
+  eval set — the n-gram-overlap contamination check LLM training corpora
+  run before training.  The benchmark's shingle-hash set is built once on
+  the driver (benchmarks are vocabulary-sized), broadcast with ``ray.put``,
+  and every batch does ONE vectorized ``np.isin`` over its flat shingle
+  stream — completely shuffle-free.
+
+All operators are deterministic and DuckDB-oracled end-to-end
+(pipelines/driver_api.py: ``boilerplate_scrub``, ``pack_sequences``,
+``contamination_check``).
 """
 
 from __future__ import annotations
@@ -175,3 +184,50 @@ def pack_sequences(
         })
 
     return counted.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def bench_shingle_hashes(bench_texts: list[str], k_shingle: int = 3,
+                         analyzer=None) -> np.ndarray:
+    """Sorted distinct k-gram shingle hashes of a benchmark set — the SAME
+    rolling polynomial over FNV token hashes as the dedup candidate
+    generator (functions/textstats.shingle_hashes), so the DuckDB oracle can
+    reproduce both sides bit-exactly."""
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..functions.textstats import shingle_hashes
+
+    an = analyzer or DEFAULT_ANALYZER
+    parts = [shingle_hashes(an.tokenize(t or ""), k_shingle)
+             for t in bench_texts]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def contamination_flags(
+    ds: rd.Dataset, text_col: str, id_col: str, bench_texts: list[str], *,
+    k_shingle: int = 3, min_hits: int = 1, analyzer=None,
+) -> rd.Dataset:
+    """Benchmark decontamination (n-gram overlap): (id, n_hits) for every
+    document sharing ≥ ``min_hits`` DISTINCT k-gram shingles with the
+    benchmark set.  The bench shingle-hash set is driver-built (benchmarks
+    are small), broadcast once via ``ray.put``, and each batch runs one
+    vectorized ``np.isin`` over its flat per-doc-distinct shingle stream —
+    no shuffle, no text movement, O(batch shingles × log bench)."""
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..functions.textstats import shingle_hashes_column
+
+    an = analyzer or DEFAULT_ANALYZER
+    bench_ref = ray.put(bench_shingle_hashes(bench_texts, k_shingle, an))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        fp, docs = shingle_hashes_column(batch[text_col], k_shingle, an)
+        hit = np.isin(fp, bench) if len(fp) else np.empty(0, dtype=bool)
+        n = (np.bincount(docs[hit], minlength=batch.num_rows)
+             if hit.any() else np.zeros(batch.num_rows, dtype=np.int64))
+        idx = np.flatnonzero(n >= min_hits)
+        return pa.table({id_col: batch[id_col].take(pa.array(idx)),
+                         "n_hits": pa.array(n[idx].astype(np.int64),
+                                            type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -98,3 +98,35 @@ def test_pack_sequences_bucket_boundaries(ray_session):
     a = _collect(pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=3))
     b = _collect(pack_sequences(_docs(rows), "text", "doc_id", capacity=7, bucket_size=100))
     assert a[["doc_id", "n_tokens", "pack_id"]].equals(b[["doc_id", "n_tokens", "pack_id"]])
+
+
+def test_contamination_flags_match_bruteforce(ray_session):
+    """Decontamination must flag exactly the docs whose distinct shingle set
+    intersects the bench set, with exact intersection counts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.functions.textstats import shingle_hashes
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import contamination_flags
+
+    bench = ["alpha beta gamma delta epsilon", "one two three four"]
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma zeta"},        # 1 shared shingle
+        {"doc_id": 1, "text": "totally disjoint text here"},   # 0
+        {"doc_id": 2, "text": "one two three four five"},      # 2 shared
+        {"doc_id": 3, "text": None},                           # null text
+        {"doc_id": 4, "text": "beta gamma delta epsilon"},     # 2 shared
+    ]
+    got = contamination_flags(rd.from_items(docs), "text", "doc_id", bench,
+                              k_shingle=3, min_hits=1).to_pandas()
+    got = dict(zip(got["doc_id"], got["n_hits"]))
+    bench_sh = set()
+    for t in bench:
+        bench_sh |= set(shingle_hashes(DEFAULT_ANALYZER.tokenize(t), 3).tolist())
+    exp = {}
+    for d in docs:
+        n = len(set(shingle_hashes(DEFAULT_ANALYZER.tokenize(d["text"] or ""), 3).tolist()) & bench_sh)
+        if n >= 1:
+            exp[d["doc_id"]] = n
+    assert got == exp and exp  # non-trivial fixture
