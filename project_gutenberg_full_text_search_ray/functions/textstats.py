@@ -67,6 +67,8 @@ def predict_language_column(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
+    if pa.types.is_null(texts.type):  # all-null block arrives null-typed
+        return np.full(n, "und", dtype=object)
     langs = sorted(STOPWORD_MARKERS)
     terms, doc_index, _ = analyzer.tokenize_column(texts)
     terms = np.asarray(terms, dtype=object)
@@ -97,6 +99,10 @@ def quality_metrics_column(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
+    if pa.types.is_null(texts.type):  # all-null block arrives null-typed
+        z = np.zeros(n, dtype=np.int64)
+        return {"n_tokens": z, "distinct_terms": z.copy(),
+                "stop_hits": z.copy(), "n_chars": z.copy()}
     terms, doc_index, _ = analyzer.tokenize_column(texts)
     terms = np.asarray(terms, dtype=object)
     n_tokens = np.bincount(doc_index, minlength=n).astype(np.int64)

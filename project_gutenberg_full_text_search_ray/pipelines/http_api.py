@@ -114,6 +114,17 @@ class SearchAPI:
     def _engine(self):
         return getattr(self.backend, "engine", self.backend)
 
+    def _typed_value(self, col: str, raw: str):
+        """URL params arrive as strings; coerce to the column's ACTUAL Arrow
+        type — numeric only when the stored column is numeric.  Blind
+        int-coercion turns a string value like '123' into an int the string
+        column can never equal (no Arrow kernel / silent zero matches), so
+        the sections feed would emit links to itself it cannot serve."""
+        t = self._engine().value_counts(col)[col].type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return raw
+        return _coerce(raw)
+
     def values(self, params: dict) -> dict:
         """Controlled-vocabulary discovery: the valid values of a stored
         column + doc counts (the reference ships these as API constants,
@@ -153,10 +164,14 @@ class SearchAPI:
             page, limit = parse_pagination(params.get("page", 1),
                                            params.get("limit", SAMPLE_LIMIT),
                                            default_limit=SAMPLE_LIMIT)
-            res = self._section_sample(col, _coerce(value), seed, page, limit)
+            try:
+                typed = self._typed_value(col, value)
+            except ValueError as e:
+                raise BadRequest(str(e)) from None
+            res = self._section_sample(col, typed, seed, page, limit)
             return {
                 "title": f"{self.title}: {col}={value}",
-                "col": col, "value": _json_val(_coerce(value)),
+                "col": col, "value": _json_val(typed),
                 "total": int(res.total), "page": page, "limit": limit,
                 "publications": _json_rows(res.table),
                 "links": self._pagination_links("/browse", params, page, limit,
@@ -170,17 +185,18 @@ class SearchAPI:
             n_sections = max(0, min(50, int(params.get("sections", 5))))
         except (TypeError, ValueError):
             n_sections = 5
-        vals = list(zip(vc[col].to_pylist(), vc["n"].to_pylist()))
+        # NULL is browsable via filters but not linkable — drop it BEFORE
+        # slicing the top-N sections, or it silently eats a section slot
+        vals = [(v, n) for v, n in zip(vc[col].to_pylist(), vc["n"].to_pylist())
+                if v is not None]
         navigation = [{
             "href": f"/browse?{urlencode({'col': col, 'value': v})}",
             "title": f"{v} ({int(n)} docs)",
             "rel": "subsection",
-        } for v, n in vals if v is not None]
+        } for v, n in vals]
         # reference sections: per-shelf random samples, biggest shelves first
         groups = []
         for v, n in sorted(vals, key=lambda t: (-t[1], str(t[0])))[:n_sections]:
-            if v is None:
-                continue
             res = self._section_sample(col, v, seed, 1, SAMPLE_LIMIT)
             groups.append({
                 "metadata": {"title": str(v), "numberOfItems": int(res.total)},
@@ -240,10 +256,32 @@ class SearchAPI:
                 ],
                 "navigation": navigation,
             }
-        # leaf: identity-ordered docs under this exact prefix
+        # leaf: identity-ordered docs under this exact prefix.  String
+        # columns use the zone-mapped startswith filter; non-string columns
+        # (int ids etc. — prefix_children casts to string, so navigation can
+        # land here) resolve the matching RAW values from the cached
+        # vocabulary and filter with a type-safe id-list instead (startswith
+        # on an int64 column has no Arrow kernel → would 500).
         page, limit = parse_pagination(params.get("page", 1),
                                        params.get("limit", DEFAULT_LIMIT))
-        q = self.backend.query().prefix(col, prefix)
+        q = self.backend.query()
+        vc = eng.value_counts(col)
+        if pa.types.is_string(vc[col].type) or pa.types.is_large_string(vc[col].type):
+            q.prefix(col, prefix)
+        else:
+            import pyarrow.compute as pc
+
+            v = vc[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            m = pc.fill_null(pc.starts_with(v.cast(pa.string()), prefix), False)
+            matched = v.filter(m).to_pylist()
+            if not matched:
+                return {"title": prefix, "col": col, "prefix": prefix,
+                        "total": 0, "page": page, "limit": limit,
+                        "results": [], "links": self._pagination_links(
+                            "/hierarchy", params, page, limit, 0)}
+            q.docs_in(col, matched)
         q.order_by(spec.id_cols[0], descending=False)[page, limit]
         res = self.backend.execute(q)
         return {
@@ -349,11 +387,14 @@ class SearchAPI:
         million-match pattern must not pay a distributed sort it discards.
 
         Paging is TOP-K, not a distributed sort: each block keeps its local
-        bottom-k by identity (one vectorized Arrow sort per block), the
-        driver merges the partials — "first page of a million-match pattern"
-        moves k×blocks rows instead of every match through a range exchange.
-        Beyond a deep-paging bound the driver-side partial merge would hold
-        more rows than the sort moves, so it falls back to sort+limit."""
+        bottom-k IDENTITIES (one vectorized Arrow sort per block, id columns
+        only — never the text), the driver merges those slim partials, picks
+        the page's ≤ ``limit`` identities, and one filter pass re-fetches
+        just those full rows.  "First page of a million-match pattern" moves
+        k×blocks id tuples instead of every matched row through a range
+        exchange — and never text-bearing rows to the driver.  Past a
+        deep-paging bound even the id-only merge stops paying and it falls
+        back to sort+limit."""
         import pyarrow.compute as pc
 
         import ray
@@ -365,25 +406,46 @@ class SearchAPI:
             return total, []
         k = page * limit
         keys = [(c, "ascending") for c in spec.id_cols]
-        if k > 10_000:  # deep paging: the k×blocks driver merge stops paying
+        if k > 100_000:  # deep paging: the k×blocks id merge stops paying
             head = ds.sort(list(spec.id_cols)).limit(k).take_all()
             return total, head[(page - 1) * limit: page * limit]
+        id_cols = list(spec.id_cols)
 
-        def local_bottomk(b: pa.Table) -> pa.Table:
-            if b.num_rows <= k:
-                return b
-            idx = pc.sort_indices(b, sort_keys=keys)
-            return b.take(idx.slice(0, k))
+        def local_bottomk_ids(b: pa.Table) -> pa.Table:
+            if b.num_rows > k:
+                idx = pc.sort_indices(b, sort_keys=keys)
+                b = b.take(idx.slice(0, k))
+            return b.select(id_cols)
 
         parts = [t for t in ray.get(
-            ds.map_batches(local_bottomk, batch_format="pyarrow").to_arrow_refs())
+            ds.map_batches(local_bottomk_ids, batch_format="pyarrow").to_arrow_refs())
             if t.num_rows]
         if not parts:
             return total, []
         merged = pa.concat_tables(parts)
         idx = pc.sort_indices(merged, sort_keys=keys)
-        head = merged.take(idx.slice(0, k)).to_pylist()
-        return total, head[(page - 1) * limit: page * limit]
+        page_ids = merged.take(idx.slice((page - 1) * limit, limit))
+        if page_ids.num_rows == 0:
+            return total, []
+        id0 = id_cols[0]
+        want0 = pa.array(sorted(set(page_ids[id0].to_pylist())),
+                         type=page_ids[id0].type)
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id0], value_set=want0))
+
+        rows = pa.concat_tables([t for t in ray.get(
+            ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows])
+        # exact-identity match (id0 prefilter may over-fetch on composite
+        # identities), then identity order == page order
+        keyset = set(zip(*[page_ids[c].to_pylist() for c in id_cols]))
+        mask = pa.array([kk in keyset for kk in
+                         zip(*[rows[c].to_pylist() for c in id_cols])],
+                        type=pa.bool_())
+        rows = rows.filter(mask)
+        rows = rows.take(pc.sort_indices(rows, sort_keys=keys))
+        return total, rows.to_pylist()
 
     def _contains_multi_feed(self, engine, spec, query: str, params: dict,
                              page: int, limit: int,

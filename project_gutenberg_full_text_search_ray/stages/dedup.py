@@ -114,6 +114,18 @@ def _pair_dedupe(pairs: rd.Dataset) -> rd.Dataset:
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
+def _dedupe_pairs_min(pairs: rd.Dataset, metric_col: str) -> rd.Dataset:
+    """Distinct VERIFIED pairs: grouped MIN over (id_a, id_b) — the metric is
+    a function of the pair, so MIN just picks its value.  The shared tail of
+    every verify-first near-dup operator (candidates flow into verification
+    possibly duplicated; this restores the distinct-pair contract over the
+    tiny verified output instead of a corpus-scale candidate exchange)."""
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min(metric_col, alias_name=metric_col))
+
+
 def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Materialize and strip 0-row blocks.  Ray Data bypasses map UDFs on
     empty blocks, leaving SCHEMA-LESS empties in the stream; a hash-join
@@ -550,11 +562,7 @@ def minhash_lsh_pairs(
                                "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
     )
-    from ray.data.aggregate import Min
-
-    # jacc is a function of the pair, so MIN just restores distinctness
-    return verified.groupby(["id_a", "id_b"]).aggregate(
-        Min("jacc_i4", alias_name="jacc_i4"))
+    return _dedupe_pairs_min(verified, "jacc_i4")
 
 
 # --------------------------------------------------------------- SimHash
@@ -613,13 +621,8 @@ def simhash_pairs(
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
                          "hamming": pa.array(h[keep].astype(np.int64))})
 
-    from ray.data.aggregate import Min
-
-    # verify-first: the vectorized popcount runs on (possibly duplicated)
-    # candidate instances; one grouped MIN over the small verified output
-    # restores distinct pairs (hamming is a function of the pair)
-    return cands.map_batches(ham, batch_format="pyarrow").groupby(
-        ["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _dedupe_pairs_min(cands.map_batches(ham, batch_format="pyarrow"),
+                             "hamming")
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
@@ -667,12 +670,7 @@ def ngram_jaccard_pairs(
                                "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
     )
-    from ray.data.aggregate import Min
-
-    # verify-first (measured dup factor ~1.1× on candidates): dedupe the
-    # tiny verified output, not the corpus-scale pair set
-    return verified.groupby(["id_a", "id_b"]).aggregate(
-        Min("jacc_i4", alias_name="jacc_i4"))
+    return _dedupe_pairs_min(verified, "jacc_i4")
 
 
 # ------------------------------------------------------- connected components
@@ -956,9 +954,4 @@ def embedding_neardup_pairs_lsh(
                                "vec_col": vec_col, "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
     )
-    from ray.data.aggregate import Min
-
-    # a pair can match in several bands with the SAME cosine — grouped MIN
-    # over the verified output restores distinct pairs
-    return verified.groupby(["id_a", "id_b"]).aggregate(
-        Min("cos_i4", alias_name="cos_i4"))
+    return _dedupe_pairs_min(verified, "cos_i4")

@@ -164,14 +164,19 @@ def _train_sample_vectors(ds: rd.Dataset, vec_col: str, id_col: str,
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         # to_numpy: zero-copy int64 for integer ids, object array for strings
-        # — hash_array vectorizes both
-        h = hash_array(ids.to_numpy(zero_copy_only=False), categorize=False)
+        # — hash_array vectorizes both.  The int64 VIEW is the one total
+        # order used both here and by the global sort: selecting locally in
+        # uint64 order but sorting globally in int64 order would keep the
+        # wrong local winners (only small blocks would contribute negative-
+        # int64 hashes — exactly the bias this sampler exists to remove)
+        h = hash_array(ids.to_numpy(zero_copy_only=False),
+                       categorize=False).view(np.int64)
         vecs = batch[vec_col]
         if len(h) > train_sample:
             idx = np.argpartition(h, train_sample - 1)[:train_sample]
             h = h[idx]
             vecs = vecs.take(pa.array(idx))
-        return pa.table({"__h": pa.array(h.view(np.int64), type=pa.int64()),
+        return pa.table({"__h": pa.array(h, type=pa.int64()),
                          vec_col: vecs})
 
     from .dedup import _drop_empty_blocks

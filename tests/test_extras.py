@@ -924,3 +924,29 @@ def test_kmv_distinct_count_regimes(ray_session):
     assert not exact2
     rse = 1.0 / np.sqrt(256 - 2)
     assert abs(est2 - true) <= 5 * rse * true, (est2, true)
+
+
+def test_ivf_train_sample_is_global_bottomk(ray_session):
+    """The hash-bottom-k training sample must equal the TRUE global bottom-k
+    (one total order — int64 hash view — both in the per-block selection and
+    the global sort), regardless of how rows split across blocks."""
+    import numpy as np
+    import ray.data as rd
+    from pandas.util import hash_array
+
+    from project_gutenberg_full_text_search_ray.stages.similarity import _train_sample_vectors
+
+    # one big block + one tiny block (the regression shape: a signed/unsigned
+    # mismatch makes tiny unpruned blocks dominate the sample)
+    rows_a = [{"vec_id": i, "embedding": [float(i), 0.0]} for i in range(5000)]
+    rows_b = [{"vec_id": 100000 + i, "embedding": [float(-i), 1.0]} for i in range(40)]
+    ds = rd.from_items(rows_a).union(rd.from_items(rows_b))
+    k = 16
+    sample = _train_sample_vectors(ds, "embedding", "vec_id", k)
+    ids_all = np.array([r["vec_id"] for r in rows_a + rows_b], dtype=np.int64)
+    h = hash_array(ids_all, categorize=False).view(np.int64)
+    expected_ids = ids_all[np.argsort(h, kind="stable")[:k]]
+    exp = {(float(i if i < 100000 else -(i - 100000)),
+            0.0 if i < 100000 else 1.0) for i in expected_ids}
+    got = {tuple(v) for v in sample}
+    assert got == exp

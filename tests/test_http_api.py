@@ -301,3 +301,24 @@ def test_browse_and_hierarchy_param_robustness(server):
     assert status == 200 and feed["total"] == 0  # leaf with no docs
     status, feed = _get(server, "/values?col=tool")
     assert status == 200  # nullable column: NULL group allowed
+
+
+def test_hierarchy_nonstring_column_leaf(server, transcripts_table):
+    """Navigation over a NON-string id column must not 500: prefix_children
+    casts to string, and the leaf resolves raw values type-safely."""
+    status, feed = _get(server, "/hierarchy?col=turn_idx&prefix=3")
+    assert status == 200
+    exp = sum(1 for t in transcripts_table["turn_idx"].to_pylist() if str(t).startswith("3"))
+    assert feed["total"] == exp > 0
+    assert all(r["turn_idx"] == 3 for r in feed["results"])
+    status, feed = _get(server, "/hierarchy?col=turn_idx&prefix=9")
+    assert status == 200 and feed["total"] == 0  # no such value, still 200
+
+
+def test_browse_numeric_string_value_roundtrip(server):
+    """The sections feed's own links must be servable: a browse value that
+    LOOKS numeric stays a string for string columns (no blind int coercion)."""
+    status, feed = _get(server, "/browse?col=role&value=123")
+    assert status == 200 and feed["total"] == 0  # string compare, no kernel error
+    status, feed = _get(server, "/browse?col=turn_idx&value=3&limit=5")
+    assert status == 200 and feed["total"] > 0  # numeric column coerces
