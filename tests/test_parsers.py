@@ -5,6 +5,7 @@ DuckDB is the semantics oracle for every kernel that claims DuckDB parity
 
 import duckdb
 import numpy as np
+import pytest
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -382,3 +383,47 @@ def test_json_extract_int_rejects_float_prefix():
                     '{"k": 7, "m": 2}', '{ "k" : 5 }'])
     got = P.json_extract_int(col, "k").to_pylist()
     assert got == [None, None, 12, None, 7, 5]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_candidate_pairs_randomized_vs_bruteforce(ray_session, seed):
+    """Property sweep over random keyed rows: dedupe=True must equal the
+    brute-force distinct pair set; dedupe=False must be a SUPERSET-free
+    multiset cover of it (every pair present at least once, none invented),
+    under random duplicates, hot keys, and the occupancy cap."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import _candidate_pairs
+
+    rng = np.random.default_rng(100 + seed)
+    n = 400
+    ids = rng.integers(0, 60, size=n)          # repeated ids within keys
+    keys = rng.integers(0, 25, size=n)          # some hot keys
+    cap = 12 if seed % 2 else None
+    keyed = rd.from_arrow(pa.table({"id": pa.array(ids, type=pa.int64()),
+                                    "k": pa.array(keys, type=pa.int64())}))
+    # brute force: distinct ids per key, capped occupancy, ordered pairs
+    by_key = collections.defaultdict(set)
+    for i, k in zip(ids.tolist(), keys.tolist()):
+        by_key[k].add(i)
+    exp = set()
+    for k, members in by_key.items():
+        if cap is not None and len(members) > cap:
+            continue
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                exp.add((ms[x], ms[y]))
+
+    got = _candidate_pairs(keyed, "id", "k", cap).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert got_pairs == exp
+    assert len(got) == len(got_pairs)  # dedupe=True: truly distinct
+
+    raw = _candidate_pairs(keyed, "id", "k", cap, dedupe=False).to_pandas()
+    raw_pairs = {(int(a), int(b)) for a, b in zip(raw["id_a"], raw["id_b"])}
+    assert raw_pairs == exp  # same SET; duplicates allowed across blocks
