@@ -119,11 +119,18 @@ class SearchAPI:
         type — numeric only when the stored column is numeric.  Blind
         int-coercion turns a string value like '123' into an int the string
         column can never equal (no Arrow kernel / silent zero matches), so
-        the sections feed would emit links to itself it cannot serve."""
-        t = self._engine().value_counts(col)[col].type
+        the sections feed would emit links to itself it cannot serve.  The
+        type comes from one parquet-footer read (stored_column_type), never
+        a corpus pass.  A non-numeric value on a numeric column is a 400 at
+        parse time, not an ArrowInvalid 500 at execute time."""
+        t = self._engine().stored_column_type(col)
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             return raw
-        return _coerce(raw)
+        typed = _coerce(raw)
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)) \
+                and isinstance(typed, str):
+            raise BadRequest(f"value {raw!r} is not valid for numeric column {col!r}")
+        return typed
 
     def values(self, params: dict) -> dict:
         """Controlled-vocabulary discovery: the valid values of a stored
@@ -137,9 +144,20 @@ class SearchAPI:
             vc = self._engine().value_counts(col)
         except ValueError as e:
             raise BadRequest(str(e)) from None
-        return {"col": col,
+        # response-size guard: an id column's vocabulary is corpus-scaled —
+        # one GET must not serialize millions of values into a JSON body.
+        # Top-`limit` by count (desc), a `truncated` flag says there's more.
+        try:
+            limit = max(1, min(10_000, int(params.get("limit", 1000))))
+        except (TypeError, ValueError):
+            limit = 1000
+        pairs = list(zip(vc[col].to_pylist(), vc["n"].to_pylist()))
+        truncated = len(pairs) > limit
+        if truncated:
+            pairs = sorted(pairs, key=lambda t: (-t[1], str(t[0])))[:limit]
+        return {"col": col, "n_distinct": len(vc), "truncated": truncated,
                 "values": [{"value": _json_val(v), "n": int(n)}
-                           for v, n in zip(vc[col].to_pylist(), vc["n"].to_pylist())]}
+                           for v, n in pairs]}
 
     def browse(self, params: dict) -> dict:
         """Curated-section browse — the bookshelves surface (opds.py:356-594):
@@ -189,11 +207,19 @@ class SearchAPI:
         # slicing the top-N sections, or it silently eats a section slot
         vals = [(v, n) for v, n in zip(vc[col].to_pylist(), vc["n"].to_pylist())
                 if v is not None]
+        # navigation response cap (id-like columns have corpus-scaled
+        # vocabularies; biggest groups first when truncating)
+        try:
+            nav_limit = max(1, min(10_000, int(params.get("nav_limit", 500))))
+        except (TypeError, ValueError):
+            nav_limit = 500
+        nav_vals = (sorted(vals, key=lambda t: (-t[1], str(t[0])))[:nav_limit]
+                    if len(vals) > nav_limit else vals)
         navigation = [{
             "href": f"/browse?{urlencode({'col': col, 'value': v})}",
             "title": f"{v} ({int(n)} docs)",
             "rel": "subsection",
-        } for v, n in vals]
+        } for v, n in nav_vals]
         # reference sections: per-shelf random samples, biggest shelves first
         groups = []
         for v, n in sorted(vals, key=lambda t: (-t[1], str(t[0])))[:n_sections]:
@@ -205,7 +231,8 @@ class SearchAPI:
                 "publications": _json_rows(res.table),
             })
         return {"title": f"{self.title}: browse {col}",
-                "metadata": {"numberOfItems": len(navigation)},
+                "metadata": {"numberOfItems": len(vals),
+                             "truncated": len(vals) > nav_limit},
                 "links": [{"rel": "self", "href": f"/browse?col={col}"},
                           {"rel": "start", "href": "/"}],
                 "navigation": navigation, "groups": groups}
@@ -234,6 +261,10 @@ class SearchAPI:
             children = eng.prefix_children(col, prefix)
         except ValueError as e:
             raise BadRequest(str(e)) from None
+        if params.get("exact"):
+            # docs whose value IS this node (variable-length vocabularies:
+            # node '3' can have children '30','31' AND its own '3' docs)
+            return self._hierarchy_exact_docs(col, prefix, params)
         if children.num_rows:
             navigation = [{
                 "href": f"/hierarchy?{urlencode({'col': col, 'prefix': c})}",
@@ -243,6 +274,17 @@ class SearchAPI:
             } for c, n, hc in zip(children["child"].to_pylist(),
                                   children["n"].to_pylist(),
                                   children["has_children"].to_pylist())]
+            n_exact = eng.prefix_exact_count(col, prefix) if prefix else 0
+            if n_exact:
+                # without this entry, docs valued exactly `prefix` would be
+                # unreachable from the tree and child counts would not sum
+                # to the parent's advertised count
+                navigation.insert(0, {
+                    "href": f"/hierarchy?{urlencode({'col': col, 'prefix': prefix, 'exact': 1})}",
+                    "title": f"{prefix} ({n_exact} docs at this node)",
+                    "rel": "subsection",
+                    "has_children": False,
+                })
             return {
                 "title": prefix or f"{col} hierarchy",
                 "metadata": {"numberOfItems": len(navigation)},
@@ -286,6 +328,23 @@ class SearchAPI:
         res = self.backend.execute(q)
         return {
             "title": prefix, "col": col, "prefix": prefix,
+            "total": int(res.total), "page": page, "limit": limit,
+            "results": _json_rows(res.table),
+            "links": self._pagination_links("/hierarchy", params, page, limit,
+                                            int(res.total)),
+        }
+
+    def _hierarchy_exact_docs(self, col: str, prefix: str, params: dict) -> dict:
+        """Identity-ordered docs whose value's string form EQUALS the node
+        (?exact=1) — type-safe eq filter via _typed_value."""
+        spec = getattr(self.backend, "spec", None) or self._engine().spec
+        page, limit = parse_pagination(params.get("page", 1),
+                                       params.get("limit", DEFAULT_LIMIT))
+        q = self.backend.query().eq(col, self._typed_value(col, prefix))
+        q.order_by(spec.id_cols[0], descending=False)[page, limit]
+        res = self.backend.execute(q)
+        return {
+            "title": prefix, "col": col, "prefix": prefix, "exact": True,
             "total": int(res.total), "page": page, "limit": limit,
             "results": _json_rows(res.table),
             "links": self._pagination_links("/hierarchy", params, page, limit,

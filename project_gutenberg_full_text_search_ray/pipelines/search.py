@@ -418,6 +418,17 @@ class FullTextSearchEngine:
         total, merged = self._run(q, k_override=n)
         return merged.slice(0, n)
 
+    def stored_column_type(self, col: str) -> pa.DataType:
+        """Arrow type of a stored column — one parquet FOOTER read of the
+        first segment's doc store (never a corpus pass; callers that only
+        need the type must not trigger the vocabulary groupby)."""
+        if col not in (*self.spec.meta_cols, *self.spec.id_cols):
+            raise ValueError(f"{col!r} is not a stored column "
+                             f"(stored: {(*self.spec.id_cols, *self.spec.meta_cols)})")
+        schema = pq.read_schema(
+            os.path.join(self.seg_dirs[self.seg_ids[0]], "docs.parquet"))
+        return schema.field(col).type
+
     def value_counts(self, col: str) -> pa.Table:
         """Controlled-vocabulary discovery — the reference ships its
         vocabularies as API constants (Language / LoCCMainClass /
@@ -463,6 +474,19 @@ class FullTextSearchEngine:
                 "n": merged["count_all_sum"].cast(pa.int64())})
         return self._vocab_cache[col]
 
+    def prefix_exact_count(self, col: str, prefix: str) -> int:
+        """Docs whose value's STRING form equals ``prefix`` exactly — the
+        node's own documents in a variable-length-value hierarchy (values
+        ['3', '30']: node '3' has children AND its own docs; children alone
+        would make the exact-'3' docs unreachable and child counts would not
+        sum to the parent's).  Vocabulary-cached, no corpus pass."""
+        vc = self.value_counts(col)
+        v = vc[col]
+        if not pa.types.is_string(v.type):
+            v = v.cast(pa.string())
+        m = pc.fill_null(pc.equal(v, prefix), False)
+        return int(pc.sum(vc["n"].filter(m)).as_py() or 0)
+
     def prefix_children(self, col: str, prefix: str, depth: int = 1) -> pa.Table:
         """Prefix-hierarchy navigation (the reference's LoCC class tree with
         has-children lookups, /root/reference/opds/opds.py:598-811): child
@@ -480,6 +504,11 @@ class FullTextSearchEngine:
         key = (col, prefix, depth)
         if key in self._children_cache:
             return self._children_cache[key]
+        if len(self._children_cache) >= 512:
+            # keyspace is user-controlled (every distinct prefix a client
+            # probes); bound it — each entry is small, recompute is a
+            # vocabulary-sized vector pass
+            self._children_cache.pop(next(iter(self._children_cache)))
         vc = self.value_counts(col)  # cached: the only corpus-sized pass
         v = vc[col]
         if not pa.types.is_string(v.type):

@@ -83,13 +83,28 @@ def _default_doc_source(ds: rd.Dataset, id_col: str, need_col: str,
     concat must never happen implicitly — above the cap this raises and the
     caller passes ``doc_source`` (the parquet path) explicitly.
 
-    Note: the file fallback assumes ``id_col``/``need_col`` are stored
-    unmodified in those files — if the pipeline transformed them upstream,
-    pass ``doc_source`` explicitly."""
+    The file fallback is used ONLY when the dataset is an untransformed read
+    (pure ``Dataset`` plan, or projection-only): verifying against the raw
+    files after an upstream ``map_batches``/``filter`` would compute the true
+    metric on DIFFERENT values than the signatures were built from — a
+    silent wrong-pairs bug, not a performance issue.  Transformed datasets
+    fall through to the row-capped broadcast (or the explicit-doc_source
+    error)."""
     import pyarrow.parquet as pq
 
+    def _untransformed(d: rd.Dataset) -> bool:
+        # plan repr: operator lines precede the terminal "Dataset(...)";
+        # Project (select_columns / column pruning) is value-preserving
+        for line in repr(d).splitlines():
+            s = line.strip().lstrip("+- ").strip()
+            if s.startswith("Dataset("):
+                return True
+            if not s.split("(")[0] == "Project":
+                return False
+        return False
+
     files = [f for f in (ds.input_files() or []) if f.endswith(".parquet")]
-    if files:
+    if files and _untransformed(ds):
         try:
             names = set(pq.read_schema(files[0]).names)
         except OSError:
@@ -102,8 +117,14 @@ def _default_doc_source(ds: rd.Dataset, id_col: str, need_col: str,
             f"doc_source is required at this scale ({n} rows > {max_rows}): "
             f"refusing to materialize the corpus on the driver — pass the "
             f"parquet path(s) of the (id, {need_col}) store")
-    return ray.put(pa.concat_tables(
-        ray.get(ds.select_columns([id_col, need_col]).to_arrow_refs())))
+    # empty blocks bypass map UDFs and keep stale schemas/column order —
+    # select per block and drop zero-row tables before the concat
+    tabs = [t.select([id_col, need_col])
+            for t in ray.get(ds.select_columns([id_col, need_col]).to_arrow_refs())
+            if t.num_rows and id_col in t.column_names]
+    if not tabs:
+        raise ValueError("doc_source default: dataset produced no rows")
+    return ray.put(pa.concat_tables(tabs))
 
 
 def _pair_dedupe(pairs: rd.Dataset) -> rd.Dataset:

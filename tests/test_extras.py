@@ -950,3 +950,35 @@ def test_ivf_train_sample_is_global_bottomk(ray_session):
             0.0 if i < 100000 else 1.0) for i in expected_ids}
     got = {tuple(v) for v in sample}
     assert got == exp
+
+
+def test_dedup_default_doc_source_respects_transforms(ray_session, tmp_path):
+    """A dataset transformed AFTER read_parquet must NOT verify against the
+    raw files (that computes Jaccard on different strings than the
+    signatures): the default falls back to the broadcast of the transformed
+    rows, so every pair of now-identical docs verifies at 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import ngram_jaccard_pairs
+
+    p = str(tmp_path / "raw.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(6)),
+        "text": [f"completely distinct document number {i} with words w{i}a w{i}b w{i}c"
+                 for i in range(6)],
+    }), p)
+
+    def make_same(b: pa.Table) -> pa.Table:
+        same = pa.array(["identical canonical text for every doc here"] * b.num_rows)
+        return b.set_column(b.schema.get_field_index("text"), "text", same)
+
+    ds = rd.read_parquet(p).map_batches(make_same, batch_format="pyarrow")
+    got = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.9).to_pandas()
+    assert len(got) == 15  # C(6,2): every transformed doc is identical
+    assert set(got["jacc_i4"]) == {10000}
+    # untransformed read still uses the file fallback and finds nothing
+    got2 = ngram_jaccard_pairs(rd.read_parquet(p), "text", "doc_id",
+                               threshold=0.9).to_pandas()
+    assert len(got2) == 0

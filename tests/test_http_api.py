@@ -322,3 +322,58 @@ def test_browse_numeric_string_value_roundtrip(server):
     assert status == 200 and feed["total"] == 0  # string compare, no kernel error
     status, feed = _get(server, "/browse?col=turn_idx&value=3&limit=5")
     assert status == 200 and feed["total"] > 0  # numeric column coerces
+
+
+def test_hierarchy_exact_node_docs_reachable(ray_session, tmp_path):
+    """Variable-length vocabularies: a node with children AND its own docs
+    (values '3' and '30') must surface the exact-value docs via the
+    'docs at this node' entry — child counts + exact count == parent count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import (
+        DOCUMENTS_SPEC, FullTextSearchEngine, build_index)
+    from project_gutenberg_full_text_search_ray.pipelines.http_api import SearchAPI
+
+    t = pa.table({
+        "doc_id": list(range(8)),
+        "text": [f"doc body {i} words here" for i in range(8)],
+        "lang": ["en"] * 8,
+        "source": ["3", "3", "30", "30", "30", "31", "4", "40"],
+        "n_chars": [10] * 8,
+    })
+    src = str(tmp_path / "var.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "var_idx")
+    build_index(src, DOCUMENTS_SPEC, idx, docs_per_segment=4)
+    api = SearchAPI(FullTextSearchEngine(idx))
+
+    status, feed = api.handle("/hierarchy", {"col": "source", "prefix": "3"})
+    assert status == 200
+    titles = [n["title"] for n in feed["navigation"]]
+    assert titles[0] == "3 (2 docs at this node)"      # exact-value docs
+    assert "30 (3 docs)" in titles and "31 (1 docs)" in titles
+    # parent level advertised 3 -> 6 docs; 2 exact + 3 + 1 children == 6
+    status, top = api.handle("/hierarchy", {"col": "source", "prefix": ""})
+    t3 = [n for n in top["navigation"] if n["title"].startswith("3 (")][0]
+    assert t3["title"] == "3 (6 docs)"
+    # exact docs page
+    status, docs = api.handle("/hierarchy",
+                              {"col": "source", "prefix": "3", "exact": "1"})
+    assert status == 200 and docs["total"] == 2
+    assert {r["doc_id"] for r in docs["results"]} == {0, 1}
+
+
+def test_browse_numeric_column_bad_value_is_400(server):
+    status, err = _get(server, "/browse?col=turn_idx&value=banana")
+    assert status == 400 and "not valid for numeric column" in err["error"]
+
+
+def test_values_endpoint_truncation(server):
+    """Corpus-scaled vocabularies (id columns) must not serialize whole:
+    the response caps at ?limit= and flags truncation."""
+    status, feed = _get(server, "/values?col=conv_id&limit=5")
+    assert status == 200 and feed["truncated"] and len(feed["values"]) == 5
+    assert feed["n_distinct"] == 200
+    status, feed = _get(server, "/values?col=role")
+    assert status == 200 and not feed["truncated"]
