@@ -597,7 +597,11 @@ def simhash_pairs(
     pair sharing ≥1 exact band is a candidate — GUARANTEED only for Hamming
     ≤ 3 (pigeonhole over 4 bands); pairs with 4 ≤ Hamming ≤ ``max_hamming``
     are found iff their differing bits miss some band (most do in practice,
-    none are guaranteed).  Only (id, band_key, sig8bytes) is shuffled — text
+    none are guaranteed).  Caveat: signatures are tf-weighted, so a corpus
+    with a DOMINANT shared token (boilerplate) collapses toward one
+    signature and every pair becomes a true near-dup by SimHash semantics —
+    scrub boilerplate first (``corpus_prep.frequent_span_scrub``) when that
+    isn't the intent.  Only (id, band_key, sig8bytes) is shuffled — text
     stays at rest; candidates come from the same sort-based run generator as
     the other dedup operators, with the signature riding along as the value
     column."""
