@@ -1486,6 +1486,50 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     ),
 }
 
+_SESSION_GAP_US = 36_000_000_000  # 10 h — median inter-event gap is ~7.3 h
+
+
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization over the event stream (stages/sessionize):
+    session_id = first event id of each (user, ≤gap-chained) run — one sort
+    exchange + per-block vectorized break scan + O(blocks) driver chain
+    walk."""
+    import ray.data as rd
+
+    from ..stages.sessionize import sessionize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", "event_id",
+                     gap_us=_SESSION_GAP_US).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    return pa.table({
+        "event_id": pa.array(out["event_id"], type=pa.int64()),
+        "user_id": pa.array(out["user_id"], type=pa.int64()),
+        "session_id": pa.array(out["session_id"], type=pa.int64()),
+    })
+
+
+_SESSIONIZE_SQL = (
+    "WITH e AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "b AS (SELECT event_id, user_id, ts, CASE WHEN lag(epoch_us(ts)) OVER w "
+    f"IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US} "
+    "THEN 1 ELSE 0 END AS brk FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS sno FROM b) "
+    "SELECT CAST(event_id AS BIGINT) AS event_id, "
+    "CAST(user_id AS BIGINT) AS user_id, "
+    "CAST(first_value(event_id) OVER (PARTITION BY user_id, sno "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+    "FROM s "
+    "UNION ALL SELECT CAST(event_id AS BIGINT), CAST(user_id AS BIGINT), NULL "
+    "FROM events WHERE user_id IS NULL OR ts IS NULL "
+    "ORDER BY event_id"
+)
+
+
 _BENCH_DOCS = 3  # decontamination eval set = texts of doc_id < _BENCH_DOCS
 
 
@@ -1584,6 +1628,8 @@ QUERIES_EXTRAS = {
     "transcripts_flagship": q_transcripts_flagship,
 }
 ORACLE_SQL_EXTRAS["contamination_check"] = _contamination_sql()
+QUERIES_EXTRAS["sessionize_events"] = q_sessionize
+ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
 
 QUERIES_CORE = {
     "fts_term": q_fts_term,
@@ -1648,8 +1694,9 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "contamination_check",  # new r3 op, oracled; shingle kernel hard-verified
-    # via ngram_jaccard_pairs above — first in line if the driver checks >50
+    "contamination_check",  # new r3 ops, oracled; first in line if the
+    "sessionize_events",    # driver checks >50 (their kernels — shingles,
+    # sort+edge-chain — are hard-verified via ngram_jaccard/asof above)
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

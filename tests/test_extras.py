@@ -982,3 +982,59 @@ def test_dedup_default_doc_source_respects_transforms(ray_session, tmp_path):
     got2 = ngram_jaccard_pairs(rd.read_parquet(p), "text", "doc_id",
                                threshold=0.9).to_pandas()
     assert len(got2) == 0
+
+
+def test_sessionize_sessions_span_blocks(ray_session):
+    """A single ≤gap-chained run larger than any one sort block must come
+    back as ONE session (the O(blocks) driver chain walk propagates the
+    session start through every block boundary)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.sessionize import sessionize
+
+    n = 50_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(np.full(n, 7), type=pa.int64()),
+        # strictly increasing, every step below the gap
+        "ts_us": pa.array(np.arange(n, dtype=np.int64) * 1000, type=pa.int64()),
+    })
+    # repartition BEFORE the sort: the range partitioner produces about as
+    # many sorted output blocks as input blocks, so the single chained run
+    # genuinely spans block boundaries (verified below via the sorted
+    # intermediate's own block count)
+    ds = rd.from_arrow(t).repartition(16)
+    srt = ds.sort(["user_id", "ts_us", "event_id"]).materialize()
+    assert srt.num_blocks() > 1  # the scenario under test actually occurs
+    out = sessionize(ds, "user_id", "ts_us", "event_id", gap_us=10_000).to_pandas()
+    assert len(out) == n
+    assert set(out["session_id"]) == {0}  # one session, started at event 0
+
+
+def test_sessionize_gaps_users_and_nulls(ray_session):
+    """Break on gap, break on user change, NULL user/ts rows get NULL
+    session — matches the DuckDB window oracle's semantics exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.sessionize import sessionize
+
+    rows = [
+        # user 1: two sessions (gap between id 2 and id 3)
+        {"event_id": 1, "user_id": 1, "ts_us": 0},
+        {"event_id": 2, "user_id": 1, "ts_us": 50},
+        {"event_id": 3, "user_id": 1, "ts_us": 10_000},
+        # user 2: one session; same ts tie broken by id
+        {"event_id": 5, "user_id": 2, "ts_us": 0},
+        {"event_id": 4, "user_id": 2, "ts_us": 0},
+        # unsessionizable
+        {"event_id": 6, "user_id": None, "ts_us": 0},
+        {"event_id": 7, "user_id": 3, "ts_us": None},
+    ]
+    out = sessionize(rd.from_items(rows), "user_id", "ts_us", "event_id",
+                     gap_us=100).to_pandas().set_index("event_id")["session_id"]
+    assert out[1] == 1 and out[2] == 1 and out[3] == 3
+    assert out[4] == 4 and out[5] == 4  # tie: id 4 sorts first
+    assert out.isna()[6] and out.isna()[7]
