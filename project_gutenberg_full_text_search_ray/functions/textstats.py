@@ -163,6 +163,17 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
     return out
 
 
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bijective avalanche over uint64.  FNV-1a of
+    SHORT similar strings (decimal ids) is not uniform in the high bits;
+    order statistics (KMV) and threshold bucketing (split_assign) need
+    full-width uniformity.  Bijective → adds no collisions."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token unigrams (tf-weighted)."""
     if not tokens:

@@ -1530,6 +1530,48 @@ _SESSIONIZE_SQL = (
 )
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 17
+
+
+def q_split_assign(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test split (stages/corpus_prep.split_assign):
+    bucket by FNV-1a64(seed|id) against integer hash-space thresholds —
+    stable under corpus growth, shuffle-free."""
+    from ..stages.corpus_prep import split_assign
+
+    out = split_assign(_docs_ds(sf_dir, ["doc_id"]), "doc_id",
+                       fractions=_SPLIT_FRACTIONS, seed=_SPLIT_SEED
+                       ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "split": pa.array(out["split"], type=pa.string())})
+
+
+def _split_sql() -> str:
+    """DuckDB twin of split_assign: the same FNV fold over '<seed>|<id>',
+    the same splitmix64 finalizer (xor-shift / mod-2^64 multiply steps as
+    CTEs), and the SAME integer thresholds (shared split_thresholds helper)
+    — boundary rows cannot diverge because both sides compare integers."""
+    from ..stages.corpus_prep import split_thresholds
+
+    t = split_thresholds(_SPLIT_FRACTIONS)
+    names = list(_SPLIT_FRACTIONS)
+    fnv = _fnv_sql(repr(str(_SPLIT_SEED) + "|") + " || CAST(doc_id AS VARCHAR)")
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return (
+        f"WITH h0 AS (SELECT doc_id, CAST({fnv} AS UBIGINT) AS h FROM documents), "
+        f"h1 AS (SELECT doc_id, CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * "
+        f"CAST({c1} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h0), "
+        f"h2 AS (SELECT doc_id, CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * "
+        f"CAST({c2} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h1), "
+        "h3 AS (SELECT doc_id, xor(h, h >> 31) AS h FROM h2) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE "
+        f"WHEN h < CAST({int(t[0])} AS UBIGINT) THEN '{names[0]}' "
+        f"WHEN h < CAST({int(t[1])} AS UBIGINT) THEN '{names[1]}' "
+        f"ELSE '{names[2]}' END AS split FROM h3 ORDER BY doc_id"
+    )
+
+
 _BENCH_DOCS = 3  # decontamination eval set = texts of doc_id < _BENCH_DOCS
 
 
@@ -1630,6 +1672,8 @@ QUERIES_EXTRAS = {
 ORACLE_SQL_EXTRAS["contamination_check"] = _contamination_sql()
 QUERIES_EXTRAS["sessionize_events"] = q_sessionize
 ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
+QUERIES_EXTRAS["split_assign"] = q_split_assign
+ORACLE_SQL_EXTRAS["split_assign"] = _split_sql()
 
 QUERIES_CORE = {
     "fts_term": q_fts_term,
@@ -1696,7 +1740,8 @@ _DRIVER_ORDER = [
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
     "contamination_check",  # new r3 ops, oracled; first in line if the
     "sessionize_events",    # driver checks >50 (their kernels — shingles,
-    # sort+edge-chain — are hard-verified via ngram_jaccard/asof above)
+    "split_assign",         # sort+edge-chain, FNV hashing — are
+    # hard-verified via ngram_jaccard / asof / fingerprints above)
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

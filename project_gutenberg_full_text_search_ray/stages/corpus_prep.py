@@ -231,3 +231,52 @@ def contamination_flags(
                                             type=pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def split_assign(
+    ds: rd.Dataset, id_col: str, *, fractions: dict[str, float],
+    seed: int = 17,
+) -> rd.Dataset:
+    """Deterministic train/val/test split assignment — (id, split) per row.
+
+    split = the named bucket whose cumulative fraction interval contains
+    splitmix64(FNV-1a64(f"{seed}|{id}")) / 2^64 (the splitmix finalizer
+    fixes FNV's non-uniform high bits over short decimal ids — same fix the
+    KMV sketch needed).  Purely a function of the id and seed:
+    stable across runs, partitionings and corpus growth (a doc never changes
+    split when new data arrives — the property random_sample lacks), and
+    shuffle-free (one vectorized hash pass per batch).  Fractions must sum
+    to 1 (± float eps); the last bucket absorbs the remainder interval."""
+    from ..functions.textstats import mix64, token_hashes
+
+    names = list(fractions)
+    thresholds = split_thresholds(fractions)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        strs = [f"{seed}|{v}" for v in ids.to_pylist()]
+        h = mix64(token_hashes(strs))  # uint64, full-width uniform
+        # bucket i <=> h < T_i, via integer-exact searchsorted (the SQL
+        # oracle compares the SAME integer literals — no float boundaries)
+        bucket = np.searchsorted(thresholds, h, side="right")
+        bucket = np.minimum(bucket, len(names) - 1)
+        out = np.asarray(names, dtype=object)[bucket]
+        return pa.table({id_col: batch[id_col],
+                         "split": pa.array(out, type=pa.string())})
+
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def split_thresholds(fractions: dict[str, float]) -> np.ndarray:
+    """Integer hash-space thresholds (uint64, ascending) shared by
+    ``split_assign`` and its SQL oracle: bucket i ⇔ h < T_i; the last bucket
+    absorbs the rounding remainder."""
+    fracs = np.asarray(list(fractions.values()), dtype=np.float64)
+    if (fracs < 0).any() or abs(fracs.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be >= 0 and sum to 1, got {fractions}")
+    cums = np.minimum(np.cumsum(fracs), 1.0)
+    t = [min(int(c * float(1 << 64)), (1 << 64) - 1) for c in cums]
+    t[-1] = (1 << 64) - 1
+    return np.asarray(t, dtype=np.uint64)

@@ -135,15 +135,11 @@ def distinct_count(
     if k < 2:
         raise ValueError("k must be >= 2")
 
-    def _mix64(h: np.ndarray) -> np.ndarray:
-        # splitmix64 finalizer: FNV-1a of short similar strings (decimal
-        # ids) is NOT uniform enough for min-order statistics — the raw
-        # estimator ran ~1.7× high.  A bijective mix fixes uniformity
-        # without introducing collisions (the exact regime is unaffected).
-        with np.errstate(over="ignore"):
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return h ^ (h >> np.uint64(31))
+    # splitmix64 finalizer (now the shared textstats.mix64): FNV-1a of short
+    # similar strings (decimal ids) is NOT uniform enough for min-order
+    # statistics — the raw estimator ran ~1.7× high.  Bijective, so the
+    # exact regime is unaffected.
+    from ..functions.textstats import mix64 as _mix64
 
     def batch_mins(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -130,3 +130,32 @@ def test_contamination_flags_match_bruteforce(ray_session):
         if n >= 1:
             exp[d["doc_id"]] = n
     assert got == exp and exp  # non-trivial fixture
+
+
+def test_split_assign_stable_under_growth(ray_session):
+    """A doc's split is a pure function of (seed, id): adding new docs must
+    not move any existing doc between splits, and fractions are honored
+    approximately."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import split_assign
+
+    small = rd.from_arrow(pa.table({"doc_id": list(range(1000))}))
+    grown = rd.from_arrow(pa.table({"doc_id": list(range(3000))}))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = dict(zip(*[split_assign(small, "doc_id", fractions=fr).to_pandas()[c]
+                    for c in ("doc_id", "split")]))
+    s2 = dict(zip(*[split_assign(grown, "doc_id", fractions=fr).to_pandas()[c]
+                    for c in ("doc_id", "split")]))
+    assert all(s2[i] == s1[i] for i in range(1000))  # growth never reassigns
+    counts = collections.Counter(s2.values())
+    assert 0.75 <= counts["train"] / 3000 <= 0.85
+    assert 0.07 <= counts["val"] / 3000 <= 0.13
+    assert 0.07 <= counts["test"] / 3000 <= 0.13
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(small, "doc_id", fractions={"a": 0.5, "b": 0.6})
