@@ -9,6 +9,10 @@ the engine-core equivalent here is a command line that owns its Ray session
         [--filter col:op:value ...] [--order col|relevance|random] [--asc] [--count-only]
     python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
     python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
+    python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
+        OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination
+        — training-data pipelines over parquet, streamed to partitioned
+        parquet output (never materialized on the driver)
 """
 
 from __future__ import annotations
@@ -27,6 +31,63 @@ def _ray_up() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+
+def _prep(args) -> int:
+    """Training-data pipelines as a CLI: read parquet, run the operator as a
+    streaming Dataset, write partitioned parquet (resumable output layout —
+    one file per block, never a single giant file or a driver materialize)."""
+    import ray.data as rd
+
+    _ray_up()
+    ds = rd.read_parquet(args.src)
+    if args.op == "dedup-exact":
+        from .stages.dedup import exact_dedup
+
+        out = exact_dedup(ds, args.id_col, args.text_col)
+    elif args.op == "dedup-minhash":
+        from .stages.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col,
+            threshold=args.threshold, doc_source=args.src)
+    elif args.op == "split":
+        from .stages.corpus_prep import split_assign
+
+        fractions = {}
+        for part in args.fractions.split(","):
+            name, _, frac = part.partition(":")
+            fractions[name.strip()] = float(frac)
+        out = split_assign(ds, args.id_col, fractions=fractions, seed=args.seed)
+    elif args.op == "sessionize":
+        from .stages.sessionize import sessionize
+
+        out = sessionize(ds, args.user_col, args.ts_col, args.id_col,
+                         gap_us=args.gap_us)
+    else:  # contamination
+        import pyarrow.parquet as pq
+
+        from .stages.corpus_prep import contamination_flags
+
+        if not args.bench:
+            print(json.dumps({"error": "contamination needs --bench "
+                              "(parquet with the eval texts)"}), file=sys.stderr)
+            return 2
+        bench_texts = pq.read_table(args.bench,
+                                    columns=[args.text_col])[args.text_col].to_pylist()
+        out = contamination_flags(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, bench_texts,
+            k_shingle=args.k_shingle, min_hits=args.min_hits)
+    out.write_parquet(args.out_dir)
+    import glob as _glob
+    import os as _os
+
+    n_files = len(_glob.glob(_os.path.join(args.out_dir, "*.parquet")))
+    print(json.dumps({"op": args.op, "out_dir": args.out_dir,
+                      "files": n_files}))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -60,7 +121,31 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--workers", type=int, default=0,
                     help="actor-pool workers; 0 = in-process engine")
 
+    pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
+    pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
+                                   "sessionize", "contamination"])
+    pr.add_argument("src", help="input parquet file/dir")
+    pr.add_argument("out_dir", help="output directory (partitioned parquet)")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--user-col", default="user_id")
+    pr.add_argument("--ts-col", default="ts")
+    pr.add_argument("--threshold", type=float, default=0.5,
+                    help="Jaccard threshold (dedup-minhash)")
+    pr.add_argument("--gap-us", type=int, default=1_800_000_000,
+                    help="session gap in µs (sessionize; default 30 min)")
+    pr.add_argument("--fractions", default="train:0.8,val:0.1,test:0.1",
+                    help="name:frac,... (split)")
+    pr.add_argument("--seed", type=int, default=17)
+    pr.add_argument("--bench", default=None,
+                    help="benchmark parquet file/dir with --text-col (contamination)")
+    pr.add_argument("--k-shingle", type=int, default=3)
+    pr.add_argument("--min-hits", type=int, default=1)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "prep":
+        return _prep(args)
 
     if args.cmd == "serve":
         from .pipelines.http_api import SearchHTTPServer

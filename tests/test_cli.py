@@ -62,3 +62,45 @@ def test_cli_contains_multi_honors_filters(cli_index):
     c = _run_cli("search", cli_index, "w00001 w00002", "--type", "contains",
                  "--count-only", "--filter", "role:==:user")
     assert c["total"] == flt["total"]
+
+
+def test_cli_prep_split_and_sessionize(ray_session, tmp_path):
+    """`prep` subcommand: training-data ops run parquet→parquet end to end."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(50)),
+        "text": [f"doc number {i} body words w{i}" for i in range(50)],
+    }), docs)
+    out1 = str(tmp_path / "split_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "split", docs, out1])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out1)
+    assert t.num_rows == 50 and set(t["split"].to_pylist()) <= {"train", "val", "test"}
+
+    events = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.table({
+        "event_id": [1, 2, 3], "user_id": [1, 1, 1],
+        "ts": pa.array([0, 10, 10_000_000_000], type=pa.timestamp("us")),
+    }), events)
+    out2 = str(tmp_path / "sess_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "sessionize", events, out2, "--id-col", "event_id"])
+    assert rc == 0
+    s = pq.read_table(out2).to_pandas().set_index("event_id")["session_id"]
+    assert s[1] == 1 and s[2] == 1 and s[3] == 3  # 30-min default gap splits
+
+    # contamination without --bench is a loud usage error
+    rc = main(["prep", "contamination", docs, str(tmp_path / "x")])
+    assert rc == 2
