@@ -427,3 +427,27 @@ def test_candidate_pairs_randomized_vs_bruteforce(ray_session, seed):
     raw = _candidate_pairs(keyed, "id", "k", cap, dedupe=False).to_pandas()
     raw_pairs = {(int(a), int(b)) for a, b in zip(raw["id_a"], raw["id_b"])}
     assert raw_pairs == exp  # same SET; duplicates allowed across blocks
+
+
+def test_verify_cosine_cache_overflow(ray_session, monkeypatch):
+    """VerifyCosineStage keeps answering correctly when the per-actor
+    normalized-row cache overflows mid-stream (clear + refetch, like the
+    Jaccard stage)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import VerifyCosineStage
+
+    store = pa.table({
+        "id": [1, 2, 3, 4, 5, 6],
+        "vec": [[1.0, 0.0], [2.0, 0.0],    # parallel pair
+                [0.0, 1.0], [1.0, 0.0],    # orthogonal
+                [1.0, 1.0], [2.0, 2.0]],   # parallel pair
+    })
+    monkeypatch.setattr(VerifyCosineStage, "CACHE_CAP", 2)
+    stage = VerifyCosineStage(store, "id", "vec", threshold=0.9)
+    out = []
+    for a, b in [(1, 2), (3, 4), (5, 6), (1, 2)]:  # (1,2) re-queried post-evict
+        t = stage(pa.table({"id_a": [a], "id_b": [b]}))
+        out.extend(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    assert out == [(1, 2), (5, 6), (1, 2)]
