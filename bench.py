@@ -49,9 +49,25 @@ os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
 
+def _canary_sec() -> float:
+    """Host-noise canary: seconds to np.sort 10M int64 (healthy ≈ 0.8 s on
+    this host; co-tenant page-fault storms push it to 8 s+).  Emitted into
+    the bench JSON so every recorded run is self-labeling — BASELINE.md's
+    healthy-window methodology, now machine-checkable from the artifact."""
+    import numpy as np
+
+    x = np.random.default_rng(0).integers(0, 1 << 62, size=10_000_000,
+                                          dtype=np.int64)
+    t0 = time.time()
+    np.sort(x)
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import numpy as np
     import ray
+
+    canary_pre = _canary_sec()
 
     ray.init(
         address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -124,6 +140,8 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "n_turns": info.n_docs,
             "turns_per_sec": round(turns_per_sec, 1),
+            "canary_sort_sec_pre": canary_pre,
+            "canary_sort_sec_post": _canary_sec(),
         }
 
     # ---- phase 2: documents index build
@@ -214,6 +232,8 @@ def run_bench() -> dict:
         "turns_per_sec": round(turns_per_sec, 1),
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
         "query_p95_ms": round(float(np.percentile(lat_ms, 95)), 1),
+        "canary_sort_sec_pre": canary_pre,
+        "canary_sort_sec_post": _canary_sec(),
     }
     ray.shutdown()
     return result
@@ -247,6 +267,10 @@ def run_scaling() -> dict:
         "build_sec_hi": r_hi["queries"]["build_transcripts"],
         "scaling_efficiency": round(eff, 3),
         "n_turns": r_lo["n_turns"],
+        "canary_sort_sec_lo": [r_lo.get("canary_sort_sec_pre"),
+                               r_lo.get("canary_sort_sec_post")],
+        "canary_sort_sec_hi": [r_hi.get("canary_sort_sec_pre"),
+                               r_hi.get("canary_sort_sec_post")],
     }
 
 

@@ -1494,20 +1494,23 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     session_id = first event id of each (user, ≤gap-chained) run — one sort
     exchange + per-block vectorized break scan + O(blocks) driver chain
     walk."""
+    import ray
     import ray.data as rd
 
     from ..stages.sessionize import sessionize
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "user_id", "ts"])
-    out = sessionize(ds, "user_id", "ts", "event_id",
-                     gap_us=_SESSION_GAP_US).to_pandas()
-    out = out.sort_values("event_id").reset_index(drop=True)
-    return pa.table({
-        "event_id": pa.array(out["event_id"], type=pa.int64()),
-        "user_id": pa.array(out["user_id"], type=pa.int64()),
-        "session_id": pa.array(out["session_id"], type=pa.int64()),
-    })
+    out = sessionize(ds, "user_id", "ts", "event_id", gap_us=_SESSION_GAP_US)
+    cols = ["event_id", "user_id", "session_id"]
+    # stay in Arrow end-to-end: the nullable int64 session_id must never round
+    # trip through pandas (NULLs force float64 → silent precision loss ≥ 2^53)
+    tabs = [t.select(cols) for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+    t = pa.concat_tables(tabs, promote_options="permissive")
+    t = t.cast(pa.schema([(c, pa.int64()) for c in cols]))
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
 
 
 _SESSIONIZE_SQL = (
@@ -1713,16 +1716,18 @@ _DRIVER_ORDER = [
     # reference core: boolean/phrase FTS, filters, pagination, ordering,
     # facets, crosswalk, dictionary/stats, export, flagship build
     "fts_term", "fts_or", "fts_not", "fts_phrase", "fts_multi_clause",
-    "fts_filter_combo", "fts_ids_in", "fts_pagination", "count_matches",
-    "order_by_nchars", "order_random", "facet_top_sources", "crosswalk_mini",
+    "fts_filter_combo", "count_matches",
+    "order_by_nchars", "order_random", "facet_top_sources",
     "dict_df_top", "corpus_stats", "export_matches", "transcripts_flagship",
     # nested containment / json / semi+range joins / aggregates (F10-F15,
     # J2, A4, N3-N8 closers)
     "nested_containment", "props_json_range", "semi_join_urgent",
     "range_join_windows", "quantiles", "value_histogram", "tsvector_agg",
     "parse_fields", "concat_assembly",
-    # corpus-prep + sketches
+    # corpus-prep + sketches + splits/sessionization (r3 additions promoted
+    # into the driver's hard-verification window in r4)
     "pack_sequences", "heavy_hitters_users", "distinct_users_kmv",
+    "contamination_check", "sessionize_events", "split_assign",
     # dedup family
     "dedup_exact", "dedup_components", "minhash_neardup", "simhash_pairs",
     "ngram_jaccard_pairs", "embed_neardup_pairs",
@@ -1738,10 +1743,12 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "contamination_check",  # new r3 ops, oracled; first in line if the
-    "sessionize_events",    # driver checks >50 (their kernels — shingles,
-    "split_assign",         # sort+edge-chain, FNV hashing — are
-    # hard-verified via ngram_jaccard / asof / fingerprints above)
+    # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
+    # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
+    # crosswalk_mini = a projection+rename over the hydration columns every
+    # fts row already hash-verifies — demoted in r4 to make room for the
+    # three r3 operators above)
+    "fts_ids_in", "fts_pagination", "crosswalk_mini",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

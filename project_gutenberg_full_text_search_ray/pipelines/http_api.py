@@ -60,7 +60,17 @@ def parse_field(field: str) -> tuple[str | None, str]:
     """``field`` param → (field_name | None, search_mode).
 
     Mirrors opds.py:25-38: ``fts_``/``fuzzy_``/``contains_`` prefix picks the
-    mode, the rest names the field; ``keyword``/empty means whole-doc."""
+    mode, the rest names the field; ``keyword``/empty means whole-doc.
+
+    DELIBERATE DIVERGENCE from the reference: a bare/unprefixed field
+    defaults to **FTS** here, where opds.py:31-32 defaults to FUZZY.  The
+    reference fronts an OPDS catalog UI whose bare search box wants
+    typo-tolerant matching; this engine's flagship surface is ranked BM25
+    retrieval, so ``/search?query=x`` runs the websearch query language
+    (AND/OR/NOT/phrase) against the inverted index.  Fuzzy is one explicit
+    prefix away (``field=fuzzy_keyword``), with identical clamps and field
+    scoping.  Pinned by tests/test_http_api.py::test_parse_field and
+    ::test_default_mode_divergence_from_reference."""
     mode = "fts"
     name = field or "keyword"
     for prefix in ("fts_", "fuzzy_", "contains_"):

@@ -251,6 +251,11 @@ class FullTextSearchEngine:
         # qualified dirs): a refresh writing the next generation is invisible
         self.seg_dirs, self.dict_dir = resolve_dirs(index_dir, self.manifest)
         self._df_cache: dict[str, int] = {}
+        # browse/values/hierarchy vocabulary cap: value_counts refuses a
+        # column whose KMV-estimated cardinality exceeds this (a raw ts/id
+        # column would otherwise materialize a corpus-sized vocabulary on
+        # the driver); the HTTP layer maps the refusal to 400
+        self.max_browse_vocab: int = 100_000
         self._vocab_cache: dict[str, pa.Table] = {}
         self._children_cache: dict[tuple, pa.Table] = {}
         self._custom_transformer: Transformer | None = None
@@ -448,6 +453,22 @@ class FullTextSearchEngine:
         if col not in self._vocab_cache:
             files = [os.path.join(self.seg_dirs[s], "docs.parquet")
                      for s in self.seg_ids]
+
+            # cardinality precheck (KMV sketch, stages/sketches.py): one
+            # column-pruned streaming pass whose exchange is ≤ k hashes per
+            # block, run ONCE per column (success populates the vocabulary
+            # cache).  Enforces the docstring's "don't browse on those"
+            # instead of advising it — ?col=ts on a real corpus would
+            # otherwise concat a corpus-sized vocabulary on the driver.
+            from ..stages.sketches import distinct_count
+
+            est, _exact = distinct_count(
+                rd.read_parquet(files, columns=[col]), col, k=1024)
+            if est > self.max_browse_vocab:
+                raise ValueError(
+                    f"value_counts({col!r}): ~{est} distinct values exceeds "
+                    f"the browseable-vocabulary cap ({self.max_browse_vocab})"
+                    f" — browse/values/hierarchy need an enum-like column")
 
             def partial(b: pa.Table) -> pa.Table:
                 # per-block partial counts (classic combiner): each block

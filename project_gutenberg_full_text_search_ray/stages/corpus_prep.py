@@ -17,9 +17,10 @@
   the standard LLM pre-training packing): docs ordered by id are laid out
   end-to-end and cut into consecutive bins of ``capacity`` tokens; a doc's
   ``pack_id`` is its exclusive running-token-total // capacity.  Distributed
-  prefix sum: per-bucket (doc_id // bucket_size) token sums → driver-side
-  exclusive prefix over the tiny bucket table → per-bucket vectorized
-  cumsum.  Exchanges carry (doc_id, n_tokens) only — never text.
+  prefix sum (the sessionize/asof shape): one global sort of (doc_id,
+  n_tokens), per-block summaries → driver-side exclusive prefix over the
+  O(blocks) summary table → per-block vectorized cumsum.  Exchanges carry
+  (doc_id, n_tokens) only — never text.
 
 * ``contamination_flags`` — benchmark decontamination: flag documents that
   share ≥ ``min_hits`` distinct k-gram shingles with a (small) benchmark /
@@ -80,18 +81,25 @@ def frequent_span_scrub(
     1/max_df_frac × spans-per-doc (a span needs df ≥ max_df_frac·N to
     qualify, so at most Σspans/(max_df_frac·N) ≈ spans_per_doc/max_df_frac
     distinct spans can be frequent — small by construction)."""
+    from ..functions.textstats import token_hashes
+
     n_docs = ds.count()
     min_df = max(1, math.ceil(max_df_frac * n_docs))
 
     def partial_df(batch: pa.Table) -> pa.Table:
         spans, rows, _ = _doc_spans(batch[text_col], span_tokens)
         if len(spans) == 0:
-            return pa.table({"span": pa.array([], type=pa.string()),
+            return pa.table({"span_h": pa.array([], type=pa.int64()),
                              "df": pa.array([], type=pa.int64())})
-        # a span counts once per doc: distinct (row, span)
-        uniq = pd.DataFrame({"r": rows, "s": spans}).drop_duplicates()
-        cnt = uniq.groupby("s", sort=False).size()
-        return pa.table({"span": pa.array(cnt.index.to_numpy(dtype=object), type=pa.string()),
+        # spans are keyed by their 64-bit FNV hash from here on: the pass-1
+        # exchange carries (hash, partial_df) — 16 bytes/row instead of the
+        # span text — and the scrub pass tests membership with one np.isin.
+        # A cross-span collision (~vocab²/2⁶⁴) at worst drops one rare span.
+        h = token_hashes(spans.tolist()).view(np.int64)
+        # a span counts once per doc: distinct (row, hash)
+        uniq = pd.DataFrame({"r": rows, "h": h}).drop_duplicates()
+        cnt = uniq.groupby("h", sort=False).size()
+        return pa.table({"span_h": pa.array(cnt.index.to_numpy(), type=pa.int64()),
                          "df": pa.array(cnt.to_numpy(), type=pa.int64())})
 
     # pass 1 needs only the text: spans are deduped by the per-batch row
@@ -99,24 +107,25 @@ def frequent_span_scrub(
     df_tbl = (
         ds.select_columns([text_col])
         .map_batches(partial_df, batch_format="pyarrow")
-        .groupby("span")
+        .groupby("span_h")
         .sum("df")
     )
     import pyarrow.compute as pc
 
     hot = df_tbl.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["sum(df)"], min_df)).select(["span"]),
+        lambda b: b.filter(pc.greater_equal(b["sum(df)"], min_df)).select(["span_h"]),
         batch_format="pyarrow",
     ).take_all()
-    hot_ref = ray.put(frozenset(r["span"] for r in hot))
+    hot_ref = ray.put(np.sort(np.fromiter(
+        (r["span_h"] for r in hot), dtype=np.int64, count=len(hot))))
 
     def scrub(batch: pa.Table) -> pa.Table:
         frequent = ray.get(hot_ref)
         spans, rows, wins = _doc_spans(batch[text_col], span_tokens)
         out = np.full(batch.num_rows, "", dtype=object)
         if len(spans):
-            keep = np.fromiter((s not in frequent for s in spans),
-                               dtype=bool, count=len(spans))
+            h = token_hashes(spans.tolist()).view(np.int64)
+            keep = ~np.isin(h, frequent)
             kept = pd.Series(spans[keep], dtype=object)
             if len(kept):
                 # spans are already (row, window)-ordered
@@ -136,54 +145,89 @@ def pack_sequences(
     text_col: str,
     id_col: str,
     capacity: int = 512,
-    bucket_size: int = 256,
+    bucket_size: int | None = None,
 ) -> rd.Dataset:
     """Streaming Dataset of (id, n_tokens, pack_id): concat-then-chunk
     packing over docs ordered by id — pack_id = exclusive running token
     total // capacity (a doc whose tokens straddle a boundary belongs to the
-    bin its first token lands in).  ``bucket_size`` is a pure implementation
-    knob (result-invariant, tested): the driver holds one row per id-bucket
-    for the exclusive prefix, so size it ≈ N/10⁴–10⁶ at scale; a two-level
-    prefix (bucket-of-buckets) extends this past ~10¹⁰ docs if ever needed."""
+    bin its first token lands in).
+
+    Shape (the sessionize/asof distributed-prefix pattern,
+    stages/sessionize.py): tokenize → ONE global ``sort(id)`` exchange
+    carrying (id, n_tokens) only — never text — then two vectorized passes
+    over the materialized sorted blocks: (1) one summary row per block
+    (first id, block token sum) → the driver orders the O(blocks) summaries
+    and computes an exclusive prefix; (2) per block, offset + ``np.cumsum``
+    assigns every pack id.  No per-group Python calls: work per block is one
+    cumsum regardless of corpus size (the r3 implementation's per-id-bucket
+    ``map_groups`` was N/bucket_size Python calls + arrow↔pandas round
+    trips — corpus-proportional interpreter overhead).
+
+    ``bucket_size`` is accepted for backward compatibility and IGNORED: it
+    was a pure implementation knob of the r3 bucketed prefix (results never
+    depended on it — the invariance is pinned by tests); the sort-based
+    implementation has no buckets.  Ids are assumed unique (doc ids)."""
+    del bucket_size  # deprecated no-op, see docstring
+    id_type = ds.schema().base_schema.field(id_col).type
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         # arrow-native tokenize: only the doc-index array is needed, terms
         # stay Arrow (no object-dtype string round-trip)
         _, di, _ = DEFAULT_ANALYZER.tokenize_column_arrow(batch[text_col])
         n = np.bincount(di, minlength=batch.num_rows).astype(np.int64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return pa.table({id_col: batch[id_col],
-                         "n_tokens": pa.array(n),
-                         "bucket": pa.array(ids // bucket_size, type=pa.int64())})
+        return pa.table({id_col: batch[id_col], "n_tokens": pa.array(n)})
 
-    # materialized ON PURPOSE: consumed twice (bucket sums now, pack-id
-    # assignment later) and re-running the lineage would re-read + re-tokenize
-    # the whole corpus; the materialized form is 3 int columns per doc
-    counted = (
+    # materialized ON PURPOSE: the sorted blocks are consumed twice (summary
+    # pass now, pack-id assignment later) and re-running the lineage would
+    # re-read + re-tokenize + re-sort the corpus; the materialized form is
+    # two int columns per doc
+    srt = (
         ds.select_columns([id_col, text_col])
         .map_batches(count_tokens, batch_format="pyarrow")
+        .sort(id_col)
         .materialize()
     )
-    # tiny table: one row per id-bucket → exclusive prefix on the driver
-    bsums = counted.groupby("bucket").sum("n_tokens").take_all()
-    bsums.sort(key=lambda r: r["bucket"])
+
+    # ---- pass 1: one (first_id, block token sum) row per block → driver
+    # exclusive prefix over the O(blocks) summary table
+    sum_schema = pa.schema([("first_id", id_type), ("block_sum", pa.int64())])
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sum_schema.empty_table()
+        n = np.asarray(b["n_tokens"].to_numpy(zero_copy_only=False))
+        return pa.table({"first_id": b[id_col].slice(0, 1),
+                         "block_sum": pa.array([int(n.sum())], type=pa.int64())})
+
+    stabs = [t for t in ray.get(
+        srt.map_batches(summarize, batch_size=None,
+                        batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "first_id" in t.column_names]
     offsets, run = {}, 0
-    for r in bsums:
-        offsets[r["bucket"]] = run
-        run += r["sum(n_tokens)"]
+    if stabs:
+        summ = pa.concat_tables(stabs)
+        import pyarrow.compute as pc
+
+        summ = summ.take(pc.sort_indices(summ["first_id"])).to_pylist()
+        for s in summ:  # sort made block id-ranges disjoint
+            offsets[s["first_id"]] = run
+            run += s["block_sum"]
     off_ref = ray.put(offsets)
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)
-        g = group.sort_values(id_col)
-        prev = off[int(g["bucket"].iloc[0])] + g["n_tokens"].cumsum() - g["n_tokens"]
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "n_tokens": g["n_tokens"].to_numpy(),
-            "pack_id": (prev.to_numpy() // capacity).astype(np.int64),
-        })
+    out_schema = pa.schema([(id_col, id_type), ("n_tokens", pa.int64()),
+                            ("pack_id", pa.int64())])
 
-    return counted.groupby("bucket").map_groups(assign, batch_format="pandas")
+    # ---- pass 2: per block, offset + vectorized exclusive cumsum
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        off = ray.get(off_ref)[b[id_col][0].as_py()]
+        n = np.asarray(b["n_tokens"].to_numpy(zero_copy_only=False))
+        prev = off + np.cumsum(n, dtype=np.int64) - n
+        return pa.table({id_col: b[id_col], "n_tokens": b["n_tokens"],
+                         "pack_id": pa.array(prev // capacity, type=pa.int64())})
+
+    return srt.map_batches(assign, batch_size=None, batch_format="pyarrow")
 
 
 def bench_shingle_hashes(bench_texts: list[str], k_shingle: int = 3,

@@ -27,11 +27,9 @@ import ray.data as rd
 from ..functions.analyzer import DEFAULT_ANALYZER, Analyzer
 from ..functions.textstats import (
     hamming64,
-    jaccard,
     minhash_params,
     minhash_signature,
     shingle_hashes,
-    shingles,
     simhash64,
 )
 
@@ -93,8 +91,20 @@ def _default_doc_source(ds: rd.Dataset, id_col: str, need_col: str,
     import pyarrow.parquet as pq
 
     def _untransformed(d: rd.Dataset) -> bool:
-        # plan repr: operator lines precede the terminal "Dataset(...)";
-        # Project (select_columns / column pruning) is value-preserving
+        # structural plan walk (validated on Ray 2.49.2): untransformed ⇔
+        # every logical operator is a Read or a Project (select_columns /
+        # column pruning — value-preserving).  A private-API change falls
+        # back to the repr heuristic the r3 implementation used.
+        try:
+            ops, stack = [], [d._logical_plan.dag]
+            while stack:
+                op = stack.pop()
+                ops.append(type(op).__name__)
+                stack.extend(op.input_dependencies)
+            return all(name in ("Read", "Project") for name in ops)
+        except AttributeError:
+            pass
+        # repr fallback: operator lines precede the terminal "Dataset(...)"
         for line in repr(d).splitlines():
             s = line.strip().lstrip("+- ").strip()
             if s.startswith("Dataset("):
@@ -385,10 +395,18 @@ class VerifyJaccardStage:
     """Actor stage over candidate-pair batches: fetch both documents from the
     doc store, compute TRUE shingle-Jaccard, keep pairs ≥ threshold.  Used as
     an AUTOSCALING actor pool (``concurrency=(1, N)``) so the per-actor
-    shingle-set cache persists across batches — a doc appearing in thousands
+    shingle cache persists across batches — a doc appearing in thousands
     of candidate pairs is fetched + tokenized once per actor, not once per
     batch.  The cache is size-capped (clear-on-overflow: candidate batches
-    are key-clustered, so cheap eviction barely costs hit rate)."""
+    are key-clustered, so cheap eviction barely costs hit rate).
+
+    Shingles are cached as SORTED uint64 hash arrays (the shared
+    ``shingle_hashes`` rolling polynomial — the same kernel the candidate
+    generator uses) and the whole batch's intersections are computed in ONE
+    vectorized lexsort pass over the concatenated (pair, hash) stream — no
+    per-pair Python loop, no Python string sets.  Hash-Jaccard equals
+    string-shingle Jaccard except under a 64-bit in-pair hash collision
+    (~|A∪B|²/2⁶⁴ ≈ 1e-15 per pair), far below the 1e-4 output quantization."""
 
     CACHE_CAP = 200_000
 
@@ -421,19 +439,37 @@ class VerifyJaccardStage:
                     f"e.g. {sorted(absent)[:5]} — stale or partial doc_source?")
             for did in missing:
                 # NULL text is a real stored value (tokenizes to nothing)
-                self.sh_cache[did] = shingles(
+                self.sh_cache[did] = shingle_hashes(
                     self.analyzer.tokenize(texts[did] or ""), self.k)
         sh = self.sh_cache
-        ra, rb, rj = [], [], []
-        for x, y in zip(a, b):
-            jc = jaccard(sh[x], sh[y])
-            if jc >= self.threshold:
-                ra.append(x)
-                rb.append(y)
-                rj.append(int(np.floor(jc * 10000 + 0.5)))
-        return pa.table({"id_a": pa.array(ra, type=batch["id_a"].type),
-                         "id_b": pa.array(rb, type=batch["id_b"].type),
-                         "jacc_i4": pa.array(rj, type=pa.int64())})
+        n_pairs = len(a)
+        # one flat (pair_idx, hash) stream over both sides; a hash seen twice
+        # within a pair is in the intersection (per-doc arrays are distinct)
+        arrs = [sh[x] for x in a]
+        arrs += [sh[y] for y in b]
+        lens = np.fromiter(map(len, arrs), dtype=np.int64, count=2 * n_pairs)
+        pair_of = np.repeat(np.tile(np.arange(n_pairs, dtype=np.int64), 2), lens)
+        flat = (np.concatenate(arrs) if len(arrs)
+                else np.empty(0, dtype=np.uint64))
+        isect = np.zeros(n_pairs, dtype=np.int64)
+        if len(flat):
+            order = np.lexsort((flat, pair_of))
+            pf, ff = pair_of[order], flat[order]
+            dup = (pf[1:] == pf[:-1]) & (ff[1:] == ff[:-1])
+            if dup.any():
+                isect = np.bincount(pf[1:][dup], minlength=n_pairs)
+        union = lens[:n_pairs] + lens[n_pairs:] - isect
+        # both-empty ⇒ union 0 ⇒ Jaccard 1.0 (matches the scalar jaccard())
+        jc = np.where(union > 0, isect / np.maximum(union, 1), 1.0)
+        keep = jc >= self.threshold
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({
+            "id_a": batch["id_a"].take(idx),
+            "id_b": batch["id_b"].take(idx),
+            "jacc_i4": pa.array(
+                np.floor(jc[keep] * 10000 + 0.5).astype(np.int64),
+                type=pa.int64()),
+        })
 
 
 # --------------------------------------------------------------- exact dedup

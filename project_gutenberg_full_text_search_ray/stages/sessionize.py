@@ -80,6 +80,11 @@ def sessionize(
     def _np(b: pa.Table, col: str) -> np.ndarray:
         v = b[col]
         if pa.types.is_timestamp(v.type):
+            # normalize to MICROSECONDS before the raw-tick cast: gap_us
+            # compares µs, so a timestamp[s]/[ms]/[ns] column must not leak
+            # its native tick unit into the gap comparison
+            if v.type.unit != "us":
+                v = v.cast(pa.timestamp("us", tz=v.type.tz))
             v = v.cast(pa.int64())
         return np.asarray(v.to_numpy(zero_copy_only=False))
 

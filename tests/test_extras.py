@@ -1038,3 +1038,30 @@ def test_sessionize_gaps_users_and_nulls(ray_session):
     assert out[1] == 1 and out[2] == 1 and out[3] == 3
     assert out[4] == 4 and out[5] == 4  # tie: id 4 sorts first
     assert out.isna()[6] and out.isna()[7]
+
+
+def test_sessionize_timestamp_unit_normalized(ray_session):
+    """gap_us must compare MICROSECONDS for every timestamp unit: a
+    timestamp[ms] (or [s]/[ns]) column previously leaked raw ticks into the
+    gap comparison, sessionizing with a gap off by 1e3/1e6 (ADVICE r3)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.sessionize import sessionize
+
+    # events at 0 ms, 50 ms, 10_000 ms: with gap_us=100_000 (=100 ms) the
+    # first two chain and the third starts a new session
+    for unit, scale in (("ms", 1), ("us", 1000), ("ns", 1_000_000), ("s", None)):
+        if unit == "s":
+            ticks = [0, 0, 10]  # 0 s, 0 s, 10 s — same break structure
+        else:
+            ticks = [0 * scale, 50 * scale, 10_000 * scale]
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array(ticks, type=pa.timestamp(unit)),
+        })
+        out = (sessionize(rd.from_arrow(t), "user_id", "ts", "event_id",
+                          gap_us=100_000)
+               .to_pandas().set_index("event_id")["session_id"])
+        assert out[1] == 1 and out[2] == 1 and out[3] == 3, unit

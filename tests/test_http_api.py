@@ -41,6 +41,40 @@ def test_parse_field():
     assert parse_field("contains_text") == ("text", "contains")
 
 
+def test_values_browse_cardinality_guard(server, engine):
+    """A corpus-cardinality column must 400 on /values (and /browse, which
+    shares value_counts) instead of materializing a corpus-sized vocabulary
+    on the driver — the KMV precheck enforces the cap loudly."""
+    old = engine.max_browse_vocab
+    engine.max_browse_vocab = 100  # fixture ts has 1600 distinct values
+    try:
+        assert "ts" not in engine._vocab_cache  # precheck must actually run
+        status, body = _get(server, "/values?col=ts")
+        assert status == 400
+        assert "cap" in body["error"]
+        status2, _ = _get(server, "/browse?col=ts")
+        assert status2 == 400
+        # enum-like columns stay browseable under the same cap
+        status3, ok = _get(server, "/values?col=role")
+        assert status3 == 200 and len(ok["values"]) >= 2
+    finally:
+        engine.max_browse_vocab = old
+
+
+def test_default_mode_divergence_from_reference(server, engine):
+    """Documented divergence from opds.py:31-32: a bare/unknown field runs
+    FTS here (the reference defaults to FUZZY) — the bare search box fronts
+    the ranked BM25 engine; fuzzy stays one explicit prefix away and the
+    socket path proves both routes stay live and distinct."""
+    assert parse_field("nosuchfield") == ("nosuchfield", "fts")
+    _, bare = _get(server, "/search?query=streming&limit=5")
+    _, fuzzy = _get(server, "/search?query=streming&field=fuzzy_keyword&limit=5")
+    # 'streming' is a typo present in no document: FTS finds nothing, fuzzy
+    # trigram-expands it to the planted 'streaming' and does
+    assert bare["total"] == 0
+    assert fuzzy["total"] > 0
+
+
 def test_index_feed(server):
     status, feed = _get(server, "/")
     assert status == 200
