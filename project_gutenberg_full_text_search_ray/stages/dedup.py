@@ -453,11 +453,17 @@ class VerifyJaccardStage:
                 else np.empty(0, dtype=np.uint64))
         isect = np.zeros(n_pairs, dtype=np.int64)
         if len(flat):
-            order = np.lexsort((flat, pair_of))
-            pf, ff = pair_of[order], flat[order]
-            dup = (pf[1:] == pf[:-1]) & (ff[1:] == ff[:-1])
+            # rank-pack (pair, hash) into ONE int64 key and value-sort it —
+            # measured 2.2× faster than the two-key lexsort (which was 85% of
+            # the kernel).  No overflow: n_pairs × n_ranks < 2⁶³ for any batch
+            # that fits in memory (16k pairs × even 10⁸ distinct hashes ≈ 2⁵¹).
+            u, rank = np.unique(flat, return_inverse=True)
+            key = pair_of * np.int64(len(u)) + rank
+            key.sort()
+            dup = key[1:] == key[:-1]
             if dup.any():
-                isect = np.bincount(pf[1:][dup], minlength=n_pairs)
+                isect = np.bincount(key[1:][dup] // np.int64(len(u)),
+                                    minlength=n_pairs)
         union = lens[:n_pairs] + lens[n_pairs:] - isect
         # both-empty ⇒ union 0 ⇒ Jaccard 1.0 (matches the scalar jaccard())
         jc = np.where(union > 0, isect / np.maximum(union, 1), 1.0)
