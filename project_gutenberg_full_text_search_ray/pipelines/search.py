@@ -495,18 +495,101 @@ class FullTextSearchEngine:
                 "n": merged["count_all_sum"].cast(pa.int64())})
         return self._vocab_cache[col]
 
+    def _prefix_level(self, col: str, prefix: str, clen: int) -> pa.Table:
+        """(trunc, n, n_exact, n_longer) per distinct ``clen``-char truncation
+        of the non-null values starting with ``prefix`` — ONE prefix-scoped,
+        column-pruned combiner pass over the segment doc stores.
+
+        This is the hierarchy surface's scale path (r4): per-block partials
+        and the merged table are bounded by that prefix's BRANCHING FACTOR,
+        never by column cardinality — a value_counts-derived hierarchy would
+        materialize a corpus-sized vocabulary on the driver for id-like
+        columns (exactly what max_browse_vocab refuses).  String columns
+        additionally push a sound [prefix, next-prefix) range predicate into
+        the parquet read, so deep-prefix navigation over the id-sorted doc
+        stores prunes to the row groups that can match.  Cached (512-entry
+        LRU-ish bound shared with the children cache)."""
+        if col not in (*self.spec.meta_cols, *self.spec.id_cols):
+            raise ValueError(f"prefix hierarchy: {col!r} is not a stored column "
+                             f"(stored: {(*self.spec.id_cols, *self.spec.meta_cols)})")
+        key = ("__level__", col, prefix, clen)
+        if key in self._children_cache:
+            return self._children_cache[key]
+        if len(self._children_cache) >= 512:
+            self._children_cache.pop(next(iter(self._children_cache)))
+        files = [os.path.join(self.seg_dirs[s], "docs.parquet")
+                 for s in self.seg_ids]
+        read_kwargs: dict = {}
+        ctype = self.stored_column_type(col)
+        if prefix and (pa.types.is_string(ctype) or pa.types.is_large_string(ctype)):
+            import pyarrow.dataset as pds
+
+            expr = pds.field(col) >= prefix
+            try:
+                if ord(prefix[-1]) < 0x10FFFF:
+                    # every string starting with `prefix` is < this bound
+                    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+                    expr = expr & (pds.field(col) < hi)
+            except (ValueError, UnicodeEncodeError):
+                pass  # unencodable bound: lower bound alone is still sound
+            read_kwargs["filter"] = expr
+
+        out_schema = pa.schema([("trunc", pa.string()), ("n", pa.int64()),
+                                ("n_exact", pa.int64()), ("n_longer", pa.int64())])
+
+        def partial(b: pa.Table) -> pa.Table:
+            v = b[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if pa.types.is_null(v.type):
+                return out_schema.empty_table()
+            if not (pa.types.is_string(v.type) or pa.types.is_large_string(v.type)):
+                v = v.cast(pa.string())
+            m = pc.fill_null(
+                pc.and_kleene(pc.is_valid(v), pc.starts_with(v, prefix)), False)
+            sub = v.filter(m)
+            if len(sub) == 0:
+                return out_schema.empty_table()
+            ln = pc.utf8_length(sub)
+            g = pa.table({
+                "trunc": pc.utf8_slice_codeunits(sub, 0, clen),
+                "n": pa.array(np.ones(len(sub), dtype=np.int64)),
+                "n_exact": pc.cast(pc.equal(ln, clen), pa.int64()),
+                "n_longer": pc.cast(pc.greater(ln, clen), pa.int64()),
+            }).group_by("trunc").aggregate(
+                [("n", "sum"), ("n_exact", "sum"), ("n_longer", "sum")])
+            # select by NAME — pyarrow group_by key/aggregate column order is
+            # version-dependent
+            return pa.table({"trunc": g["trunc"], "n": g["n_sum"],
+                             "n_exact": g["n_exact_sum"],
+                             "n_longer": g["n_longer_sum"]})
+
+        parts = [t for t in ray.get(
+            rd.read_parquet(files, columns=[col], **read_kwargs)
+            .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows and "trunc" in t.column_names]
+        if not parts:
+            out = out_schema.empty_table()
+        else:
+            merged = pa.concat_tables(parts).group_by("trunc").aggregate(
+                [("n", "sum"), ("n_exact", "sum"), ("n_longer", "sum")])
+            merged = merged.take(pc.sort_indices(merged["trunc"]))
+            out = pa.table({"trunc": merged["trunc"],
+                            "n": merged["n_sum"].cast(pa.int64()),
+                            "n_exact": merged["n_exact_sum"].cast(pa.int64()),
+                            "n_longer": merged["n_longer_sum"].cast(pa.int64())})
+        self._children_cache[key] = out
+        return out
+
     def prefix_exact_count(self, col: str, prefix: str) -> int:
         """Docs whose value's STRING form equals ``prefix`` exactly — the
         node's own documents in a variable-length-value hierarchy (values
         ['3', '30']: node '3' has children AND its own docs; children alone
         would make the exact-'3' docs unreachable and child counts would not
-        sum to the parent's).  Vocabulary-cached, no corpus pass."""
-        vc = self.value_counts(col)
-        v = vc[col]
-        if not pa.types.is_string(v.type):
-            v = v.cast(pa.string())
-        m = pc.fill_null(pc.equal(v, prefix), False)
-        return int(pc.sum(vc["n"].filter(m)).as_py() or 0)
+        sum to the parent's).  One cached prefix-scoped pass, no vocabulary."""
+        level = self._prefix_level(col, prefix, len(prefix))
+        m = pc.fill_null(pc.equal(level["trunc"], prefix), False)
+        return int(pc.sum(level["n_exact"].filter(m)).as_py() or 0)
 
     def prefix_children(self, col: str, prefix: str, depth: int = 1) -> pa.Table:
         """Prefix-hierarchy navigation (the reference's LoCC class tree with
@@ -515,51 +598,23 @@ class FullTextSearchEngine:
         its doc count and a ``has_children`` flag (some value extends past
         the child prefix).
 
-        Derived ENTIRELY from the cached ``value_counts(col)`` vocabulary —
-        one corpus pass per column total, after which every prefix level is
-        a vectorized Arrow pass over the (distinct-values × counts) table.
-        Navigating N levels must not cost N corpus scans: the distinct-value
-        table is corpus-independent in size (vocabulary-bounded), the corpus
-        is not."""
+        Derived from ``_prefix_level`` — one prefix-scoped, predicate-pushed
+        combiner pass per navigated (prefix, depth), cached.  Exchanges and
+        the driver-held result are bounded by the prefix's branching factor,
+        so id-like (corpus-cardinality) columns navigate safely; the old
+        value_counts derivation is reserved for enum-like browse/values,
+        where max_browse_vocab enforces the cap."""
         plen, clen = len(prefix), len(prefix) + depth
-        key = (col, prefix, depth)
-        if key in self._children_cache:
-            return self._children_cache[key]
-        if len(self._children_cache) >= 512:
-            # keyspace is user-controlled (every distinct prefix a client
-            # probes); bound it — each entry is small, recompute is a
-            # vocabulary-sized vector pass
-            self._children_cache.pop(next(iter(self._children_cache)))
-        vc = self.value_counts(col)  # cached: the only corpus-sized pass
-        v = vc[col]
-        if not pa.types.is_string(v.type):
-            v = v.cast(pa.string())
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        m = pc.and_kleene(pc.is_valid(v), pc.starts_with(v, prefix))
-        m = pc.fill_null(pc.and_kleene(m, pc.greater(pc.utf8_length(v), plen)), False)
-        sub = v.filter(m)
-        cnt = vc["n"].filter(m)
-        if len(sub) == 0:
-            out = pa.table({"child": pa.array([], type=pa.string()),
-                            "n": pa.array([], type=pa.int64()),
-                            "has_children": pa.array([], type=pa.bool_())})
-            self._children_cache[key] = out
-            return out
-        grouped = pa.table({
-            "child": pc.utf8_slice_codeunits(sub, 0, clen),
-            "n": cnt,
-            "deeper": pc.cast(pc.greater(pc.utf8_length(sub), clen), pa.int8()),
-        }).group_by("child").aggregate([("n", "sum"), ("deeper", "max")])
-        idx = pc.sort_indices(grouped, sort_keys=[("child", "ascending")])
-        grouped = grouped.take(idx)
-        out = pa.table({
-            "child": grouped["child"],
-            "n": grouped["n_sum"].cast(pa.int64()),
-            "has_children": pc.cast(grouped["deeper_max"], pa.bool_()),
+        level = self._prefix_level(col, prefix, clen)
+        # drop values no longer than the prefix itself (the node's own docs,
+        # surfaced by prefix_exact_count instead)
+        m = pc.fill_null(pc.greater(pc.utf8_length(level["trunc"]), plen), False)
+        sub = level.filter(m)
+        return pa.table({
+            "child": sub["trunc"],
+            "n": sub["n"],
+            "has_children": pc.greater(sub["n_longer"], 0),
         })
-        self._children_cache[key] = out
-        return out
 
     # ------------------------------------------------------------ internals
     def idf_map(self, terms: list[str]) -> dict[str, int]:
