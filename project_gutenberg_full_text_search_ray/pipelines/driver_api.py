@@ -437,6 +437,31 @@ def q_contains_scan(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64())})
 
 
+def q_hierarchy_children(sf_dir: str) -> pa.Table:
+    """J4 / §2.10 hierarchy primitive under a hard oracle: children of
+    prefix 'src1' one char deeper over ``documents.source`` — each distinct
+    5-char truncation with doc count and has_children flag, computed by the
+    engine's prefix-scoped combiner pass (pipelines/search.py::_prefix_level,
+    the r4 rewrite that replaced vocabulary-derived navigation so id-like
+    columns never materialize a corpus-sized vocabulary on the driver).
+    Docs valued exactly 'src1' are the node's own (prefix_exact_count), not
+    children — like the reference's LoCC tree (opds.py:598-811)."""
+    eng = ensure_documents_index(sf_dir)
+    ch = eng.prefix_children("source", "src1", depth=1)
+    return pa.table({"child": ch["child"].cast(pa.string()),
+                     "n": ch["n"].cast(pa.int64()),
+                     "has_children": ch["has_children"].cast(pa.bool_())})
+
+
+_HIERARCHY_CHILDREN_SQL = (
+    "SELECT substr(source, 1, 5) AS child, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(max(CASE WHEN length(source) > 5 THEN 1 ELSE 0 END) AS BOOLEAN) "
+    "AS has_children FROM documents "
+    "WHERE source IS NOT NULL AND source LIKE 'src1%' AND length(source) > 4 "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+
 def q_events_type_counts(sf_dir: str) -> pa.Table:
     """Generic filter+aggregate over the events table (F8/A8 analog):
     partial per-batch counts → tiny groupby (combiner pattern)."""
@@ -1673,6 +1698,8 @@ QUERIES_EXTRAS = {
     "transcripts_flagship": q_transcripts_flagship,
 }
 ORACLE_SQL_EXTRAS["contamination_check"] = _contamination_sql()
+QUERIES_EXTRAS["hierarchy_children"] = q_hierarchy_children
+ORACLE_SQL_EXTRAS["hierarchy_children"] = _HIERARCHY_CHILDREN_SQL
 QUERIES_EXTRAS["sessionize_events"] = q_sessionize
 ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
 QUERIES_EXTRAS["split_assign"] = q_split_assign
@@ -1715,7 +1742,7 @@ ORACLE_SQL.update(ORACLE_SQL_NESTED)
 _DRIVER_ORDER = [
     # reference core: boolean/phrase FTS, filters, pagination, ordering,
     # facets, crosswalk, dictionary/stats, export, flagship build
-    "fts_term", "fts_or", "fts_not", "fts_phrase", "fts_multi_clause",
+    "fts_term", "fts_not", "fts_phrase", "fts_multi_clause",
     "fts_filter_combo", "count_matches",
     "order_by_nchars", "order_random", "facet_top_sources",
     "dict_df_top", "corpus_stats", "export_matches", "transcripts_flagship",
@@ -1739,16 +1766,18 @@ _DRIVER_ORDER = [
     "token_counts", "langid_counts",
     # trigram family + per-field search
     "fuzzy_search", "contains_indexed", "contains_multi", "field_search",
-    # normalizers + sampling + rollups + joins
+    # normalizers + sampling + rollups + joins + hierarchy navigation (the
+    # r4 prefix-scoped combiner pass, promoted in place of fts_or — OR
+    # evaluation stays hard-verified through fuzzy_search's expansion oracle)
     "regex_extract", "sample_per_source", "user_rollup",
-    "broadcast_join_categories",
+    "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
-    "fts_ids_in", "fts_pagination", "crosswalk_mini",
+    "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",
