@@ -10,7 +10,7 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
     python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
     python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
-        OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination
+        OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination | quota
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -65,6 +65,15 @@ def _prep(args) -> int:
 
         out = sessionize(ds, args.user_col, args.ts_col, args.id_col,
                          gap_us=args.gap_us)
+    elif args.op == "quota":
+        from .stages.corpus_prep import quota_sample
+
+        rates = {}
+        for part in args.rates.split(","):
+            name, _, frac = part.partition(":")
+            rates[name.strip()] = float(frac)
+        out = quota_sample(ds, args.id_col, args.group_col, rates=rates,
+                           seed=args.seed, default_rate=args.default_rate)
     else:  # contamination
         import pyarrow.parquet as pq
 
@@ -123,7 +132,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
-                                   "sessionize", "contamination"])
+                                   "sessionize", "contamination", "quota"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -141,6 +150,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="benchmark parquet file/dir with --text-col (contamination)")
     pr.add_argument("--k-shingle", type=int, default=3)
     pr.add_argument("--min-hits", type=int, default=1)
+    pr.add_argument("--group-col", default="lang",
+                    help="grouping column (quota)")
+    pr.add_argument("--rates", default="en:1.0",
+                    help="group:rate,... (quota)")
+    pr.add_argument("--default-rate", type=float, default=0.0,
+                    help="rate for groups not in --rates (quota)")
 
     args = p.parse_args(argv)
 

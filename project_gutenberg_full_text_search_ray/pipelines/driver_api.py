@@ -1600,6 +1600,48 @@ def _split_sql() -> str:
     )
 
 
+_QUOTA_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.0}
+_QUOTA_SEED = 23  # decorrelated from _SPLIT_SEED: independent coins per doc
+
+
+def q_quota_sample(sf_dir: str) -> pa.Table:
+    """Training-mix reweighting (stages/corpus_prep.quota_sample): keep a
+    per-language fraction of documents via the deterministic hash coin —
+    shuffle-free, stable under corpus growth, retuning one group never
+    resamples another."""
+    from ..stages.corpus_prep import quota_sample
+
+    out = quota_sample(_docs_ds(sf_dir, ["doc_id", "lang"]), "doc_id", "lang",
+                       rates=_QUOTA_RATES, seed=_QUOTA_SEED
+                       ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "lang": pa.array(out["lang"], type=pa.string())})
+
+
+def _quota_sql() -> str:
+    """DuckDB twin of quota_sample: the same FNV fold over '<seed>|<id>',
+    the same splitmix64 finalizer CTEs as the split oracle, and the SAME
+    integer acceptance thresholds (shared rate_threshold helper)."""
+    from ..stages.corpus_prep import rate_threshold
+
+    fnv = _fnv_sql(repr(str(_QUOTA_SEED) + "|") + " || CAST(doc_id AS VARCHAR)")
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    cases = " ".join(
+        f"WHEN '{g}' THEN CAST({rate_threshold(r)} AS UBIGINT)"
+        for g, r in _QUOTA_RATES.items())
+    return (
+        f"WITH h0 AS (SELECT doc_id, lang, CAST({fnv} AS UBIGINT) AS h FROM documents), "
+        f"h1 AS (SELECT doc_id, lang, CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * "
+        f"CAST({c1} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h0), "
+        f"h2 AS (SELECT doc_id, lang, CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * "
+        f"CAST({c2} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h1), "
+        "h3 AS (SELECT doc_id, lang, xor(h, h >> 31) AS h FROM h2) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM h3 "
+        f"WHERE h < CASE lang {cases} "
+        f"ELSE CAST({rate_threshold(0.0)} AS UBIGINT) END ORDER BY doc_id"
+    )
+
+
 _BENCH_DOCS = 3  # decontamination eval set = texts of doc_id < _BENCH_DOCS
 
 
@@ -1700,6 +1742,8 @@ QUERIES_EXTRAS = {
 ORACLE_SQL_EXTRAS["contamination_check"] = _contamination_sql()
 QUERIES_EXTRAS["hierarchy_children"] = q_hierarchy_children
 ORACLE_SQL_EXTRAS["hierarchy_children"] = _HIERARCHY_CHILDREN_SQL
+QUERIES_EXTRAS["quota_sample"] = q_quota_sample
+ORACLE_SQL_EXTRAS["quota_sample"] = _quota_sql()
 QUERIES_EXTRAS["sessionize_events"] = q_sessionize
 ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
 QUERIES_EXTRAS["split_assign"] = q_split_assign
@@ -1744,17 +1788,20 @@ _DRIVER_ORDER = [
     # facets, crosswalk, dictionary/stats, export, flagship build
     "fts_term", "fts_not", "fts_phrase", "fts_multi_clause",
     "fts_filter_combo", "count_matches",
-    "order_by_nchars", "order_random", "facet_top_sources",
+    "order_by_nchars", "facet_top_sources",
     "dict_df_top", "corpus_stats", "export_matches", "transcripts_flagship",
     # nested containment / json / semi+range joins / aggregates (F10-F15,
     # J2, A4, N3-N8 closers)
     "nested_containment", "props_json_range", "semi_join_urgent",
     "range_join_windows", "quantiles", "value_histogram", "tsvector_agg",
     "parse_fields", "concat_assembly",
-    # corpus-prep + sketches + splits/sessionization (r3 additions promoted
-    # into the driver's hard-verification window in r4)
+    # corpus-prep + sketches + splits/sessionization/mix-sampling (r3-r4
+    # additions promoted into the driver's hard-verification window; the
+    # demoted order_random's seeded-random kernel stays hard-verified via
+    # sample_per_source's window oracle)
     "pack_sequences", "heavy_hitters_users", "distinct_users_kmv",
     "contamination_check", "sessionize_events", "split_assign",
+    "quota_sample",
     # dedup family
     "dedup_exact", "dedup_components", "minhash_neardup", "simhash_pairs",
     "ngram_jaccard_pairs", "embed_neardup_pairs",
@@ -1777,7 +1824,7 @@ _DRIVER_ORDER = [
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
-    "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or",
+    "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

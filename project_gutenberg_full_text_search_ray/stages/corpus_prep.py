@@ -313,6 +313,62 @@ def split_assign(
     return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
 
+def rate_threshold(rate: float) -> int:
+    """Integer hash-space acceptance threshold shared by ``quota_sample``
+    and its SQL oracle: keep ⇔ h < T(rate).  rate 1.0 maps to 2⁶⁴−1 (drops
+    only the single all-ones hash, probability 2⁻⁶⁴ — the oracle compares
+    the SAME literal, so the sides cannot diverge)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return min(int(rate * float(1 << 64)), (1 << 64) - 1)
+
+
+def quota_sample(
+    ds: rd.Dataset, id_col: str, group_col: str, *,
+    rates: dict[str, float], seed: int = 17, default_rate: float = 0.0,
+) -> rd.Dataset:
+    """Deterministic per-group subsampling — the training-mix reweighting
+    step (keep 50% of 'en', 10% of 'es', drop 'zh', ...): a row survives iff
+    splitmix64(FNV-1a64(f"{seed}|{id}")) < rate[group]·2⁶⁴.
+
+    Purely a function of (seed, id, the group's rate): stable under corpus
+    growth and repartitioning (a kept doc stays kept when new data arrives —
+    the property ``Dataset.random_sample`` lacks), shuffle-free (one
+    vectorized hash pass + one ``index_in`` rate lookup per batch), and
+    change-one-group-safe (retuning 'es' never resamples 'en').  Reuses
+    split_assign's hash kernel; vary ``seed`` to decorrelate from the split
+    coin.  Groups missing from ``rates`` — including NULL — use
+    ``default_rate``.  Returns the surviving (id, group) rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import mix64, token_hashes
+
+    names = list(rates)
+    th = np.asarray([rate_threshold(r) for r in rates.values()]
+                    + [rate_threshold(default_rate)], dtype=np.uint64)
+    name_arr = pa.array(names, type=pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if pa.types.is_null(g.type):
+            idx = np.full(batch.num_rows, len(names), dtype=np.int64)
+        else:
+            if not (pa.types.is_string(g.type) or pa.types.is_large_string(g.type)):
+                g = g.cast(pa.string())
+            idx = pc.fill_null(pc.index_in(g, value_set=name_arr),
+                               len(names)).to_numpy(zero_copy_only=False)
+        h = mix64(token_hashes([f"{seed}|{v}" for v in ids.to_pylist()]))
+        return batch.filter(pa.array(h < th[idx.astype(np.int64)]))
+
+    return ds.select_columns([id_col, group_col]).map_batches(
+        keep, batch_format="pyarrow")
+
+
 def split_thresholds(fractions: dict[str, float]) -> np.ndarray:
     """Integer hash-space thresholds (uint64, ascending) shared by
     ``split_assign`` and its SQL oracle: bucket i ⇔ h < T_i; the last bucket

@@ -159,3 +159,37 @@ def test_split_assign_stable_under_growth(ray_session):
 
     with pytest.raises(ValueError):
         split_assign(small, "doc_id", fractions={"a": 0.5, "b": 0.6})
+
+
+def test_quota_sample_deterministic_and_stable(ray_session):
+    """quota_sample: per-group rates honored deterministically; a doc's
+    keep/drop decision never changes when the corpus grows or other groups'
+    rates are retuned; unknown + NULL groups use default_rate."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import quota_sample
+
+    def docs(n):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "grp": pa.array([("a" if i % 3 == 0 else "b" if i % 3 == 1 else None)
+                             for i in range(n)], type=pa.string()),
+        }))
+
+    rates = {"a": 1.0, "b": 0.4}
+    small = quota_sample(docs(60), "doc_id", "grp", rates=rates, seed=5).to_pandas()
+    big = quota_sample(docs(180), "doc_id", "grp", rates=rates, seed=5).to_pandas()
+    # rate 1.0 keeps every 'a' row; NULL group → default_rate 0 → dropped
+    assert set(small[small.grp == "a"].doc_id) == {i for i in range(60) if i % 3 == 0}
+    assert small.grp.notna().all()
+    # growth stability: the 60-doc prefix of the 180-doc run is identical
+    assert set(small.doc_id) == set(big[big.doc_id < 60].doc_id)
+    # retune another group: 'b' decisions unchanged
+    retuned = quota_sample(docs(60), "doc_id", "grp",
+                           rates={"a": 0.2, "b": 0.4}, seed=5).to_pandas()
+    assert set(retuned[retuned.grp == "b"].doc_id) == set(small[small.grp == "b"].doc_id)
+    # unknown group falls back to default_rate
+    kept = quota_sample(docs(60), "doc_id", "grp", rates={"zzz": 1.0},
+                        seed=5, default_rate=1.0).to_pandas()
+    assert len(kept) == 60
