@@ -1600,6 +1600,30 @@ def _split_sql() -> str:
     )
 
 
+def q_topk_per_lang(sf_dir: str) -> pa.Table:
+    """Grouped top-k (stages/topk.grouped_topk): the 3 longest documents per
+    language, ties broken by doc_id — combiner-style per-block partial
+    top-k, candidates-only exchange, driver fold.  The 'best N per domain'
+    selection step of a training-mix pipeline."""
+    from ..stages.topk import grouped_topk
+
+    t = grouped_topk(_docs_ds(sf_dir, ["lang", "n_chars", "doc_id"]),
+                     "lang", "n_chars", "doc_id", k=3)
+    return pa.table({"lang": t["lang"].cast(pa.string()),
+                     "doc_id": t["doc_id"].cast(pa.int64()),
+                     "n_chars": t["n_chars"].cast(pa.int64())})
+
+
+_TOPK_PER_LANG_SQL = (
+    "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(n_chars AS BIGINT) AS n_chars FROM ("
+    "SELECT lang, doc_id, n_chars, row_number() OVER ("
+    "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+    "FROM documents WHERE n_chars IS NOT NULL) WHERE rn <= 3 "
+    "ORDER BY lang, n_chars DESC, doc_id"
+)
+
+
 _QUOTA_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.0}
 _QUOTA_SEED = 23  # decorrelated from _SPLIT_SEED: independent coins per doc
 
@@ -1744,6 +1768,8 @@ QUERIES_EXTRAS["hierarchy_children"] = q_hierarchy_children
 ORACLE_SQL_EXTRAS["hierarchy_children"] = _HIERARCHY_CHILDREN_SQL
 QUERIES_EXTRAS["quota_sample"] = q_quota_sample
 ORACLE_SQL_EXTRAS["quota_sample"] = _quota_sql()
+QUERIES_EXTRAS["topk_per_lang"] = q_topk_per_lang
+ORACLE_SQL_EXTRAS["topk_per_lang"] = _TOPK_PER_LANG_SQL
 QUERIES_EXTRAS["sessionize_events"] = q_sessionize
 ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
 QUERIES_EXTRAS["split_assign"] = q_split_assign
@@ -1819,6 +1845,9 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
+    # (topk_per_lang leads the tail: new r4 kernel, oracled — first in line
+    # if the driver checks past 50)
+    "topk_per_lang",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every

@@ -193,3 +193,27 @@ def test_quota_sample_deterministic_and_stable(ray_session):
     kept = quota_sample(docs(60), "doc_id", "grp", rates={"zzz": 1.0},
                         seed=5, default_rate=1.0).to_pandas()
     assert len(kept) == 60
+
+
+def test_grouped_topk_ties_and_blocks(ray_session):
+    """grouped_topk: per-group head-k with deterministic id tie-break, NULL
+    order rows dropped, NULL group is its own group, result invariant to
+    block layout (the per-block partial never loses a global winner)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import grouped_topk
+
+    t = pa.table({
+        "grp": pa.array(["a"] * 5 + ["b"] * 3 + [None, None], type=pa.string()),
+        "score": pa.array([5, 5, 5, 1, 2, 7, None, 3, 9, 9], type=pa.int64()),
+        "id": pa.array(list(range(10)), type=pa.int64()),
+    })
+    for n_blocks in (1, 5):
+        out = grouped_topk(rd.from_arrow(t).repartition(n_blocks),
+                           "grp", "score", "id", k=2)
+        rows = list(zip(out["grp"].to_pylist(), out["id"].to_pylist()))
+        # a: three ties at 5 → ids 0,1 win; b: score-None row 6 dropped → 5,7
+        # NULL group: ids 8,9 tie at 9 → both kept (k=2), id order
+        assert rows == [("a", 0), ("a", 1), ("b", 5), ("b", 7),
+                        (None, 8), (None, 9)], (n_blocks, rows)
