@@ -29,7 +29,6 @@ from ..functions.textstats import (
     hamming64,
     minhash_params,
     minhash_signature,
-    shingle_hashes,
     simhash64,
 )
 
@@ -437,10 +436,19 @@ class VerifyJaccardStage:
                 raise KeyError(
                     f"doc store is missing {len(absent)} candidate id(s), "
                     f"e.g. {sorted(absent)[:5]} — stale or partial doc_source?")
-            for did in missing:
-                # NULL text is a real stored value (tokenizes to nothing)
-                self.sh_cache[did] = shingle_hashes(
-                    self.analyzer.tokenize(texts[did] or ""), self.k)
+            # ONE vectorized shingle pass over the fetched texts (NULL text
+            # tokenizes to nothing, a real stored value).  The per-doc scalar
+            # tokenize+hash loop this replaces was the cache-fill hot spot —
+            # shingle_hashes_column is bit-identical per row (shared kernel).
+            from ..functions.textstats import shingle_hashes_column
+
+            ids_list = list(missing)
+            fp, rows = shingle_hashes_column(
+                pa.array([texts[d] for d in ids_list], type=pa.string()),
+                self.k, self.analyzer)
+            starts = np.searchsorted(rows, np.arange(len(ids_list) + 1))
+            for i, did in enumerate(ids_list):
+                self.sh_cache[did] = fp[starts[i]:starts[i + 1]]
         sh = self.sh_cache
         n_pairs = len(a)
         # one flat (pair_idx, hash) stream over both sides; a hash seen twice
