@@ -178,6 +178,21 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(keep)
 
 
+def _pool_size(concurrency: int | None) -> int:
+    """Default verify/signature actor-pool cap: half the cluster's CPUs,
+    clamped to [4, 16] (pools are autoscaling ``(1, N)``, so small test
+    sessions still start at one actor).  A fixed 8 left half of a 32-CPU
+    node idle in the verify-bound near-dup pipelines; an explicit
+    ``concurrency`` wins."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(16, cpus // 2))
+
+
 def _join_args() -> dict:
     """Join sizing that cannot starve a small cluster: partitions scale with
     CPUs and aggregator actors take fractional CPUs so chained joins +
@@ -571,7 +586,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k_shingle: int = 3,
     threshold: float = 0.5,
-    concurrency: int = 8,
+    concurrency: int | None = None,
     max_bucket_occupancy: int | None = 1024,
 ) -> rd.Dataset:
     """Near-duplicate pairs via MinHash + LSH banding:
@@ -584,6 +599,7 @@ def minhash_lsh_pairs(
     ``doc_source`` (parquet path / small table; defaults to the dataset's own
     parquet input files when it was read from parquet, else to a
     driver-capped broadcast — pass the path explicitly at scale)."""
+    concurrency = _pool_size(concurrency)
     rows_per_band = num_perm // bands
     if bands > 31:
         raise ValueError(f"bands={bands} > 31: band tag overflows the int64 key")
@@ -711,7 +727,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket_occupancy: int | None = 1024,
     analyzer: Analyzer = DEFAULT_ANALYZER,
-    concurrency: int = 8,
+    concurrency: int | None = None,
 ) -> rd.Dataset:
     """EXACT n-gram-Jaccard near-dup pairs (vs MinHash's probabilistic
     candidates): docs sharing ≥1 shingle-hash become candidates — the bucket
@@ -722,6 +738,7 @@ def ngram_jaccard_pairs(
     (id, shingle_hash) only; TRUE Jaccard is verified against the doc store
     (``doc_source`` defaults like ``minhash_lsh_pairs``: input parquet files,
     else a row-capped broadcast — pass the path explicitly at scale)."""
+    concurrency = _pool_size(concurrency)
     if doc_source is None:
         doc_source = _default_doc_source(ds, id_col, text_col)
 
@@ -977,7 +994,7 @@ def embedding_neardup_pairs_lsh(
     ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.9,
     n_planes: int = 16, bands: int = 4, seed: int = 11,
     max_bucket_occupancy: int | None = 4096,
-    vec_source=None, concurrency: int = 8,
+    vec_source=None, concurrency: int | None = None,
 ) -> rd.Dataset:
     """Scale path: banded sign-LSH bucketing (like MinHash bands — a pair is
     a candidate if ANY band of hyperplane signs matches exactly), exact
@@ -990,6 +1007,7 @@ def embedding_neardup_pairs_lsh(
     (asserted ≥ baseline in pytest)."""
     from .similarity import _matrix, _normalize
 
+    concurrency = _pool_size(concurrency)
     planes_by_dim: dict[int, np.ndarray] = {}
     per_band = n_planes // bands
     if per_band < 1:
