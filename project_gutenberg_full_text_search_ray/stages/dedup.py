@@ -916,8 +916,21 @@ def embedding_neardup_pairs(
                              "id_b": pa.array(self.ids[aj], type=id_type),
                              "cos_i4": pa.array(quantize_i4(sims[ai, aj]))})
 
-    out = ds.map_batches(ScoreBlock, batch_format="pyarrow",
-                         concurrency=(1, concurrency)).to_pandas()
+    # materialized: counted for the guard, then collected — re-running the
+    # lineage would score the O(N²/B) similarity matrix twice
+    pairs = ds.map_batches(ScoreBlock, batch_format="pyarrow",
+                           concurrency=(1, concurrency)).materialize()
+    # the driver collect is OUTPUT-sized (threshold-filtered pairs), but a
+    # too-low threshold makes the output quadratic — fail loudly instead of
+    # OOM-ing the driver; the LSH path streams and has no such collect
+    n_pairs = pairs.count()
+    if n_pairs > 5_000_000:
+        raise ValueError(
+            f"embedding_neardup_pairs: {n_pairs} pairs ≥ threshold "
+            f"{threshold} — the exact path collects its output on the "
+            f"driver; raise the threshold or use "
+            f"embedding_neardup_pairs_lsh (streaming) at this density")
+    out = pairs.to_pandas()
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.table({"id_a": pa.array(out["id_a"], type=id_type),
                      "id_b": pa.array(out["id_b"], type=id_type),
