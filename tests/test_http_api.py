@@ -411,3 +411,44 @@ def test_values_endpoint_truncation(server):
     assert feed["n_distinct"] == 200
     status, feed = _get(server, "/values?col=role")
     assert status == 200 and not feed["truncated"]
+
+
+def test_prefix_hierarchy_variable_length_values(ray_session, tmp_path):
+    """Variable-length vocabularies (the reference's LoCC tree shape, values
+    like '3'/'30'/'300'): node '3' has children AND its own docs —
+    prefix_exact_count catches the exact-'3' rows, children counts include
+    every deeper extension, has_children flags the next level, NULL values
+    never surface.  Exercises the r4 prefix-scoped combiner pass (including
+    the parquet [prefix, next-prefix) pushdown) end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, FullTextSearchEngine, build_index
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(8)), type=pa.int64()),
+        "text": pa.array([f"w{i}" for i in range(8)], type=pa.string()),
+        "code": pa.array(["3", "3", "30", "300", "300", "31", "4", None],
+                         type=pa.string()),
+    })
+    src = str(tmp_path / "codes.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, CorpusSpec(("doc_id",), "text", ("code",), "codes"), idx,
+                docs_per_segment=3)
+    eng = FullTextSearchEngine(idx)
+
+    assert eng.prefix_exact_count("code", "3") == 2      # the node's own docs
+    ch = eng.prefix_children("code", "3", depth=1)
+    rows = list(zip(ch["child"].to_pylist(), ch["n"].to_pylist(),
+                    ch["has_children"].to_pylist()))
+    # '30' subtree holds 30,300,300 (3 docs, deeper values exist); '31' leaf
+    assert rows == [("30", 3, True), ("31", 1, False)]
+    ch2 = eng.prefix_children("code", "30", depth=1)
+    assert list(zip(ch2["child"].to_pylist(), ch2["n"].to_pylist(),
+                    ch2["has_children"].to_pylist())) == [("300", 2, False)]
+    # root level: NULL code never surfaces; counts conserve (7 non-null)
+    root = eng.prefix_children("code", "", depth=1)
+    assert root["child"].to_pylist() == ["3", "4"]
+    assert sum(root["n"].to_pylist()) == 7
+    assert eng.prefix_exact_count("code", "") == 0
