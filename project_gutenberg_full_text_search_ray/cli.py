@@ -5,6 +5,9 @@ the engine-core equivalent here is a command line that owns its Ray session
 (the library itself never calls ray.init).
 
     python -m project_gutenberg_full_text_search_ray.cli build SRC INDEX_DIR [--corpus transcripts|documents]
+        [--format parquet|jsonl|jsonl-nested] [--ts-unit s|ms|us|ns]
+    python -m project_gutenberg_full_text_search_ray.cli ingest SRC OUT_DIR [--nested] [--ts-unit ...]
+        — one-time JSONL → partitioned Parquet conversion (sources/jsonl.py)
     python -m project_gutenberg_full_text_search_ray.cli search INDEX_DIR QUERY [--page N] [--size N]
         [--filter col:op:value ...] [--order col|relevance|random] [--asc] [--count-only]
     python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
@@ -107,7 +110,20 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("src")
     b.add_argument("index_dir")
     b.add_argument("--corpus", choices=["transcripts", "documents"], default="transcripts")
+    b.add_argument("--format", choices=["parquet", "jsonl", "jsonl-nested"],
+                   default="parquet", dest="src_format",
+                   help="jsonl = one JSON object per turn; jsonl-nested = one "
+                        "per conversation with a turns[] list")
+    b.add_argument("--ts-unit", default="us", choices=["s", "ms", "us", "ns"],
+                   help="unit of integer ts values in JSONL input")
     b.add_argument("--force", action="store_true")
+
+    ing = sub.add_parser("ingest", help="JSONL → partitioned Parquet (the "
+                         "resumable input layout for repeated builds)")
+    ing.add_argument("src")
+    ing.add_argument("out_dir")
+    ing.add_argument("--nested", action="store_true")
+    ing.add_argument("--ts-unit", default="us", choices=["s", "ms", "us", "ns"])
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
@@ -178,12 +194,40 @@ def main(argv: list[str] | None = None) -> int:
             srv.close()
         return 0
 
+    if args.cmd == "ingest":
+        from .sources.jsonl import jsonl_to_parquet
+
+        _ray_up()
+        jsonl_to_parquet(args.src, args.out_dir, nested=args.nested,
+                         ts_unit=args.ts_unit)
+        import glob as _glob
+        import os as _os
+
+        n_files = len(_glob.glob(_os.path.join(args.out_dir, "*.parquet")))
+        print(json.dumps({"out_dir": args.out_dir, "files": n_files}))
+        return 0
+
     if args.cmd == "build":
         from .corpus import DOCUMENTS_SPEC, TRANSCRIPTS_SPEC
         from .pipelines.build import build_index
 
         _ray_up()
         spec = TRANSCRIPTS_SPEC if args.corpus == "transcripts" else DOCUMENTS_SPEC
+        if args.src_format != "parquet":
+            # JSONL source: normalized Dataset + a path-stats fingerprint so
+            # refresh keeps its unchanged-input no-op (sources/jsonl.py)
+            from .sources.jsonl import jsonl_input_fingerprint, read_transcripts_jsonl
+
+            ds = read_transcripts_jsonl(
+                args.src, nested=(args.src_format == "jsonl-nested"),
+                ts_unit=args.ts_unit)
+            info = build_index(ds, spec, args.index_dir, force=args.force,
+                               input_fp=jsonl_input_fingerprint(args.src))
+            print(json.dumps({"n_docs": info.n_docs,
+                              "n_segments": info.n_segments,
+                              "avgdl": round(info.avgdl, 3),
+                              "fingerprint": info.build_fp}))
+            return 0
         info = build_index(args.src, spec, args.index_dir, force=args.force)
         print(json.dumps({"n_docs": info.n_docs, "n_segments": info.n_segments,
                           "avgdl": round(info.avgdl, 3), "fingerprint": info.build_fp}))

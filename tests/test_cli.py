@@ -104,3 +104,29 @@ def test_cli_prep_split_and_sessionize(ray_session, tmp_path):
     # contamination without --bench is a loud usage error
     rc = main(["prep", "contamination", docs, str(tmp_path / "x")])
     assert rc == 2
+
+
+def test_cli_ingest_and_build_jsonl(tmp_path):
+    """ingest (jsonl→parquet) + build --format jsonl produce the same index
+    stats, and the jsonl-built index serves searches."""
+    import json as _json
+
+    from project_gutenberg_full_text_search_ray.sources.transcripts import gen_transcripts
+
+    t = gen_transcripts(30, 6, seed=11)
+    jl = str(tmp_path / "turns.jsonl")
+    with open(jl, "w") as f:
+        for r in t.to_pylist():
+            r["ts"] = r["ts"].isoformat() if r["ts"] is not None else None
+            f.write(_json.dumps(r) + "\n")
+
+    conv = _run_cli("ingest", jl, str(tmp_path / "pq"))
+    assert conv["files"] >= 1
+
+    b1 = _run_cli("build", jl, str(tmp_path / "idx_jl"), "--format", "jsonl")
+    b2 = _run_cli("build", str(tmp_path / "pq"), str(tmp_path / "idx_pq"))
+    assert b1["n_docs"] == b2["n_docs"] == 180
+    assert b1["avgdl"] == b2["avgdl"]
+
+    r = _run_cli("search", str(tmp_path / "idx_jl"), "the", "--size", "3")
+    assert r["total"] > 0 and len(r["rows"]) == 3
