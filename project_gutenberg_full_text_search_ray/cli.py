@@ -68,6 +68,19 @@ def _prep(args) -> int:
 
         out = sessionize(ds, args.user_col, args.ts_col, args.id_col,
                          gap_us=args.gap_us)
+    elif args.op == "pack":
+        from .stages.corpus_prep import pack_sequences
+
+        out = pack_sequences(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, capacity=args.capacity)
+    elif args.op == "scrub":
+        from .stages.corpus_prep import frequent_span_scrub
+
+        out = frequent_span_scrub(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col,
+            span_tokens=args.span_tokens, max_df_frac=args.max_df_frac)
     elif args.op == "quota":
         from .stages.corpus_prep import quota_sample
 
@@ -148,7 +161,8 @@ def main(argv: list[str] | None = None) -> int:
 
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
-                                   "sessionize", "contamination", "quota"])
+                                   "sessionize", "contamination", "quota",
+                                   "pack", "scrub"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -166,6 +180,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="benchmark parquet file/dir with --text-col (contamination)")
     pr.add_argument("--k-shingle", type=int, default=3)
     pr.add_argument("--min-hits", type=int, default=1)
+    pr.add_argument("--capacity", type=int, default=512,
+                    help="pack: token budget per packed sequence")
+    pr.add_argument("--span-tokens", type=int, default=2,
+                    help="scrub: span length in tokens")
+    pr.add_argument("--max-df-frac", type=float, default=0.05,
+                    help="scrub: doc-frequency fraction above which a span "
+                         "is boilerplate")
     pr.add_argument("--group-col", default="lang",
                     help="grouping column (quota)")
     pr.add_argument("--rates", default="en:1.0",

@@ -130,3 +130,44 @@ def test_cli_ingest_and_build_jsonl(tmp_path):
 
     r = _run_cli("search", str(tmp_path / "idx_jl"), "the", "--size", "3")
     assert r["total"] > 0 and len(r["rows"]) == 3
+
+
+def test_cli_prep_pack_and_scrub(ray_session, tmp_path):
+    """`prep pack` and `prep scrub` run parquet→parquet end to end."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(40)),
+        "text": [f"shared boilerplate header unique{i} tail{i}"
+                 for i in range(40)],
+    }), docs)
+
+    out1 = str(tmp_path / "pack_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "pack", docs, out1, "--capacity", "16"])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out1)
+    assert t.num_rows == 40
+    assert set(t.column_names) >= {"doc_id", "n_tokens", "pack_id"}
+    # 5 tokens/doc, capacity 16 → packs hold >1 doc and ids are monotone
+    packs = t.to_pandas().sort_values("doc_id")["pack_id"].tolist()
+    assert packs == sorted(packs) and packs[0] == 0 and packs[-1] > 0
+
+    out2 = str(tmp_path / "scrub_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "scrub", docs, out2, "--max-df-frac", "0.5"])
+    assert rc == 0
+    s = pq.read_table(out2).to_pandas().set_index("doc_id")["clean_text"]
+    # the shared 2-gram spans are gone, per-doc unique tails survive
+    assert all("shared boilerplate" not in v for v in s)
+    assert any("unique" in v for v in s)
