@@ -275,6 +275,63 @@ class FullTextSearchEngine:
     def count(self, q: SearchQuery) -> int:  # A1
         return self._run(q, count_only=True)[0]
 
+    def get(self, *id_vals, crosswalk: Crosswalk = Crosswalk.FULL) -> dict | None:
+        """Point lookup by document identity — the reference README's
+        ``fts.get(1342)`` (/root/reference/README.md:107; documented there
+        but absent from the reference's own code, SURVEY §2.10).  Positional
+        values map onto ``spec.id_cols`` in order: ``eng.get(conv, turn)``
+        for transcripts, ``eng.get(doc_id)`` for documents.  Returns the
+        crosswalked row dict, or None when absent."""
+        if len(id_vals) != len(self.spec.id_cols):
+            raise ValueError(
+                f"get() takes {len(self.spec.id_cols)} id value(s) "
+                f"({', '.join(self.spec.id_cols)}), got {len(id_vals)}")
+        q = self.query(crosswalk)
+        for col, v in zip(self.spec.id_cols, id_vals):
+            q = q.eq(col, v)
+        q = q.order_by(self.spec.id_cols[0], descending=False)[1, 1]
+        res = self.execute(q)
+        return res.rows[0] if res.table.num_rows else None
+
+    def get_many(self, ids: list, *, crosswalk: Crosswalk = Crosswalk.FULL) -> pa.Table:
+        """Batch point lookup — the reference README's
+        ``fts.get_many([1342, 84, 11])`` (/root/reference/README.md:110).
+        ``ids`` are scalars for single-column identity or tuples matching
+        ``spec.id_cols``.  Identity-ordered table of the found docs (absent
+        ids are simply missing — same contract as SQL ``IN``).
+
+        Shape: zone-map pruning + a vectorized ``is_in`` on the leading id
+        column narrows segments, then one vectorized packed-key ``is_in``
+        (udf filter, no per-row Python) exact-matches the composite
+        identity inside each surviving segment."""
+        import pyarrow.compute as pc
+
+        id_cols = self.spec.id_cols
+        norm = [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in ids]
+        if not norm:
+            return apply_crosswalk(self._empty_result_table(), crosswalk,
+                                   self.spec, self._custom_transformer)
+        if any(len(t) != len(id_cols) for t in norm):
+            raise ValueError(f"each id must have {len(id_cols)} value(s) "
+                             f"({', '.join(id_cols)})")
+        q = self.query(crosswalk).docs_in(id_cols[0],
+                                          sorted({t[0] for t in norm}))
+        if len(id_cols) > 1:
+            wanted = pa.array(["\x1f".join(str(x) for x in t) for t in norm])
+
+            def match(t: pa.Table) -> np.ndarray:
+                packed = pc.binary_join_element_wise(
+                    *[pc.cast(t[c], pa.string()) for c in id_cols], "\x1f")
+                return pc.is_in(packed, value_set=wanted).to_numpy(
+                    zero_copy_only=False)
+
+            q = q.where(FilterSpec(None, "udf", match))
+        q = q.order_by(id_cols[0], descending=False)
+        # internal page: a point-lookup batch is bounded by len(ids), not
+        # the facade's MAX_PAGE_SIZE browse clamp
+        q.page, q.page_size = 1, len(norm)
+        return self.execute(q).table
+
     def execute(self, q: SearchQuery) -> SearchResult:
         total, merged = self._run(q)
         return paginate_result(total, merged, q, self.spec, self._custom_transformer)

@@ -1065,3 +1065,37 @@ def test_sessionize_timestamp_unit_normalized(ray_session):
                           gap_us=100_000)
                .to_pandas().set_index("event_id")["session_id"])
         assert out[1] == 1 and out[2] == 1 and out[3] == 3, unit
+
+
+def test_get_and_get_many(engine):
+    """Reference README's fts.get / fts.get_many (README.md:107-110 —
+    documented there, absent from its code): point lookups by identity."""
+    import pytest as _pytest
+
+    row = engine.get("conv-00000003", 2)
+    assert row is not None
+    assert row["conv_id"] == "conv-00000003" and row["turn_idx"] == 2
+    # FULL crosswalk = identity + metadata + dl + score; the segment doc
+    # store (like the reference MV) does not retain raw text
+    assert "role" in row and "dl" in row
+
+    assert engine.get("conv-99999999", 0) is None
+    with _pytest.raises(ValueError, match="id value"):
+        engine.get("conv-00000003")
+
+    ids = [("conv-00000005", 1), ("conv-00000002", 0),
+           ("conv-99999999", 7), ("conv-00000002", 3)]
+    t = engine.get_many(ids)
+    got = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    # identity-ordered, missing id absent
+    assert got == [("conv-00000002", 0), ("conv-00000002", 3),
+                   ("conv-00000005", 1)]
+
+    # a batch larger than the facade page clamp still comes back whole
+    many = [("conv-%08d" % c, i) for c in range(30) for i in range(4)]
+    t2 = engine.get_many(many)
+    assert t2.num_rows == 120
+
+    with _pytest.raises(ValueError, match="id must have"):
+        engine.get_many([("conv-00000001",)])
+    assert engine.get_many([]).num_rows == 0
