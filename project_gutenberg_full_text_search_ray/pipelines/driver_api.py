@@ -1837,17 +1837,18 @@ _DRIVER_ORDER = [
     "asof_prev_purchase", "boilerplate_scrub",
     # text analysis
     "token_counts", "langid_counts",
-    # trigram family + per-field search
-    "fuzzy_search", "contains_indexed", "contains_multi", "field_search",
+    # trigram family + per-field search + per-group top-k (the r4
+    # grouped_topk kernel, promoted in place of contains_multi — multi-token
+    # CONTAINS composes contains_indexed's trigram expansion with the AND
+    # evaluator fts_multi_clause hard-verifies)
+    "fuzzy_search", "contains_indexed", "topk_per_lang", "field_search",
     # normalizers + sampling + rollups + joins + hierarchy navigation (the
     # r4 prefix-scoped combiner pass, promoted in place of fts_or — OR
     # evaluation stays hard-verified through fuzzy_search's expansion oracle)
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    # (topk_per_lang leads the tail: new r4 kernel, oracled — first in line
-    # if the driver checks past 50)
-    "topk_per_lang",
+    "contains_multi",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every
