@@ -13,7 +13,8 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
     python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
     python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
-        OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination | quota
+        OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination
+             | quota | pack | scrub | knn
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -81,6 +82,12 @@ def _prep(args) -> int:
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col,
             span_tokens=args.span_tokens, max_df_frac=args.max_df_frac)
+    elif args.op == "knn":
+        from .stages.similarity import knn_join
+
+        out = knn_join(
+            rd.read_parquet(args.src, columns=[args.id_col, args.vec_col]),
+            args.vec_col, args.id_col, k=args.k)
     elif args.op == "quota":
         from .stages.corpus_prep import quota_sample
 
@@ -162,7 +169,7 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
                                    "sessionize", "contamination", "quota",
-                                   "pack", "scrub"])
+                                   "pack", "scrub", "knn"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -187,6 +194,10 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--max-df-frac", type=float, default=0.05,
                     help="scrub: doc-frequency fraction above which a span "
                          "is boilerplate")
+    pr.add_argument("--vec-col", default="embedding",
+                    help="list<float> column (knn)")
+    pr.add_argument("--k", type=int, default=5,
+                    help="neighbors per row (knn)")
     pr.add_argument("--group-col", default="lang",
                     help="grouping column (quota)")
     pr.add_argument("--rates", default="en:1.0",

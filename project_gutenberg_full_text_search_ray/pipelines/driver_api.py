@@ -496,6 +496,32 @@ def q_embed_neardup_pairs(sf_dir: str) -> pa.Table:
     return embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
 
 
+def q_knn_join(sf_dir: str) -> pa.Table:
+    """kNN semi-join (stages/similarity.knn_join): exact top-5 cosine
+    neighbors from the FULL corpus for each vec_id < 100 query row — the
+    'nearest training doc' audit / semantic-dedup clustering primitive.
+    Pool blocks stay in the object store; one matmul + one whole-batch
+    lexsort per query batch."""
+    import ray
+    import ray.data as rd
+    from ..stages.similarity import knn_join
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    pool = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 100)])
+    out = knn_join(rd.from_arrow(qt), "embedding", "vec_id", k=5, pool=pool)
+    # output-sized collect (100 queries × 5 neighbors at every sf)
+    tabs = [t for t in ray.get(out.to_arrow_refs())
+            if t.num_rows and "cos_i4" in t.column_names]
+    res = pa.concat_tables(tabs).sort_by(
+        [("vec_id", "ascending"), ("rank", "ascending")])
+    return pa.table({"vec_id": res["vec_id"].cast(pa.int64()),
+                     "rank": res["rank"],
+                     "neighbor_id": res["neighbor_id"].cast(pa.int64()),
+                     "cos_i4": res["cos_i4"]})
+
+
 def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
     """LSH-bucketed ANN (approximate scale path).  The bucketing is
     hash-derived ±1 planes over integer-quantized vectors (similarity.py::
@@ -1349,6 +1375,24 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type ORDER BY event_type"
     ),
+    "knn_join": (
+        # DOUBLE[] casts: DuckDB evaluates list_cosine_similarity over
+        # FLOAT[] in float32, which flips ~0.2% of the ×10⁴ quantized
+        # values at rounding boundaries vs the engine's float64 matmul
+        "SELECT vec_id, \"rank\", neighbor_id, cos_i4 FROM ("
+        "SELECT CAST(q.vec_id AS BIGINT) AS vec_id, "
+        "CAST(row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) "
+        "AS BIGINT) AS \"rank\", "
+        "CAST(e.vec_id AS BIGINT) AS neighbor_id, "
+        "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) "
+        "AS BIGINT) AS cos_i4 "
+        "FROM embeddings q, embeddings e "
+        "WHERE q.vec_id < 100 AND e.vec_id <> q.vec_id) "
+        "WHERE \"rank\" <= 5 ORDER BY vec_id, \"rank\""
+    ),
     "ann_cosine_topk": (
         "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
         "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
@@ -1733,6 +1777,7 @@ QUERIES_EXTRAS = {
     "contains_scan": q_contains_scan,
     "events_type_counts": q_events_type_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "knn_join": q_knn_join,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "facet_lang_counts": q_facet_lang_counts,
     "sample_per_source": q_sample_per_source,
@@ -1831,8 +1876,11 @@ _DRIVER_ORDER = [
     # dedup family
     "dedup_exact", "dedup_components", "minhash_neardup", "simhash_pairs",
     "ngram_jaccard_pairs", "embed_neardup_pairs",
-    # similarity search
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_probeall",
+    # similarity search (knn_join = the r4 per-row kNN semi-join kernel,
+    # promoted in place of ann_ivf_probeall — whose oracle is by design the
+    # SAME SQL as ann_cosine_topk's; the IVF-specific partition-pruned read
+    # path stays pytest-verified via recall + occupancy-balance tests)
+    "ann_cosine_topk", "ann_lsh_topk", "knn_join",
     # relational extras + corpus prep
     "asof_prev_purchase", "boilerplate_scrub",
     # text analysis
@@ -1848,7 +1896,7 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "contains_multi",
+    "contains_multi", "ann_ivf_probeall",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every

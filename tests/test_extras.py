@@ -1099,3 +1099,54 @@ def test_get_and_get_many(engine):
     with _pytest.raises(ValueError, match="id must have"):
         engine.get_many([("conv-00000001",)])
     assert engine.get_many([]).num_rows == 0
+
+
+def test_knn_join_matches_bruteforce(ray_session):
+    """knn_join == per-row brute force (cos desc, id asc tie-break), block
+    layout invariant, pool semantics (disjoint query subset vs full pool)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from project_gutenberg_full_text_search_ray.stages.similarity import (
+        knn_join, _normalize)
+
+    rng = np.random.default_rng(7)
+    N, d, k = 97, 16, 5
+    V = rng.normal(size=(N, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(N), type=pa.int64()),
+                  "embedding": pa.array(V.tolist(), type=pa.list_(pa.float32()))})
+
+    Mn = _normalize(V.astype(np.float64))
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -np.inf)
+
+    def collect(ds):
+        tabs = [b for b in ray.get(ds.to_arrow_refs())
+                if b.num_rows and "cos_i4" in b.column_names]
+        return pa.concat_tables(tabs).sort_by(
+            [("vec_id", "ascending"), ("rank", "ascending")])
+
+    for parts in (1, 7):  # block-layout invariance
+        out = collect(knn_join(rd.from_arrow(t).repartition(parts),
+                               "embedding", "vec_id", k=k))
+        assert out.num_rows == N * k
+        nid = np.asarray(out["neighbor_id"])
+        cos = np.asarray(out["cos_i4"])
+        for q in range(N):
+            order = np.lexsort((np.arange(N), -S[q]))[:k]
+            assert (nid[q * k:(q + 1) * k] == order).all()
+            assert (cos[q * k:(q + 1) * k]
+                    == np.floor(S[q][order] * 10000 + 0.5)).all()
+
+    # disjoint query subset against the full pool: self still excluded by id
+    qds = rd.from_arrow(t.slice(0, 10))
+    rows = knn_join(qds, "embedding", "vec_id", k=3,
+                    pool=rd.from_arrow(t)).take_all()
+    assert len(rows) == 30
+    assert all(r["vec_id"] < 10 and r["neighbor_id"] != r["vec_id"]
+               for r in rows)
+
+    # k larger than pool: clamped to pool_size - 1
+    tiny = rd.from_arrow(t.slice(0, 4))
+    rows = knn_join(tiny, "embedding", "vec_id", k=50).take_all()
+    assert len(rows) == 4 * 3
