@@ -83,11 +83,21 @@ def _prep(args) -> int:
             args.text_col, args.id_col,
             span_tokens=args.span_tokens, max_df_frac=args.max_df_frac)
     elif args.op == "knn":
-        from .stages.similarity import knn_join
+        queries = rd.read_parquet(args.src, columns=[args.id_col, args.vec_col])
+        if args.ivf_dir:
+            import os
 
-        out = knn_join(
-            rd.read_parquet(args.src, columns=[args.id_col, args.vec_col]),
-            args.vec_col, args.id_col, k=args.k)
+            from .stages.similarity import IVFIndex, knn_join_ivf
+
+            if not os.path.exists(os.path.join(args.ivf_dir, "meta.json")):
+                IVFIndex.build(queries, args.vec_col, args.id_col,
+                               args.ivf_dir, n_lists=args.n_lists)
+            out = knn_join_ivf(queries, args.ivf_dir, k=args.k,
+                               n_probe=args.n_probe)
+        else:
+            from .stages.similarity import knn_join
+
+            out = knn_join(queries, args.vec_col, args.id_col, k=args.k)
     elif args.op == "quota":
         from .stages.corpus_prep import quota_sample
 
@@ -198,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="list<float> column (knn)")
     pr.add_argument("--k", type=int, default=5,
                     help="neighbors per row (knn)")
+    pr.add_argument("--ivf-dir", default=None,
+                    help="knn: persisted IVF index dir — built there if "
+                         "absent, then answered via per-row probes "
+                         "(knn_join_ivf) instead of the exact full-pool join")
+    pr.add_argument("--n-lists", type=int, default=8,
+                    help="knn --ivf-dir: IVF list count at build")
+    pr.add_argument("--n-probe", type=int, default=2,
+                    help="knn --ivf-dir: probed lists per query row")
     pr.add_argument("--group-col", default="lang",
                     help="grouping column (quota)")
     pr.add_argument("--rates", default="en:1.0",

@@ -522,6 +522,34 @@ def q_knn_join(sf_dir: str) -> pa.Table:
                      "cos_i4": res["cos_i4"]})
 
 
+def q_knn_join_ivf(sf_dir: str) -> pa.Table:
+    """kNN join through the PERSISTED IVF index (similarity.knn_join_ivf)
+    probed with n_probe = n_lists: every list partition is read, so the
+    result is EXACTLY q_knn_join's brute-force join — which makes the whole
+    per-row probe path (centroid assignment, lazy per-actor list cache,
+    per-list matmul, lexsort candidate merge) checkable against the same
+    hard SQL oracle.  The pruned n_probe<n_lists path stays covered by the
+    recall pytest (tests/test_extras.py::test_knn_join_ivf)."""
+    import ray
+    import ray.data as rd
+    from ..stages.similarity import knn_join_ivf
+
+    idx, _ = _ivf_index(sf_dir)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 100)])
+    out = knn_join_ivf(rd.from_arrow(qt), idx.index_dir, k=5,
+                       n_probe=idx.meta["n_lists"])
+    tabs = [t for t in ray.get(out.to_arrow_refs())
+            if t.num_rows and "cos_i4" in t.column_names]
+    res = pa.concat_tables(tabs).sort_by(
+        [("vec_id", "ascending"), ("rank", "ascending")])
+    return pa.table({"vec_id": res["vec_id"].cast(pa.int64()),
+                     "rank": res["rank"],
+                     "neighbor_id": res["neighbor_id"].cast(pa.int64()),
+                     "cos_i4": res["cos_i4"]})
+
+
 def q_ann_lsh_topk(sf_dir: str) -> pa.Table:
     """LSH-bucketed ANN (approximate scale path).  The bucketing is
     hash-derived ±1 planes over integer-quantized vectors (similarity.py::
@@ -1778,6 +1806,7 @@ QUERIES_EXTRAS = {
     "events_type_counts": q_events_type_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "knn_join": q_knn_join,
+    "knn_join_ivf": q_knn_join_ivf,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "facet_lang_counts": q_facet_lang_counts,
     "sample_per_source": q_sample_per_source,
@@ -1819,6 +1848,9 @@ QUERIES_EXTRAS["sessionize_events"] = q_sessionize
 ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
 QUERIES_EXTRAS["split_assign"] = q_split_assign
 ORACLE_SQL_EXTRAS["split_assign"] = _split_sql()
+# probe-all IVF join == the brute-force join, so it shares knn_join's oracle
+# verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
+ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
 
 QUERIES_CORE = {
     "fts_term": q_fts_term,
@@ -1878,9 +1910,13 @@ _DRIVER_ORDER = [
     "ngram_jaccard_pairs", "embed_neardup_pairs",
     # similarity search (knn_join = the r4 per-row kNN semi-join kernel,
     # promoted in place of ann_ivf_probeall — whose oracle is by design the
-    # SAME SQL as ann_cosine_topk's; the IVF-specific partition-pruned read
-    # path stays pytest-verified via recall + occupancy-balance tests)
-    "ann_cosine_topk", "ann_lsh_topk", "knn_join",
+    # SAME SQL as ann_cosine_topk's; knn_join_ivf = the late-r4 per-row
+    # IVF probe path — centroid assignment, per-actor list cache, per-list
+    # matmul, lexsort candidate merge — probed-all so the knn_join oracle
+    # hard-verifies it; promoted in place of ann_cosine_topk, whose
+    # brute_force_topk kernel stays hard-verified as the scoring stage of
+    # ann_lsh_topk)
+    "ann_lsh_topk", "knn_join", "knn_join_ivf",
     # relational extras + corpus prep
     "asof_prev_purchase", "boilerplate_scrub",
     # text analysis
@@ -1896,7 +1932,7 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "contains_multi", "ann_ivf_probeall",
+    "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every

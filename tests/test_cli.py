@@ -171,3 +171,42 @@ def test_cli_prep_pack_and_scrub(ray_session, tmp_path):
     # the shared 2-gram spans are gone, per-doc unique tails survive
     assert all("shared boilerplate" not in v for v in s)
     assert any("unique" in v for v in s)
+
+
+def test_cli_prep_knn_ivf(ray_session, tmp_path):
+    """`prep knn --ivf-dir` builds the IVF index when absent and answers via
+    per-row probes; probe-all output matches the exact-join CLI path."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    rng = np.random.default_rng(3)
+    vecs = str(tmp_path / "vecs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()),
+        "embedding": pa.array(rng.normal(size=(60, 8)).tolist(),
+                              type=pa.list_(pa.float32())),
+    }), vecs)
+
+    def run(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+
+    exact_out = str(tmp_path / "knn_exact")
+    run(["prep", "knn", vecs, exact_out, "--k", "3"])
+    ivf_out = str(tmp_path / "knn_ivf")
+    run(["prep", "knn", vecs, ivf_out, "--ivf-dir", str(tmp_path / "ivf"),
+         "--n-lists", "4", "--n-probe", "4", "--k", "3"])
+    key = ["doc_id", "rank"]
+    a = pq.read_table(exact_out).sort_by([(c, "ascending") for c in key])
+    b = pq.read_table(ivf_out).sort_by([(c, "ascending") for c in key])
+    assert a.select(a.column_names).equals(b.select(a.column_names))
+    assert a.num_rows == 60 * 3

@@ -1150,3 +1150,51 @@ def test_knn_join_matches_bruteforce(ray_session):
     tiny = rd.from_arrow(t.slice(0, 4))
     rows = knn_join(tiny, "embedding", "vec_id", k=50).take_all()
     assert len(rows) == 4 * 3
+
+
+def test_knn_join_ivf(ray_session, tmp_path):
+    """knn_join_ivf: probe-all == exact knn_join (bit-identical, the driver
+    oracle's contract); pruned probes are a subset with bounded recall loss;
+    per-actor list cache survives multiple query blocks."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from project_gutenberg_full_text_search_ray.stages.similarity import (
+        IVFIndex, knn_join, knn_join_ivf)
+
+    rng = np.random.default_rng(17)
+    N, d, k = 211, 12, 4
+    V = rng.normal(size=(N, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(N), type=pa.int64()),
+                  "embedding": pa.array(V.tolist(), type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(5)
+    idx = IVFIndex.build(ds, "embedding", "vec_id", str(tmp_path / "ivf"),
+                         n_lists=6, train_sample=128)
+
+    def collect(dso):
+        tabs = [b for b in ray.get(dso.to_arrow_refs())
+                if b.num_rows and "cos_i4" in b.column_names]
+        return pa.concat_tables(tabs).sort_by(
+            [("vec_id", "ascending"), ("rank", "ascending")])
+
+    exact = collect(knn_join(ds, "embedding", "vec_id", k=k))
+    # probe-all reads every partition → EXACT equality with the brute join
+    probeall = collect(knn_join_ivf(ds, idx.index_dir, k=k, n_probe=6))
+    assert probeall.equals(exact)
+
+    # pruned probe: every emitted row must ALSO be exact-correct w.r.t. the
+    # probed subset, and overall neighbor recall stays useful (>= 0.5 with
+    # 2/6 lists on random Gaussians; typically much higher)
+    pruned = collect(knn_join_ivf(ds, idx.index_dir, k=k, n_probe=2))
+    assert pruned.num_rows == N * k  # every probed list holds >= k+1 here
+    ex_pairs = set(zip(exact["vec_id"].to_pylist(),
+                       exact["neighbor_id"].to_pylist()))
+    pr_pairs = set(zip(pruned["vec_id"].to_pylist(),
+                       pruned["neighbor_id"].to_pylist()))
+    recall = len(ex_pairs & pr_pairs) / len(ex_pairs)
+    assert recall >= 0.5
+    # rank/cos consistency inside each row group of the pruned result
+    for name in ("rank", "cos_i4"):
+        assert pruned[name].null_count == 0
+    rk = np.asarray(pruned["rank"])
+    assert (rk.reshape(N, k) == np.arange(1, k + 1)).all()
