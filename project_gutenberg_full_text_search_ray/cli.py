@@ -14,7 +14,7 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
     python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
         OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination
-             | quota | pack | scrub | knn
+             | quota | pack | scrub | knn | pii
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -82,6 +82,12 @@ def _prep(args) -> int:
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col,
             span_tokens=args.span_tokens, max_df_frac=args.max_df_frac)
+    elif args.op == "pii":
+        from .stages.corpus_prep import redact_pii
+
+        out = redact_pii(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col)
     elif args.op == "knn":
         queries = rd.read_parquet(args.src, columns=[args.id_col, args.vec_col])
         if args.ivf_dir:
@@ -179,7 +185,7 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
                                    "sessionize", "contamination", "quota",
-                                   "pack", "scrub", "knn"])
+                                   "pack", "scrub", "knn", "pii"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")

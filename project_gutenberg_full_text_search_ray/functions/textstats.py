@@ -53,6 +53,106 @@ def quality_metrics(tokens: list[str], text: str) -> dict:
     }
 
 
+def repetition_metrics(words: list[str]) -> dict:
+    """Scalar reference for ``repetition_metrics_column`` (tests assert
+    row-identity).  Gopher-style repetition signals over RAW space-split
+    words (NOT the analyzer — no stemming/stopwording, so the DuckDB
+    ``string_split`` oracle is bit-exact).  All outputs integer: fractions
+    are round-DOWN parts-per-10k (``num*10000 // den``)."""
+    from collections import Counter
+
+    total = len(words)
+    wc = Counter(words)
+    grams = Counter(zip(words, words[1:]))
+    total2 = max(total - 1, 0)
+    dup2 = sum(c for c in grams.values() if c > 1)
+    return {
+        "n_words": total,
+        "dup_word_per_10k": ((total - len(wc)) * 10000 // total) if total else 0,
+        "top_word_per_10k": (max(wc.values()) * 10000 // total) if total else 0,
+        "dup_2gram_per_10k": (dup2 * 10000 // total2) if total2 else 0,
+    }
+
+
+def repetition_metrics_column(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    """Vectorized Gopher-style repetition / quality-filter signals per doc
+    (Rae et al. 2021 §A1.1: repetitious documents are low-quality training
+    data): duplicate-word fraction, most-common-word fraction, and the
+    fraction of 2-gram occurrences whose 2-gram repeats within the doc.
+
+    Words are RAW space-split (``string_split(text, ' ')`` parity — the
+    analyzer would stem/stopword away the very repetitions being measured);
+    fractions are integer parts-per-10k so the DuckDB oracle hashes exactly.
+    One pandas factorize over the flat word stream, then rank-packed
+    ``(doc, code)`` int64 keys + one sort per n-gram order — no per-row
+    Python."""
+    import pandas as _pd
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    zeros = lambda: np.zeros(n, dtype=np.int64)  # noqa: E731
+    if n == 0 or pa.types.is_null(texts.type):
+        return {"n_words": zeros(), "dup_word_per_10k": zeros(),
+                "top_word_per_10k": zeros(), "dup_2gram_per_10k": zeros()}
+    toks = pc.split_pattern(pc.coalesce(texts, pa.scalar("")), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    total = counts.astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    if not len(flat):
+        return {"n_words": total, "dup_word_per_10k": zeros(),
+                "top_word_per_10k": zeros(), "dup_2gram_per_10k": zeros()}
+    codes, uniques = _pd.factorize(flat, sort=False)
+    codes = codes.astype(np.int64)
+    V = np.int64(len(uniques))
+
+    def _runs(doc_of, code_of, width):
+        """Rank-pack (doc, code) into one int64 key, sort once, return
+        (run_doc, run_len) for the distinct (doc, code) groups."""
+        key = doc_of * width + code_of
+        key.sort()
+        new = np.empty(len(key), dtype=bool)
+        new[0] = True
+        np.not_equal(key[1:], key[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(key)))
+        return key[starts] // width, lens
+
+    def per10k(num, den):
+        out = zeros()
+        nz = den > 0
+        out[nz] = num[nz] * 10000 // den[nz]
+        return out
+
+    run_doc, lens = _runs(doc_idx.copy(), codes, V)
+    distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+    top = zeros()
+    np.maximum.at(top, run_doc, lens)
+
+    # 2-grams: adjacent code pairs within a doc, rank-packed the same way
+    within = doc_idx[1:] == doc_idx[:-1]
+    d2 = doc_idx[:-1][within]
+    pair = codes[:-1][within] * V + codes[1:][within]
+    total2 = np.bincount(d2, minlength=n).astype(np.int64)
+    if len(pair):
+        u2, inv2 = np.unique(pair, return_inverse=True)
+        run_doc2, lens2 = _runs(d2, inv2.astype(np.int64), np.int64(len(u2)))
+        dup_occ = np.bincount(
+            run_doc2[lens2 > 1], weights=lens2[lens2 > 1].astype(np.float64),
+            minlength=n).astype(np.int64)
+    else:
+        dup_occ = zeros()
+    return {"n_words": total,
+            "dup_word_per_10k": per10k(total - distinct, total),
+            "top_word_per_10k": per10k(top, total),
+            "dup_2gram_per_10k": per10k(dup_occ, total2)}
+
+
 def predict_language_column(
     texts: pa.Array, analyzer: Analyzer = DEFAULT_ANALYZER,
 ) -> np.ndarray:

@@ -425,6 +425,60 @@ def q_quality_scores(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_repetition_scores(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    duplicate-word / top-word / duplicated-2-gram fractions per doc, as
+    integer parts-per-10k over RAW space-split words — one factorize + two
+    rank-packed sorts per batch (functions/textstats.py::
+    repetition_metrics_column), shuffle-free."""
+    from ..functions.textstats import repetition_metrics_column
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = repetition_metrics_column(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            **{k: pa.array(v) for k, v in m.items()},
+        })
+
+    t = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 200)), batch_format="pyarrow")
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    """PII redaction (C4/RefinedWeb corpus scrub) — sequential re2 passes
+    for e-mail / phone / IPv4 with placeholder tokens + per-doc hit counts
+    (stages/corpus_prep.py::redact_pii).  The corpus is synthetic and
+    PII-free, so BOTH sides first append a deterministic doc_id-derived
+    PII suffix to every text — the oracle then hash-checks the actual
+    redaction, not a no-op identity."""
+    import ray.data as rd
+    from ..stages.corpus_prep import redact_pii
+
+    suffix_head = " mail u"
+    suffix_tail = "@ex.org ip 10.20.30.44 call 555-123-4567"
+
+    def inject(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            batch["text"], pa.scalar(suffix_head),
+            pc.cast(batch["doc_id"], pa.string()), pa.scalar(suffix_tail), "")
+        return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+    injected = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 200)), batch_format="pyarrow")
+        .map_batches(inject, batch_format="pyarrow")
+    )
+    t = redact_pii(injected, "text", "doc_id").to_pandas().sort_values("doc_id")
+    t["doc_id"] = t["doc_id"].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_contains_scan(sf_dir: str) -> pa.Table:
     """P3 CONTAINS analog: naive vectorized substring scan over the corpus
     (the trigram-index-assisted path is phase 2; this is the documented
@@ -1802,6 +1856,8 @@ QUERIES_EXTRAS = {
     "token_counts": q_token_counts,
     "token_estimates": q_token_estimates,
     "quality_scores": q_quality_scores,
+    "repetition_scores": q_repetition_scores,
+    "pii_redact": q_pii_redact,
     "contains_scan": q_contains_scan,
     "events_type_counts": q_events_type_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1852,6 +1908,55 @@ ORACLE_SQL_EXTRAS["split_assign"] = _split_sql()
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
 
+
+def _pii_sql() -> str:
+    """Sequential re2 passes re-expressed as nested regexp_replace(...,'g');
+    each pattern's count is taken on the previous stage's OUTPUT, exactly
+    like redact_pii_column.  Patterns come from corpus_prep.PII_PATTERNS so
+    engine and oracle can never drift."""
+    from ..stages.corpus_prep import PII_PATTERNS
+
+    (_, e, er), (_, p, pr), (_, i, ir) = PII_PATTERNS
+    return (
+        "WITH injected AS (SELECT doc_id, text || ' mail u' || "
+        "CAST(doc_id AS VARCHAR) || '@ex.org ip 10.20.30.44 call "
+        "555-123-4567' AS t FROM documents WHERE doc_id < 200), "
+        "s1 AS (SELECT doc_id, regexp_replace(t, '" + e + "', '" + er
+        + "', 'g') AS t, len(regexp_extract_all(t, '" + e + "')) AS c1 FROM injected), "
+        "s2 AS (SELECT doc_id, regexp_replace(t, '" + p + "', '" + pr
+        + "', 'g') AS t, c1, len(regexp_extract_all(t, '" + p + "')) AS c2 FROM s1), "
+        "s3 AS (SELECT doc_id, regexp_replace(t, '" + i + "', '" + ir
+        + "', 'g') AS t, c1, c2, len(regexp_extract_all(t, '" + i + "')) AS c3 FROM s2) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, t AS clean_text, "
+        "CAST(c1 + c2 + c3 AS BIGINT) AS n_pii FROM s3 ORDER BY doc_id"
+    )
+
+
+ORACLE_SQL_EXTRAS["pii_redact"] = _pii_sql()
+# Repetition signals over RAW space-split words; integer parts-per-10k
+# (// is BIGINT division in DuckDB, matching the kernel's floor semantics)
+ORACLE_SQL_EXTRAS["repetition_scores"] = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "FROM documents WHERE doc_id < 200), "
+    "wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word), "
+    "wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, "
+    "CAST(count(*) AS BIGINT) AS dist, CAST(max(c) AS BIGINT) AS maxc "
+    "FROM wc GROUP BY doc_id), "
+    "wl AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents WHERE doc_id < 200), "
+    "g AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram "
+    "FROM wl, unnest(range(1, len(ws))) AS t(i)), "
+    "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram), "
+    "ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2, "
+    "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2 "
+    "FROM gc GROUP BY doc_id) "
+    "SELECT CAST(wa.doc_id AS BIGINT) AS doc_id, wa.total AS n_words, "
+    "((wa.total - wa.dist) * 10000) // wa.total AS dup_word_per_10k, "
+    "(wa.maxc * 10000) // wa.total AS top_word_per_10k, "
+    "COALESCE((ga.dup2 * 10000) // ga.total2, 0) AS dup_2gram_per_10k "
+    "FROM wa LEFT JOIN ga ON wa.doc_id = ga.doc_id ORDER BY doc_id"
+)
+
 QUERIES_CORE = {
     "fts_term": q_fts_term,
     "fts_and": q_fts_and,
@@ -1896,7 +2001,7 @@ _DRIVER_ORDER = [
     # nested containment / json / semi+range joins / aggregates (F10-F15,
     # J2, A4, N3-N8 closers)
     "nested_containment", "props_json_range", "semi_join_urgent",
-    "range_join_windows", "quantiles", "value_histogram", "tsvector_agg",
+    "range_join_windows", "quantiles", "value_histogram",
     "parse_fields", "concat_assembly",
     # corpus-prep + sketches + splits/sessionization/mix-sampling (r3-r4
     # additions promoted into the driver's hard-verification window; the
@@ -1905,9 +2010,18 @@ _DRIVER_ORDER = [
     "pack_sequences", "heavy_hitters_users", "distinct_users_kmv",
     "contamination_check", "sessionize_events", "split_assign",
     "quota_sample",
-    # dedup family
+    # dedup family (ngram_jaccard_pairs demoted late-r4: its ENTIRE
+    # pipeline — candidate sort exchange + rank-packed Jaccard verify —
+    # runs unchanged as dedup_components' pair source, which stays in the
+    # window; the slot goes to the new pii_redact/repetition_scores kernels)
     "dedup_exact", "dedup_components", "minhash_neardup", "simhash_pairs",
-    "ngram_jaccard_pairs", "embed_neardup_pairs",
+    "embed_neardup_pairs",
+    # late-r4 corpus-prep kernels: PII redaction (sequential re2 passes,
+    # count-then-replace) and Gopher-style repetition signals (factorize +
+    # rank-packed run counting); tsvector_agg demoted to make room — the
+    # (field, term) postings it aggregates are hard-verified end-to-end by
+    # field_search's green row
+    "pii_redact", "repetition_scores",
     # similarity search (knn_join = the r4 per-row kNN semi-join kernel,
     # promoted in place of ann_ivf_probeall — whose oracle is by design the
     # SAME SQL as ann_cosine_topk's; knn_join_ivf = the late-r4 per-row
@@ -1933,6 +2047,7 @@ _DRIVER_ORDER = [
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
     "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
+    "ngram_jaccard_pairs", "tsvector_agg",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every

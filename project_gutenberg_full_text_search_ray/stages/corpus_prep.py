@@ -380,3 +380,54 @@ def split_thresholds(fractions: dict[str, float]) -> np.ndarray:
     t = [min(int(c * float(1 << 64)), (1 << 64) - 1) for c in cums]
     t[-1] = (1 << 64) - 1
     return np.asarray(t, dtype=np.uint64)
+
+
+# (pattern, replacement) order matters and is part of the operator's
+# contract: emails first (an address containing digits+dots must not be
+# half-eaten by the IP rule), then phones, then IPv4.  All three are RE2
+# syntax — the engine (pyarrow re2), the DuckDB oracle (regexp_replace,
+# also re2) and any future Rust/Go port evaluate them identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_column(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """(redacted_text, n_pii) for a string column — the C4/RefinedWeb-style
+    PII scrub.  Sequential per-pattern pass; each pattern's hit count is
+    taken on the text AS ALREADY REDACTED by the previous patterns (so an
+    IP inside an e-mail address counts once, as the e-mail).  Pure
+    ``pyarrow.compute`` re2 kernels — no Python per row."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_null(texts.type):
+        return (pa.nulls(len(texts), type=pa.string()),
+                np.zeros(len(texts), dtype=np.int64))
+    cur = texts
+    n_pii = np.zeros(len(texts), dtype=np.int64)
+    for _, pattern, repl in PII_PATTERNS:
+        hits = pc.count_substring_regex(cur, pattern).cast(pa.int64())
+        n_pii += pc.fill_null(hits, 0).to_numpy(zero_copy_only=False)
+        cur = pc.replace_substring_regex(cur, pattern, repl)
+    return cur, n_pii
+
+
+def redact_pii(
+    ds: rd.Dataset, text_col: str, id_col: str, out_col: str = "clean_text",
+) -> rd.Dataset:
+    """PII redaction over a corpus → ``(id_col, out_col, n_pii)``.
+    Shuffle-free single pass; DuckDB-oracled end-to-end (driver query
+    ``pii_redact`` re-expresses the sequential re2 passes as nested
+    ``regexp_replace(..., 'g')`` + ``regexp_extract_all`` counts)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        clean, n_pii = redact_pii_column(batch[text_col])
+        return pa.table({id_col: batch[id_col], out_col: clean,
+                         "n_pii": pa.array(n_pii)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow")

@@ -217,3 +217,58 @@ def test_grouped_topk_ties_and_blocks(ray_session):
         # NULL group: ids 8,9 tie at 9 → both kept (k=2), id order
         assert rows == [("a", 0), ("a", 1), ("b", 5), ("b", 7),
                         (None, 8), (None, 9)], (n_blocks, rows)
+
+
+def test_redact_pii_semantics(ray_session):
+    """PII scrub: pattern order (email before IP), sequential hit counting,
+    null/empty rows, and end-to-end via the Dataset stage."""
+    import pyarrow as pa
+    import ray.data as rd
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        redact_pii, redact_pii_column)
+
+    texts = pa.array([
+        "mail jo.doe+x@sub.example.co.uk now",       # 1 email
+        "ip 192.168.0.1 call 555-123-4567 or 555.123.4567",  # 1 ip + 2 phones
+        "addr 1.2.3.4@host.org is ONE email hit",    # email eats the ip
+        "v4 10.0.0.7, versioned 1.2.3 untouched",    # \b keeps 1.2.3 intact
+        "",
+        None,
+    ])
+    clean, n = redact_pii_column(texts)
+    got = clean.to_pylist()
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "ip <IP> call <PHONE> or <PHONE>"
+    assert got[2] == "addr <EMAIL> is ONE email hit"
+    assert got[3] == "v4 <IP>, versioned 1.2.3 untouched"
+    assert got[4] == "" and got[5] is None
+    assert n.tolist() == [1, 3, 1, 1, 0, 0]
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()), "text": texts}))
+    out = redact_pii(ds, "text", "doc_id").take_all()
+    assert sorted(r["n_pii"] for r in out) == [0, 0, 1, 1, 1, 3]
+    assert {r["doc_id"]: r["clean_text"] for r in out}[1] == got[1]
+
+
+def test_repetition_metrics_column_matches_scalar(ray_session):
+    """Vectorized repetition kernel is row-identical to the scalar fold,
+    including empty strings, single words and all-duplicate docs."""
+    import numpy as np
+    import pyarrow as pa
+    from project_gutenberg_full_text_search_ray.functions.textstats import (
+        repetition_metrics, repetition_metrics_column)
+
+    rng = np.random.default_rng(23)
+    texts = ["", "solo", "a a", "b c b c b", "x y z"]
+    for _ in range(150):
+        nw = int(rng.integers(1, 30))
+        texts.append(" ".join(f"t{rng.integers(0, 9)}" for _ in range(nw)))
+    m = repetition_metrics_column(pa.array(texts))
+    for i, t in enumerate(texts):
+        ref = repetition_metrics(t.split(" "))
+        for k, v in ref.items():
+            assert m[k][i] == v, (i, k, t)
+    # all-null block arrives null-typed (pyarrow-ray gotcha)
+    z = repetition_metrics_column(pa.array([None, None]))
+    assert all(v.tolist() == [0, 0] for v in z.values())
