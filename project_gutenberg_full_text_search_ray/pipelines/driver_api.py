@@ -479,6 +479,23 @@ def q_pii_redact(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_chunk_docs(sf_dir: str) -> pa.Table:
+    """Sliding-window document chunking (corpus_prep.chunk_documents):
+    12-word windows advancing by 8 (overlap 4) over raw space-split words —
+    the RAG / long-context segmentation prep.  One-pass shuffle-free
+    map_batches; the window replication is a single fancy-index gather."""
+    from ..stages.corpus_prep import chunk_documents
+
+    ds = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 200)), batch_format="pyarrow")
+    )
+    t = chunk_documents(ds, "text", "doc_id", chunk_tokens=12, overlap=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    t["doc_id"] = t["doc_id"].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_contains_scan(sf_dir: str) -> pa.Table:
     """P3 CONTAINS analog: naive vectorized substring scan over the corpus
     (the trigram-index-assisted path is phase 2; this is the documented
@@ -1858,6 +1875,7 @@ QUERIES_EXTRAS = {
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
     "pii_redact": q_pii_redact,
+    "chunk_docs": q_chunk_docs,
     "contains_scan": q_contains_scan,
     "events_type_counts": q_events_type_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1933,6 +1951,20 @@ def _pii_sql() -> str:
 
 
 ORACLE_SQL_EXTRAS["pii_redact"] = _pii_sql()
+# chunk_tokens=12, stride=8 (overlap 4); DuckDB list slicing is 1-based
+# inclusive and end-clamped, exactly the kernel's min(start+chunk, w) window
+ORACLE_SQL_EXTRAS["chunk_docs"] = (
+    "WITH wl AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    "FROM documents WHERE doc_id < 200), "
+    "c AS (SELECT doc_id, ws, len(ws) AS w, "
+    "CASE WHEN len(ws) <= 12 THEN 1 "
+    "ELSE 1 + (len(ws) - 12 + 8 - 1) // 8 END AS nc FROM wl), "
+    "e AS (SELECT doc_id, ws, w, unnest(range(0, nc)) AS ci FROM c) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+    "array_to_string(ws[ci * 8 + 1 : least(ci * 8 + 12, w)], ' ') AS chunk_text, "
+    "CAST(least(ci * 8 + 12, w) - ci * 8 AS BIGINT) AS n_words "
+    "FROM e ORDER BY doc_id, chunk_idx"
+)
 # Repetition signals over RAW space-split words; integer parts-per-10k
 # (// is BIGINT division in DuckDB, matching the kernel's floor semantics)
 ORACLE_SQL_EXTRAS["repetition_scores"] = (
@@ -2002,7 +2034,7 @@ _DRIVER_ORDER = [
     # J2, A4, N3-N8 closers)
     "nested_containment", "props_json_range", "semi_join_urgent",
     "range_join_windows", "quantiles", "value_histogram",
-    "parse_fields", "concat_assembly",
+    "parse_fields",
     # corpus-prep + sketches + splits/sessionization/mix-sampling (r3-r4
     # additions promoted into the driver's hard-verification window; the
     # demoted order_random's seeded-random kernel stays hard-verified via
@@ -2022,6 +2054,11 @@ _DRIVER_ORDER = [
     # (field, term) postings it aggregates are hard-verified end-to-end by
     # field_search's green row
     "pii_redact", "repetition_scores",
+    # sliding-window chunking (RAG/long-context prep; list-slice oracle) —
+    # concat_assembly demoted to make room: its CONCAT_WS/html-escape
+    # kernels build the flagship's book_text/esc hydration columns, which
+    # transcripts_flagship and every fts row hash-verify
+    "chunk_docs",
     # similarity search (knn_join = the r4 per-row kNN semi-join kernel,
     # promoted in place of ann_ivf_probeall — whose oracle is by design the
     # SAME SQL as ann_cosine_topk's; knn_join_ivf = the late-r4 per-row
@@ -2047,7 +2084,7 @@ _DRIVER_ORDER = [
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
     "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
-    "ngram_jaccard_pairs", "tsvector_agg",
+    "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every

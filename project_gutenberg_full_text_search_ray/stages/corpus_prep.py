@@ -431,3 +431,79 @@ def redact_pii(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: rd.Dataset, text_col: str, id_col: str,
+    chunk_tokens: int = 256, overlap: int = 0,
+) -> rd.Dataset:
+    """Sliding-window document chunking (RAG / long-context training prep):
+    each doc's RAW space-split words are cut into windows of
+    ``chunk_tokens`` words advancing by ``stride = chunk_tokens - overlap``;
+    the last window is short rather than padded, and a doc never emits zero
+    chunks.  Output ``(id_col, chunk_idx, chunk_text, n_words)``.
+
+    Chunk count for w words: 1 if w <= chunk_tokens else
+    1 + ceil((w - chunk_tokens) / stride) — every word is covered and no
+    window starts past the text.  Raw split (not the analyzer) keeps the
+    DuckDB list-slice oracle bit-exact (driver query ``chunk_docs``).
+
+    Shuffle-free one-pass ``map_batches``; per batch the word stream is
+    replicated per overlapping window with one fancy-index gather (memory
+    factor chunk/stride, bounded by the overlap you asked for) and joined
+    with ONE pandas groupby-join — the ``_doc_spans`` idiom."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        empty = pa.table({
+            id_col: pa.array([], type=ids.type),
+            "chunk_idx": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+            "n_words": pa.array([], type=pa.int64()),
+        })
+        n = len(texts)
+        if n == 0 or pa.types.is_null(texts.type):
+            return empty
+        toks = pc.split_pattern(pc.coalesce(texts, pa.scalar("")), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.diff(offsets)
+        words = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        n_chunks = np.where(w <= chunk_tokens, 1,
+                            1 + (w - chunk_tokens + stride - 1) // stride)
+        total = int(n_chunks.sum())
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        # chunk_idx = position within each doc's run (vectorized ranges)
+        first = np.r_[0, np.cumsum(n_chunks)[:-1]]
+        ci = np.arange(total, dtype=np.int64) - np.repeat(first, n_chunks)
+        start = ci * stride
+        length = np.minimum(start + chunk_tokens, w[doc_of]) - start
+        # replicate the word stream per window: one flat gather
+        flat_chunk = np.repeat(np.arange(total, dtype=np.int64), length)
+        pos = np.arange(len(flat_chunk), dtype=np.int64) - \
+            np.repeat(np.r_[0, np.cumsum(length)[:-1]], length)
+        widx = offsets[doc_of][flat_chunk] + start[flat_chunk] + pos
+        joined = pd.Series(words[widx], dtype=object) \
+            .groupby(flat_chunk, sort=True).agg(" ".join)
+        text_out = np.full(total, "", dtype=object)
+        text_out[joined.index.to_numpy(dtype=np.int64)] = joined.to_numpy(dtype=object)
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of)),
+            "chunk_idx": pa.array(ci),
+            "chunk_text": pa.array(text_out, type=pa.string()),
+            "n_words": pa.array(length.astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunk, batch_format="pyarrow")

@@ -272,3 +272,38 @@ def test_repetition_metrics_column_matches_scalar(ray_session):
     # all-null block arrives null-typed (pyarrow-ray gotcha)
     z = repetition_metrics_column(pa.array([None, None]))
     assert all(v.tolist() == [0, 0] for v in z.values())
+
+
+def test_chunk_documents_windows(ray_session):
+    """Sliding-window chunking: coverage (every word in >= 1 chunk), stride
+    arithmetic, short tails unpadded, single-chunk docs, arg validation."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        chunk_documents)
+
+    texts = ["a b c d e f g", "x", "p q r s", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(texts)}))
+    rows = sorted(chunk_documents(ds, "text", "doc_id",
+                                  chunk_tokens=3, overlap=1).take_all(),
+                  key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    got = [(r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_words"])
+           for r in rows]
+    assert got == [
+        (0, 0, "a b c", 3), (0, 1, "c d e", 3), (0, 2, "e f g", 3),
+        (1, 0, "x", 1),
+        (2, 0, "p q r", 3), (2, 1, "r s", 2),
+        (3, 0, "", 1),  # "" splits to [''] (string_split parity)
+    ]
+    # no overlap: chunks partition the words exactly
+    rows0 = chunk_documents(ds, "text", "doc_id",
+                            chunk_tokens=2, overlap=0).take_all()
+    d0 = " ".join(r["chunk_text"] for r in sorted(
+        (r for r in rows0 if r["doc_id"] == 0),
+        key=lambda r: r["chunk_idx"]))
+    assert d0 == texts[0]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ds, "text", "doc_id", chunk_tokens=3, overlap=3)
