@@ -14,7 +14,7 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
     python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
         OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination
-             | quota | pack | scrub | knn | pii
+             | quota | pack | scrub | knn | pii | chunk | repetition
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -88,6 +88,25 @@ def _prep(args) -> int:
         out = redact_pii(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col)
+    elif args.op == "chunk":
+        from .stages.corpus_prep import chunk_documents
+
+        out = chunk_documents(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col,
+            chunk_tokens=args.chunk_tokens, overlap=args.overlap)
+    elif args.op == "repetition":
+        import pyarrow as pa
+
+        from .functions.textstats import repetition_metrics_column
+
+        def _rep(batch: pa.Table) -> pa.Table:
+            m = repetition_metrics_column(batch[args.text_col])
+            return pa.table({args.id_col: batch[args.id_col],
+                             **{k: pa.array(v) for k, v in m.items()}})
+
+        out = rd.read_parquet(args.src, columns=[args.id_col, args.text_col]) \
+            .map_batches(_rep, batch_format="pyarrow")
     elif args.op == "knn":
         queries = rd.read_parquet(args.src, columns=[args.id_col, args.vec_col])
         if args.ivf_dir:
@@ -185,7 +204,8 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
                                    "sessionize", "contamination", "quota",
-                                   "pack", "scrub", "knn", "pii"])
+                                   "pack", "scrub", "knn", "pii",
+                                   "chunk", "repetition"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -214,6 +234,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="list<float> column (knn)")
     pr.add_argument("--k", type=int, default=5,
                     help="neighbors per row (knn)")
+    pr.add_argument("--chunk-tokens", type=int, default=256,
+                    help="chunk: words per window")
+    pr.add_argument("--overlap", type=int, default=0,
+                    help="chunk: words shared between consecutive windows")
     pr.add_argument("--ivf-dir", default=None,
                     help="knn: persisted IVF index dir — built there if "
                          "absent, then answered via per-row probes "

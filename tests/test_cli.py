@@ -210,3 +210,43 @@ def test_cli_prep_knn_ivf(ray_session, tmp_path):
     b = pq.read_table(ivf_out).sort_by([(c, "ascending") for c in key])
     assert a.select(a.column_names).equals(b.select(a.column_names))
     assert a.num_rows == 60 * 3
+
+
+def test_cli_prep_pii_chunk_repetition(ray_session, tmp_path):
+    """`prep pii|chunk|repetition` run parquet→parquet end to end."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": ["mail a@b.io twice a@b.io", "a b c d e", "x x x", "clean"],
+    }), docs)
+
+    def run(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+
+    run(["prep", "pii", docs, str(tmp_path / "o1")])
+    t = pq.read_table(tmp_path / "o1").sort_by([("doc_id", "ascending")])
+    assert t["n_pii"].to_pylist() == [2, 0, 0, 0]
+    assert "<EMAIL>" in t["clean_text"][0].as_py()
+
+    run(["prep", "chunk", docs, str(tmp_path / "o2"),
+         "--chunk-tokens", "2", "--overlap", "1"])
+    t = pq.read_table(tmp_path / "o2")
+    d1 = t.filter(pa.compute.equal(t["doc_id"], 1)).sort_by(
+        [("chunk_idx", "ascending")])
+    assert d1["chunk_text"].to_pylist() == ["a b", "b c", "c d", "d e"]
+
+    run(["prep", "repetition", docs, str(tmp_path / "o3")])
+    t = pq.read_table(tmp_path / "o3").sort_by([("doc_id", "ascending")])
+    assert t["dup_word_per_10k"].to_pylist()[2] == 6666  # "x x x": 2/3 dup
