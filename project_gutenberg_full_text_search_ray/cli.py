@@ -56,6 +56,21 @@ def _prep(args) -> int:
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col,
             threshold=args.threshold, doc_source=args.src)
+    elif args.op == "dedup-apply":
+        # the full fuzzy-dedup chain, materialized: MinHash-LSH pairs →
+        # connected components → drop non-canonical members; the surviving
+        # corpus (ALL original columns) streams to partitioned parquet
+        from .stages.dedup import (
+            apply_dedup,
+            connected_components_ds,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col,
+            threshold=args.threshold, doc_source=args.src)
+        out = apply_dedup(ds, connected_components_ds(pairs), args.id_col)
     elif args.op == "split":
         from .stages.corpus_prep import split_assign
 
@@ -202,7 +217,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="actor-pool workers; 0 = in-process engine")
 
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
-    pr.add_argument("op", choices=["dedup-exact", "dedup-minhash", "split",
+    pr.add_argument("op", choices=["dedup-exact", "dedup-minhash",
+                                   "dedup-apply", "split",
                                    "sessionize", "contamination", "quota",
                                    "pack", "scrub", "knn", "pii",
                                    "chunk", "repetition"])

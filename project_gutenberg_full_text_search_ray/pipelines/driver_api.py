@@ -1189,6 +1189,31 @@ def q_dedup_components(sf_dir: str) -> pa.Table:
                      "rep": pa.array(out["rep"], type=pa.int64())})
 
 
+def q_dedup_apply(sf_dir: str) -> pa.Table:
+    """Dedup MATERIALIZER: the keep-canonical tail of the dedup family.
+    Exact n-gram-Jaccard pairs → connected components → drop every
+    non-canonical cluster member from the corpus (broadcast drop-set,
+    vectorized membership filter — no corpus-row exchange).  Returns the
+    surviving corpus (doc_id, lang, n_chars)."""
+    from ..stages.dedup import (
+        apply_dedup,
+        connected_components_ds,
+        ngram_jaccard_pairs,
+    )
+
+    pairs_ds = ngram_jaccard_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.3,
+        doc_source=os.path.join(sf_dir, "documents.parquet"),
+    )
+    labels = connected_components_ds(pairs_ds)
+    kept = apply_dedup(
+        _docs_ds(sf_dir, ["doc_id", "lang", "n_chars"]), labels, "doc_id"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(kept["doc_id"], type=pa.int64()),
+                     "lang": pa.array(kept["lang"], type=pa.string()),
+                     "n_chars": pa.array(kept["n_chars"], type=pa.int64())})
+
+
 def q_user_rollup(sf_dir: str) -> pa.Table:
     """A2/A3 analog (per-book STRING_AGG / MAX-MIN rollups,
     mv_books_dc.sql:42-125): per-user rollup over events with an ordered
@@ -1562,6 +1587,20 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT) AS rep "
         "FROM reach GROUP BY id ORDER BY id"
     ),
+    # keep-canonical materializer: same transitive closure, then the corpus
+    # minus every non-canonical (rep <> id) cluster member
+    "dedup_apply": _jaccard_pairs_sql(0.3).replace("WITH base", "WITH RECURSIVE base", 1) + (
+        ", edges AS (SELECT id_a AS u, id_b AS v FROM jkeep "
+        "UNION SELECT id_b, id_a FROM jkeep), "
+        "nodes AS (SELECT DISTINCT u AS id FROM edges), "
+        "reach AS (SELECT id, id AS lbl FROM nodes "
+        "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id), "
+        "comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, "
+        "CAST(d.n_chars AS BIGINT) AS n_chars FROM documents d "
+        "WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE rep <> id) "
+        "ORDER BY doc_id"
+    ),
     "langid_counts": (
         f"WITH {_TOK}, h AS (SELECT d.doc_id, "
         + ", ".join(
@@ -1886,6 +1925,7 @@ QUERIES_EXTRAS = {
     "sample_per_source": q_sample_per_source,
     "regex_normalize": q_regex_normalize,
     "dedup_components": q_dedup_components,
+    "dedup_apply": q_dedup_apply,
     "user_rollup": q_user_rollup,
     "broadcast_join_categories": q_broadcast_join_categories,
     "window_counts": q_window_counts,
@@ -2046,8 +2086,12 @@ _DRIVER_ORDER = [
     # pipeline — candidate sort exchange + rank-packed Jaccard verify —
     # runs unchanged as dedup_components' pair source, which stays in the
     # window; the slot goes to the new pii_redact/repetition_scores kernels)
-    "dedup_exact", "dedup_components", "minhash_neardup", "simhash_pairs",
-    "embed_neardup_pairs",
+    # dedup_apply (late-r4 keep-canonical materializer — broadcast drop-set /
+    # native anti-join) promoted in place of embed_neardup_pairs: the exact
+    # O(N²) cosine-threshold kernel is unchanged since its green r3 row and
+    # its cosine+i4 scoring is re-verified in-window by knn_join/ann_lsh_topk
+    "dedup_exact", "dedup_components", "dedup_apply", "minhash_neardup",
+    "simhash_pairs",
     # late-r4 corpus-prep kernels: PII redaction (sequential re2 passes,
     # count-then-replace) and Gopher-style repetition signals (factorize +
     # rank-packed run counting); tsvector_agg demoted to make room — the
@@ -2083,7 +2127,7 @@ _DRIVER_ORDER = [
     "regex_extract", "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
+    "embed_neardup_pairs", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;

@@ -876,6 +876,60 @@ def connected_components_ds(
     return labels.rename_columns({"lbl": "rep"})
 
 
+def apply_dedup(
+    ds: rd.Dataset,
+    labels: rd.Dataset,
+    id_col: str = "doc_id",
+    *,
+    broadcast_threshold: int = 5_000_000,
+) -> rd.Dataset:
+    """Materialize the deduplicated corpus from near-dup component labels —
+    the keep-canonical tail of the dedup family (pairs → components → THIS).
+
+    ``labels`` is the ``(id, rep)`` output of ``connected_components_ds`` (or
+    any cluster map with those columns): every row whose id appears with
+    ``rep != id`` is a non-canonical duplicate and is dropped; the canonical
+    (min-id) member of each cluster and every unpaired document pass through
+    untouched, columns and order preserved (streaming filter — no re-sort).
+
+    Physical route is chosen by the DROP-SET size, not the corpus size:
+
+    - broadcast (drop set ≤ ``broadcast_threshold``): drop ids collect into
+      ONE sorted int64 array in the object store (8 bytes/id — 5M ids is
+      40 MB) and every corpus block filters via a vectorized membership
+      test.  No corpus row ever enters an exchange; at a realistic near-dup
+      rate this is the 100-TB route.
+    - native left-anti join (above the threshold): corpus ⟕̸ drop on id.
+      Moves corpus rows through one hash exchange — only chosen when the
+      drop set itself is too big to broadcast.
+    """
+    drop = _drop_empty_blocks(labels.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["id"], b["rep"]))).select(["id"]),
+        batch_format="pyarrow"))
+    n_drop = drop.count()
+    if n_drop == 0:
+        return ds
+    if n_drop <= broadcast_threshold:
+        ids = np.sort(np.concatenate([
+            t["id"].to_numpy(zero_copy_only=False)
+            for t in ray.get(drop.to_arrow_refs())
+            if t.num_rows and "id" in t.column_names
+        ]).astype(np.int64))
+        drop_ref = ray.put(ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            dropset = ray.get(drop_ref)
+            vals = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(dropset, vals)
+            pos[pos == len(dropset)] = 0
+            return batch.filter(pa.array(dropset[pos] != vals))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    return _drop_empty_blocks(ds).join(
+        drop, join_type="left_anti", on=(id_col,), right_on=("id",),
+        **_join_args())
+
+
 # --------------------------------------------------------------- embeddings
 def embedding_neardup_pairs(
     ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.98,

@@ -250,3 +250,38 @@ def test_cli_prep_pii_chunk_repetition(ray_session, tmp_path):
     run(["prep", "repetition", docs, str(tmp_path / "o3")])
     t = pq.read_table(tmp_path / "o3").sort_by([("doc_id", "ascending")])
     assert t["dup_word_per_10k"].to_pylist()[2] == 6666  # "x x x": 2/3 dup
+
+
+def test_cli_prep_dedup_apply(ray_session, tmp_path):
+    """`prep dedup-apply` materializes the fuzzy-dedup chain: near-identical
+    docs collapse to their min-id canonical, distinct docs all survive with
+    every original column."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark woods tonight")
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": [base, base, base + " extra", "completely different words here",
+                 "another unrelated document body", base],
+        "lang": ["en"] * 6,
+    }), docs)
+    out = str(tmp_path / "deduped")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "dedup-apply", docs, out, "--threshold", "0.5"])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out).sort_by([("doc_id", "ascending")])
+    kept = t["doc_id"].to_pylist()
+    # 0,1,2,5 are one near-dup cluster → only canonical 0 survives
+    assert 0 in kept and not {1, 2, 5} & set(kept)
+    assert {3, 4} <= set(kept)
+    assert set(t.column_names) == {"doc_id", "text", "lang"}

@@ -1198,3 +1198,56 @@ def test_knn_join_ivf(ray_session, tmp_path):
         assert pruned[name].null_count == 0
     rk = np.asarray(pruned["rank"])
     assert (rk.reshape(N, k) == np.arange(1, k + 1)).all()
+
+
+def test_apply_dedup_broadcast_and_antijoin(ray_session):
+    """apply_dedup drops exactly the non-canonical (rep != id) cluster
+    members on BOTH physical routes: broadcast drop-set (default) and the
+    native left-anti join (forced via broadcast_threshold=0)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import apply_dedup
+
+    corpus = pa.table({
+        "doc_id": list(range(10)),
+        "lang": [f"l{i % 3}" for i in range(10)],
+        "n_chars": [10 * i for i in range(10)],
+    })
+    # clusters {0,1,2} and {7,9}; docs 3-6, 8 unpaired
+    labels = pa.table({"id": [0, 1, 2, 7, 9], "rep": [0, 0, 0, 7, 7]})
+    expect = corpus.filter(
+        pc.invert(pc.is_in(corpus["doc_id"], pa.array([1, 2, 9]))))
+
+    got_b = apply_dedup(rd.from_arrow(corpus), rd.from_arrow(labels), "doc_id")
+    tb = pa.concat_tables(ray.get(got_b.to_arrow_refs())).sort_by("doc_id")
+    assert tb.equals(expect)
+    # columns and within-block order preserved on the broadcast route
+    assert tb.column_names == ["doc_id", "lang", "n_chars"]
+
+    got_j = apply_dedup(rd.from_arrow(corpus), rd.from_arrow(labels), "doc_id",
+                        broadcast_threshold=0)
+    tj = (pa.concat_tables(
+        b.select(["doc_id", "lang", "n_chars"])
+        for b in ray.get(got_j.to_arrow_refs()) if b.num_rows)
+        .sort_by("doc_id"))
+    assert tj.equals(expect)
+
+
+def test_apply_dedup_no_drops_is_identity(ray_session):
+    """All-canonical labels (and empty labels) leave the corpus untouched."""
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import apply_dedup
+
+    corpus = pa.table({"doc_id": [5, 6, 7], "n_chars": [1, 2, 3]})
+    for labels in (
+        pa.table({"id": [5, 6], "rep": [5, 6]}),  # self-reps only
+        pa.table({"id": pa.array([], type=pa.int64()),
+                  "rep": pa.array([], type=pa.int64())}),
+    ):
+        out = apply_dedup(rd.from_arrow(corpus), rd.from_arrow(labels), "doc_id")
+        t = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by("doc_id")
+        assert t.equals(corpus)
