@@ -110,6 +110,12 @@ def _prep(args) -> int:
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col,
             chunk_tokens=args.chunk_tokens, overlap=args.overlap)
+    elif args.op == "normalize":
+        from .stages.corpus_prep import normalize_text
+
+        out = normalize_text(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col)
     elif args.op == "repetition":
         import pyarrow as pa
 
@@ -221,7 +227,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "dedup-apply", "split",
                                    "sessionize", "contamination", "quota",
                                    "pack", "scrub", "knn", "pii",
-                                   "chunk", "repetition"])
+                                   "chunk", "repetition", "normalize"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")

@@ -479,6 +479,34 @@ def q_pii_redact(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_normalize_text(sf_dir: str) -> pa.Table:
+    """Canonical text form (corpus_prep.normalize_text): NFC composition →
+    Unicode lower → whitespace collapse → trim, plus a changed flag.  The
+    synthetic corpus is ASCII-NFC, so BOTH sides first append a
+    deterministic suffix carrying a combining acute (NFC composition), the
+    ANGSTROM SIGN (composes to Å then lowers to å), mixed case, a tab and
+    double spaces — the oracle then hash-checks real normalization work,
+    not an identity pass."""
+    from ..stages.corpus_prep import normalize_text
+
+    head = " Cafe\u0301 \u212b  MiXeD\tw"
+
+    def inject(batch: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            batch["text"], pa.scalar(head),
+            pc.cast(batch["doc_id"], pa.string()), pa.scalar(" end "), "")
+        return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+    injected = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda b: b.filter(pc.less(b["doc_id"], 200)), batch_format="pyarrow")
+        .map_batches(inject, batch_format="pyarrow")
+    )
+    t = normalize_text(injected, "text", "doc_id").to_pandas().sort_values("doc_id")
+    t["doc_id"] = t["doc_id"].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_chunk_docs(sf_dir: str) -> pa.Table:
     """Sliding-window document chunking (corpus_prep.chunk_documents):
     12-word windows advancing by 8 (overlap 4) over raw space-split words —
@@ -1914,6 +1942,7 @@ QUERIES_EXTRAS = {
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
     "pii_redact": q_pii_redact,
+    "normalize_text": q_normalize_text,
     "chunk_docs": q_chunk_docs,
     "contains_scan": q_contains_scan,
     "events_type_counts": q_events_type_counts,
@@ -1991,6 +2020,18 @@ def _pii_sql() -> str:
 
 
 ORACLE_SQL_EXTRAS["pii_redact"] = _pii_sql()
+# normalize_text: NFC → lower → \s+ collapse → space trim; the injected
+# suffix (combining acute chr(769), ANGSTROM chr(8491), mixed case, tab,
+# double spaces) makes every stage do real work on the ASCII-NFC corpus
+ORACLE_SQL_EXTRAS["normalize_text"] = (
+    "WITH injected AS (SELECT doc_id, text || ' Cafe' || chr(769) || ' ' || "
+    "chr(8491) || '  MiXeD' || chr(9) || 'w' || CAST(doc_id AS VARCHAR) || "
+    "' end ' AS t FROM documents WHERE doc_id < 200), "
+    "n AS (SELECT doc_id, t, trim(regexp_replace(lower(nfc_normalize(t)), "
+    "'\\s+', ' ', 'g'), ' ') AS norm_text FROM injected) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, norm_text, "
+    "(norm_text <> t) AS changed FROM n ORDER BY doc_id"
+)
 # chunk_tokens=12, stride=8 (overlap 4); DuckDB list slicing is 1-based
 # inclusive and end-clamped, exactly the kernel's min(start+chunk, w) window
 ORACLE_SQL_EXTRAS["chunk_docs"] = (
@@ -2097,7 +2138,11 @@ _DRIVER_ORDER = [
     # rank-packed run counting); tsvector_agg demoted to make room — the
     # (field, term) postings it aggregates are hard-verified end-to-end by
     # field_search's green row
-    "pii_redact", "repetition_scores",
+    # normalize_text (late-r4 canonicalization kernel: unicodedata NFC fast
+    # path + Arrow lower/collapse/trim) promoted in place of regex_extract —
+    # unchanged since its green r3 row, and its re2 kernel family stays
+    # in-window via pii_redact/regex-based fts analyzers
+    "pii_redact", "repetition_scores", "normalize_text",
     # sliding-window chunking (RAG/long-context prep; list-slice oracle) —
     # concat_assembly demoted to make room: its CONCAT_WS/html-escape
     # kernels build the flagship's book_text/esc hydration columns, which
@@ -2124,7 +2169,7 @@ _DRIVER_ORDER = [
     # normalizers + sampling + rollups + joins + hierarchy navigation (the
     # r4 prefix-scoped combiner pass, promoted in place of fts_or — OR
     # evaluation stays hard-verified through fuzzy_search's expansion oracle)
-    "regex_extract", "sample_per_source", "user_rollup",
+    "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
     "embed_neardup_pairs", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
@@ -2134,7 +2179,7 @@ _DRIVER_ORDER = [
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
-    "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
+    "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

@@ -507,3 +507,52 @@ def chunk_documents(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunk, batch_format="pyarrow")
+
+
+def normalize_text_column(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical text form (C4/CCNet-style): Unicode NFC composition →
+    Unicode lowercase → ``\\s+`` collapsed to one space → space-trimmed.
+
+    NFC runs through ``unicodedata`` with an ``is_normalized`` fast path —
+    one cheap C quick-check per row, and real normalization only for the
+    rare non-NFC rows (this build's ``pc.utf8_normalize(form="NFC")`` emits
+    DECOMPOSED bytes — canonically equivalent but hash-different, unusable
+    for dedup keys).  Lower/collapse run as Arrow kernels; the trim is
+    space-only to match SQL ``trim`` exactly (the re2 ``\\s`` class already
+    collapsed every ASCII whitespace run)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_null(texts.type):
+        return pa.nulls(len(texts), type=pa.string())
+    composed = [
+        s if s is None or unicodedata.is_normalized("NFC", s)
+        else unicodedata.normalize("NFC", s)
+        for s in texts.to_pylist()
+    ]
+    arr = pa.array(composed, type=pa.string())
+    return pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(arr), r"\s+", " "), " ")
+
+
+def normalize_text(
+    ds: rd.Dataset, text_col: str, id_col: str, out_col: str = "norm_text",
+) -> rd.Dataset:
+    """Text normalization over a corpus → ``(id_col, out_col, changed)``.
+    Shuffle-free single pass; ``changed`` marks rows whose canonical form
+    differs from the input (the usual pre-dedup signal).  DuckDB-oracled
+    end-to-end (driver query ``normalize_text``:
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))``)."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = normalize_text_column(batch[text_col])
+        changed = pc.fill_null(pc.not_equal(out, batch[text_col]), False)
+        return pa.table({id_col: batch[id_col], out_col: out,
+                         "changed": changed})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        norm, batch_format="pyarrow")

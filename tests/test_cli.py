@@ -251,6 +251,11 @@ def test_cli_prep_pii_chunk_repetition(ray_session, tmp_path):
     t = pq.read_table(tmp_path / "o3").sort_by([("doc_id", "ascending")])
     assert t["dup_word_per_10k"].to_pylist()[2] == 6666  # "x x x": 2/3 dup
 
+    run(["prep", "normalize", docs, str(tmp_path / "o4")])
+    t = pq.read_table(tmp_path / "o4").sort_by([("doc_id", "ascending")])
+    assert t["norm_text"].to_pylist()[1] == "a b c d e"
+    assert t["changed"].to_pylist()[1] is False
+
 
 def test_cli_prep_dedup_apply(ray_session, tmp_path):
     """`prep dedup-apply` materializes the fuzzy-dedup chain: near-identical

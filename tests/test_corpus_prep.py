@@ -307,3 +307,33 @@ def test_chunk_documents_windows(ray_session):
     assert d0 == texts[0]
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(ds, "text", "doc_id", chunk_tokens=3, overlap=3)
+
+
+def test_normalize_text_semantics(ray_session):
+    """normalize_text: NFC composition (decomposed input → composed bytes),
+    Unicode lower, whitespace collapse, space trim, changed flag; NULL and
+    empty rows pass through."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        normalize_text,
+        normalize_text_column,
+    )
+
+    decomposed = "Café"          # e + combining acute
+    angstrom = "Å"                 # ANGSTROM SIGN → Å → å
+    vals = [decomposed + "  X", angstrom, "already canonical", "  A\tB\nC ",
+            None, "", "MiXeD case"]
+    out = normalize_text_column(pa.array(vals)).to_pylist()
+    assert out[0] == "café x"      # composed single codepoint
+    assert out[1] == "å"
+    assert out[2] == "already canonical"
+    assert out[3] == "a b c"
+    assert out[4] is None and out[5] == ""
+    assert out[6] == "mixed case"
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(7)),
+                                 "text": pa.array(vals, type=pa.string())}))
+    t = normalize_text(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert t["norm_text"].tolist()[:4] == out[:4]
+    assert t["changed"].tolist() == [True, True, False, True, False, False, True]
