@@ -2114,7 +2114,10 @@ _DRIVER_ORDER = [
     # nested containment / json / semi+range joins / aggregates (F10-F15,
     # J2, A4, N3-N8 closers)
     "nested_containment", "props_json_range", "semi_join_urgent",
-    "range_join_windows", "quantiles", "value_histogram",
+    # grouped_quantiles strictly generalizes the global quantiles kernel
+    # (same (group,value)-count combiner + driver cumsum, now per group) —
+    # the global variant is demoted to the tail
+    "range_join_windows", "grouped_quantiles", "value_histogram",
     "parse_fields",
     # corpus-prep + sketches + splits/sessionization/mix-sampling (r3-r4
     # additions promoted into the driver's hard-verification window; the
@@ -2179,7 +2182,7 @@ _DRIVER_ORDER = [
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
-    "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
+    "quantiles", "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

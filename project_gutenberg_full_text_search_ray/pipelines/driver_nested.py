@@ -306,6 +306,23 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     return pa.table({"pct": pa.array(out_pct), "val": pa.array(out_val, type=pa.int64())})
 
 
+def q_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Per-group EXACT quantiles (stages/topk.grouped_quantiles): the
+    per-language length-distribution report — generalizes the global
+    ``quantiles`` kernel (same combiner + driver-cumsum shape, one
+    (group, value)-sized exchange)."""
+    import ray.data as rd
+
+    from ..stages.topk import grouped_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "n_chars"])
+    t = grouped_quantiles(ds, "lang", "n_chars", _QUANTILES)
+    return pa.table({"lang": t["lang"].cast(pa.string()),
+                     "pct": t["pct"],
+                     "val": t["val"].cast(pa.int64())})
+
+
 # ---------------------------------------------------------------- histogram
 def q_value_histogram(sf_dir: str) -> pa.Table:
     """Fixed-width histogram over a double column: vectorized bin key + one
@@ -369,6 +386,14 @@ ORACLE_SQL_NESTED: dict[str, str] = {
             f"SELECT '{name}' AS pct, quantile_disc(n_chars, {q}) AS val FROM documents"
             for name, q in _QUANTILES)
         + ") ORDER BY pct"
+    ),
+    "grouped_quantiles": (
+        "SELECT lang, pct, CAST(val AS BIGINT) AS val FROM ("
+        + " UNION ALL ".join(
+            f"SELECT lang, '{name}' AS pct, quantile_disc(n_chars, {q}) AS val "
+            "FROM documents GROUP BY lang"
+            for name, q in _QUANTILES)
+        + ") ORDER BY lang, pct"
     ),
     "distinct_users_kmv": (
         "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events"
@@ -450,6 +475,7 @@ QUERIES_NESTED = {
     "tsvector_agg": q_tsvector_agg,
     "range_join_windows": q_range_join_windows,
     "quantiles": q_quantiles,
+    "grouped_quantiles": q_grouped_quantiles,
     "value_histogram": q_value_histogram,
     "heavy_hitters_users": q_heavy_hitters_users,
     "distinct_users_kmv": q_distinct_users_kmv,

@@ -68,3 +68,56 @@ def grouped_topk(
         group_col, order_col, id_col, k, descending)
     return pa.Table.from_pandas(folded.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def grouped_quantiles(
+    ds: rd.Dataset, group_col: str, val_col: str,
+    qs: list[tuple[str, float]],
+) -> pa.Table:
+    """EXACT per-group quantiles (``percentile_disc`` semantics: smallest
+    value whose cumulative in-group count ≥ ceil(q·n)) over a
+    bounded-cardinality value column — the per-language length-distribution
+    report a training-mix audit runs.
+
+    Shape (combiner, same as the global ``quantiles`` driver query this
+    generalizes): per-batch ``(group, value) → count`` partials → ONE
+    distinct-(group, value)-sized ``groupby().sum()`` → driver-side cumsum
+    per group over the tiny aggregate.  The exchange is
+    O(groups × distinct values), never O(rows).
+
+    NULL values are dropped like ``quantile_disc``; NULL groups form their
+    own group.  Returns ``(group_col, pct, val)`` sorted by (group, pct)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, val_col]).filter(pc.is_valid(b[val_col]))
+        part = (t.to_pandas().groupby([group_col, val_col], dropna=False)
+                .size().rename("c").reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        ds.select_columns([group_col, val_col])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby([group_col, val_col]).aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values([group_col, val_col])
+    )
+    out_g, out_p, out_v = [], [], []
+    for g, sub in agg.groupby(group_col, sort=True, dropna=False):
+        if pd.isna(g):  # pandas surfaces a NULL group as NaN — keep it NULL
+            g = None
+        cum = sub["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = sub[val_col].to_numpy()
+        for name, q in qs:
+            rank = max(1, int(np.ceil(q * n)))
+            i = int(np.searchsorted(cum, rank, side="left"))
+            out_g.append(g)
+            out_p.append(name)
+            out_v.append(vals[i])
+    res = pa.table({group_col: pa.array(out_g),
+                    "pct": pa.array(out_p, type=pa.string()),
+                    "val": pa.array(np.asarray(out_v))})
+    return res.sort_by([(group_col, "ascending"), ("pct", "ascending")])

@@ -337,3 +337,32 @@ def test_normalize_text_semantics(ray_session):
     t = normalize_text(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
     assert t["norm_text"].tolist()[:4] == out[:4]
     assert t["changed"].tolist() == [True, True, False, True, False, False, True]
+
+
+def test_grouped_quantiles_semantics(ray_session):
+    """grouped_quantiles: percentile_disc per group (smallest value with
+    cumulative count >= ceil(q*n)); NULL vals dropped, NULL group kept as
+    its own group, DuckDB-identical."""
+    import duckdb
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import grouped_quantiles
+
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 4 + [None] * 2,
+        "v": [1, 2, 3, 4, 100, 10, 20, 30, None, 7, 9],
+    })
+    qs = [("p50", 0.5), ("p95", 0.95)]
+    got = grouped_quantiles(rd.from_arrow(t), "g", "v", qs).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT g, pct, val FROM ("
+        "SELECT g, 'p50' AS pct, quantile_disc(v, 0.5) AS val FROM t GROUP BY g "
+        "UNION ALL SELECT g, 'p95', quantile_disc(v, 0.95) FROM t GROUP BY g"
+        ") ORDER BY g NULLS LAST, pct"
+    ).df()
+    got = got.sort_values(["g", "pct"], na_position="last").reset_index(drop=True)
+    assert got["val"].astype("int64").tolist() == exp["val"].astype("int64").tolist()
+    assert got["pct"].tolist() == exp["pct"].tolist()
+    assert got["g"].fillna("~").tolist() == exp["g"].fillna("~").tolist()
