@@ -528,12 +528,17 @@ def normalize_text_column(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
         texts = texts.combine_chunks()
     if pa.types.is_null(texts.type):
         return pa.nulls(len(texts), type=pa.string())
-    composed = [
-        s if s is None or unicodedata.is_normalized("NFC", s)
-        else unicodedata.normalize("NFC", s)
-        for s in texts.to_pylist()
-    ]
-    arr = pa.array(composed, type=pa.string())
+    # ASCII is NFC by construction — one vectorized check skips the Python
+    # pass entirely on the (overwhelmingly common) all-ASCII batch
+    if pc.all(pc.fill_null(pc.string_is_ascii(texts), True)).as_py():
+        arr = texts
+    else:
+        composed = [
+            s if s is None or unicodedata.is_normalized("NFC", s)
+            else unicodedata.normalize("NFC", s)
+            for s in texts.to_pylist()
+        ]
+        arr = pa.array(composed, type=pa.string())
     return pc.utf8_trim(
         pc.replace_substring_regex(pc.utf8_lower(arr), r"\s+", " "), " ")
 
