@@ -925,7 +925,13 @@ def apply_dedup(
             return batch.filter(pa.array(dropset[pos] != vals))
 
         return ds.map_batches(keep, batch_format="pyarrow")
-    return _drop_empty_blocks(ds).join(
+    # the corpus side streams into the join UNmaterialized: the anti-join
+    # path only triggers when the drop set is object-store-sized, i.e. at
+    # exactly the scale a _drop_empty_blocks materialize must not happen.
+    # Parquet-read blocks carry their schema even when empty; only
+    # map-produced empties are schema-less (the `drop` side above went
+    # through _drop_empty_blocks for that reason).
+    return ds.join(
         drop, join_type="left_anti", on=(id_col,), right_on=("id",),
         **_join_args())
 
