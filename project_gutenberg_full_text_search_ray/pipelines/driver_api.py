@@ -1242,6 +1242,23 @@ def q_dedup_apply(sf_dir: str) -> pa.Table:
                      "n_chars": pa.array(kept["n_chars"], type=pa.int64())})
 
 
+def q_dedup_exact_apply(sf_dir: str) -> pa.Table:
+    """EXACT-dedup materializer: identical-text cluster labels
+    (exact_dedup_labels — grouped Min/Count over hash128 + members join)
+    fed through the same apply_dedup tail as the near-dup chain.  Keeps
+    the min-doc_id copy of every identical text plus all unique docs."""
+    from ..stages.dedup import apply_dedup, exact_dedup_labels
+
+    labels = exact_dedup_labels(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "doc_id", "text")
+    kept = apply_dedup(
+        _docs_ds(sf_dir, ["doc_id", "lang", "n_chars"]), labels, "doc_id"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(kept["doc_id"], type=pa.int64()),
+                     "lang": pa.array(kept["lang"], type=pa.string()),
+                     "n_chars": pa.array(kept["n_chars"], type=pa.int64())})
+
+
 def q_user_rollup(sf_dir: str) -> pa.Table:
     """A2/A3 analog (per-book STRING_AGG / MAX-MIN rollups,
     mv_books_dc.sql:42-125): per-user rollup over events with an ordered
@@ -1615,6 +1632,14 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "SELECT CAST(id AS BIGINT) AS id, CAST(min(lbl) AS BIGINT) AS rep "
         "FROM reach GROUP BY id ORDER BY id"
     ),
+    # exact-dedup materializer: keep the min-doc_id copy of every identical
+    # text (NULL texts form one group, like exact_dedup's __isnull flag)
+    "dedup_exact_apply": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) "
+        "ORDER BY doc_id"
+    ),
     # keep-canonical materializer: same transitive closure, then the corpus
     # minus every non-canonical (rep <> id) cluster member
     "dedup_apply": _jaccard_pairs_sql(0.3).replace("WITH base", "WITH RECURSIVE base", 1) + (
@@ -1955,6 +1980,7 @@ QUERIES_EXTRAS = {
     "regex_normalize": q_regex_normalize,
     "dedup_components": q_dedup_components,
     "dedup_apply": q_dedup_apply,
+    "dedup_exact_apply": q_dedup_exact_apply,
     "user_rollup": q_user_rollup,
     "broadcast_join_categories": q_broadcast_join_categories,
     "window_counts": q_window_counts,
@@ -2134,7 +2160,10 @@ _DRIVER_ORDER = [
     # native anti-join) promoted in place of embed_neardup_pairs: the exact
     # O(N²) cosine-threshold kernel is unchanged since its green r3 row and
     # its cosine+i4 scoring is re-verified in-window by knn_join/ann_lsh_topk
-    "dedup_exact", "dedup_components", "dedup_apply", "minhash_neardup",
+    # dedup_exact_apply strictly contains dedup_exact's grouped Min/Count
+    # kernel (its first stage) and adds the members join + keep filter —
+    # the (keep_id, n_dups) variant is demoted to the tail
+    "dedup_exact_apply", "dedup_components", "dedup_apply", "minhash_neardup",
     "simhash_pairs",
     # late-r4 corpus-prep kernels: PII redaction (sequential re2 passes,
     # count-then-replace) and Gopher-style repetition signals (factorize +
@@ -2182,7 +2211,7 @@ _DRIVER_ORDER = [
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
-    "quantiles", "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
+    "dedup_exact", "quantiles", "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "window_counts", "sliding_window_counts", "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",

@@ -876,6 +876,46 @@ def connected_components_ds(
     return labels.rename_columns({"lbl": "rep"})
 
 
+def exact_dedup_labels(ds: rd.Dataset, id_col: str, key_col: str) -> rd.Dataset:
+    """``(id, rep)`` cluster labels for EXACT duplicates of ``key_col`` —
+    one row per member of every ≥2-member identical-key group, ``rep`` =
+    min id.  Output shape matches ``connected_components_ds``, so
+    ``apply_dedup`` materializes the surviving corpus from it directly.
+
+    Same exchange discipline as ``exact_dedup``: the grouped Min/Count runs
+    over (hash128, id) rows; the members-to-groups INNER join re-shuffles
+    only (hash128, id) + the small dup-group side — 24 B/row either way,
+    never the key bytes.  Unique documents never appear in the output."""
+    from ray.data.aggregate import Count, Min
+
+    hash_cols = ["__h1", "__h2", "__isnull"]
+    keyed = exact_dedup_keyed(ds, id_col, key_col)
+    groups = (
+        keyed.groupby(hash_cols)
+        .aggregate(Min(id_col, alias_name="rep"), Count(alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)).select([*hash_cols, "rep"]),
+            batch_format="pyarrow")
+    )
+    groups = _drop_empty_blocks(groups)
+    if groups.count() == 0:  # no duplicates anywhere
+        id_type = ds.schema().base_schema.field(id_col).type
+        return rd.from_arrow(pa.table({"id": pa.array([], type=id_type),
+                                       "rep": pa.array([], type=id_type)}))
+    def widen(b: pa.Table) -> pa.Table:
+        # the grouped aggregate widens __isnull int8 → int64 in its output;
+        # Arrow hash joins need exactly-matching key types
+        i = b.column_names.index("__isnull")
+        return b.set_column(i, "__isnull", pc.cast(b["__isnull"], pa.int64()))
+
+    members = _drop_empty_blocks(
+        keyed.map_batches(widen, batch_format="pyarrow")).join(
+        groups, join_type="inner", on=tuple(hash_cols), **_join_args())
+    return members.map_batches(
+        lambda b: pa.table({"id": b[id_col], "rep": b["rep"]}),
+        batch_format="pyarrow")
+
+
 def apply_dedup(
     ds: rd.Dataset,
     labels: rd.Dataset,

@@ -1251,3 +1251,39 @@ def test_apply_dedup_no_drops_is_identity(ray_session):
         out = apply_dedup(rd.from_arrow(corpus), rd.from_arrow(labels), "doc_id")
         t = pa.concat_tables(ray.get(out.to_arrow_refs())).sort_by("doc_id")
         assert t.equals(corpus)
+
+
+def test_exact_dedup_labels_and_apply(ray_session):
+    """exact_dedup_labels emits (id, rep=min id) for every member of each
+    identical-key group (NULL keys one group, unique docs absent); feeding
+    apply_dedup keeps exactly one copy per text."""
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        apply_dedup,
+        exact_dedup_labels,
+    )
+
+    corpus = pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": ["aa", "bb", "aa", None, "cc", None, "aa"],
+    })
+    labels = exact_dedup_labels(rd.from_arrow(corpus), "doc_id", "text")
+    lt = pa.concat_tables(
+        b for b in ray.get(labels.to_arrow_refs()) if b.num_rows
+    ).sort_by("id")
+    assert lt["id"].to_pylist() == [1, 3, 4, 6, 7]
+    assert lt["rep"].to_pylist() == [1, 1, 4, 4, 1]
+
+    kept = apply_dedup(rd.from_arrow(corpus),
+                       exact_dedup_labels(rd.from_arrow(corpus), "doc_id", "text"),
+                       "doc_id")
+    kt = pa.concat_tables(
+        b for b in ray.get(kept.to_arrow_refs()) if b.num_rows).sort_by("doc_id")
+    assert kt["doc_id"].to_pylist() == [1, 2, 4, 5]
+
+    # no duplicates -> empty labels, identity corpus
+    uniq = pa.table({"doc_id": [1, 2], "text": ["x", "y"]})
+    lbl = exact_dedup_labels(rd.from_arrow(uniq), "doc_id", "text")
+    assert lbl.count() == 0
