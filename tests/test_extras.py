@@ -1287,3 +1287,45 @@ def test_exact_dedup_labels_and_apply(ray_session):
     uniq = pa.table({"doc_id": [1, 2], "text": ["x", "y"]})
     lbl = exact_dedup_labels(rd.from_arrow(uniq), "doc_id", "text")
     assert lbl.count() == 0
+
+
+def test_apply_dedup_block_layout_invariance(ray_session):
+    """apply_dedup's kept ROW SET is invariant to corpus block layout and to
+    the physical route (broadcast vs anti-join) — property sweep vs a
+    driver-side brute-force expectation."""
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import apply_dedup
+
+    rng = np.random.default_rng(99)
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    # random clusters: ~30 groups of 1-6 members over a subset of docs
+    reps, mems = [], []
+    pool = rng.permutation(n)[:120]
+    i = 0
+    while i < len(pool):
+        size = int(rng.integers(1, 7))
+        grp = np.sort(pool[i:i + size])
+        i += size
+        if len(grp) < 2:
+            continue
+        for m in grp:
+            mems.append(int(m))
+            reps.append(int(grp[0]))
+    labels = pa.table({"id": pa.array(mems, type=pa.int64()),
+                       "rep": pa.array(reps, type=pa.int64())})
+    drop = {m for m, r in zip(mems, reps) if m != r}
+    expected = sorted(set(ids.tolist()) - drop)
+
+    corpus = pa.table({"doc_id": ids, "x": ids * 7})
+    for nblocks in (1, 3, 16):
+        ds = rd.from_arrow(corpus).repartition(nblocks)
+        for thr in (5_000_000, 0):  # broadcast route, then anti-join route
+            out = apply_dedup(ds, rd.from_arrow(labels), "doc_id",
+                              broadcast_threshold=thr)
+            got = sorted(
+                v for b in ray.get(out.to_arrow_refs()) if b.num_rows
+                for v in b["doc_id"].to_pylist())
+            assert got == expected, (nblocks, thr)
