@@ -13,8 +13,9 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli stats INDEX_DIR
     python -m project_gutenberg_full_text_search_ray.cli serve INDEX_DIR [--port N] [--workers N]
     python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
-        OP ∈ dedup-exact | dedup-minhash | split | sessionize | contamination
-             | quota | pack | scrub | knn | pii | chunk | repetition
+        OP ∈ dedup-exact | dedup-minhash | dedup-apply | dedup-exact-apply
+             | split | sessionize | contamination | quota | pack | scrub
+             | knn | pii | chunk | repetition | normalize
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -56,6 +57,15 @@ def _prep(args) -> int:
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col,
             threshold=args.threshold, doc_source=args.src)
+    elif args.op == "dedup-exact-apply":
+        # exact-dedup, materialized: keep the min-id copy of every identical
+        # text; survivors stream out with ALL original columns
+        from .stages.dedup import apply_dedup, exact_dedup_labels
+
+        labels = exact_dedup_labels(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.id_col, args.text_col)
+        out = apply_dedup(ds, labels, args.id_col)
     elif args.op == "dedup-apply":
         # the full fuzzy-dedup chain, materialized: MinHash-LSH pairs →
         # connected components → drop non-canonical members; the surviving
@@ -224,7 +234,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash",
-                                   "dedup-apply", "split",
+                                   "dedup-apply", "dedup-exact-apply", "split",
                                    "sessionize", "contamination", "quota",
                                    "pack", "scrub", "knn", "pii",
                                    "chunk", "repetition", "normalize"])

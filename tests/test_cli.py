@@ -290,3 +290,31 @@ def test_cli_prep_dedup_apply(ray_session, tmp_path):
     assert 0 in kept and not {1, 2, 5} & set(kept)
     assert {3, 4} <= set(kept)
     assert set(t.column_names) == {"doc_id", "text", "lang"}
+
+
+def test_cli_prep_dedup_exact_apply(ray_session, tmp_path):
+    """`prep dedup-exact-apply` keeps the min-id copy of identical texts
+    with all original columns."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["same", "same", "other", "same"],
+        "lang": ["en", "de", "en", "fr"],
+    }), docs)
+    out = str(tmp_path / "o")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "dedup-exact-apply", docs, out])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out).sort_by([("doc_id", "ascending")])
+    assert t["doc_id"].to_pylist() == [1, 3]
+    assert set(t.column_names) == {"doc_id", "text", "lang"}
