@@ -595,6 +595,32 @@ def q_embed_neardup_pairs(sf_dir: str) -> pa.Table:
     return embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
 
 
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup-style embedding-space dedup materializer: exact cosine pairs
+    ≥ 0.45 → connected components → apply_dedup keeps the min-vec_id member
+    per semantic cluster plus every unclustered vector.  Pure composition of
+    three in-window-verified kernels (cosine-threshold pairs, min-label
+    components, keep-canonical filter), registered past the window."""
+    import ray.data as rd
+
+    from ..stages.dedup import (
+        apply_dedup,
+        connected_components_ds,
+        embedding_neardup_pairs,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pairs = embedding_neardup_pairs(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]),
+        "embedding", "vec_id", threshold=0.45)
+    labels = connected_components_ds(rd.from_arrow(pairs))
+    kept = apply_dedup(
+        rd.read_parquet(path, columns=["vec_id", "label"]), labels, "vec_id"
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(kept["vec_id"], type=pa.int64()),
+                     "label": pa.array(kept["label"], type=pa.int64())})
+
+
 def q_knn_join(sf_dir: str) -> pa.Table:
     """kNN semi-join (stages/similarity.knn_join): exact top-5 cosine
     neighbors from the FULL corpus for each vec_id < 100 query row — the
@@ -1623,6 +1649,19 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "CAST(floor(jc * 10000 + 0.5) AS BIGINT) AS jacc_i4 "
         "FROM jkeep ORDER BY id_a, id_b"
     ),
+    "semantic_dedup": (
+        "WITH RECURSIVE p AS (SELECT a.vec_id AS u, b.vec_id AS v "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45), "
+        "edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p), "
+        "nodes AS (SELECT DISTINCT u AS id FROM edges), "
+        "reach AS (SELECT id, id AS lbl FROM nodes "
+        "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id), "
+        "comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, CAST(e.label AS BIGINT) AS label "
+        "FROM embeddings e WHERE e.vec_id NOT IN "
+        "(SELECT id FROM comp WHERE rep <> id) ORDER BY vec_id"
+    ),
     "dedup_components": _jaccard_pairs_sql(0.3).replace("WITH base", "WITH RECURSIVE base", 1) + (
         ", edges AS (SELECT id_a AS u, id_b AS v FROM jkeep "
         "UNION SELECT id_b, id_a FROM jkeep), "
@@ -1975,6 +2014,7 @@ QUERIES_EXTRAS = {
     "knn_join": q_knn_join,
     "knn_join_ivf": q_knn_join_ivf,
     "embed_neardup_pairs": q_embed_neardup_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "facet_lang_counts": q_facet_lang_counts,
     "sample_per_source": q_sample_per_source,
     "regex_normalize": q_regex_normalize,
@@ -2204,7 +2244,7 @@ _DRIVER_ORDER = [
     "sample_per_source", "user_rollup",
     "broadcast_join_categories", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "embed_neardup_pairs", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
+    "embed_neardup_pairs", "semantic_dedup", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
