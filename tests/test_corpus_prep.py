@@ -366,3 +366,31 @@ def test_grouped_quantiles_semantics(ray_session):
     assert got["val"].astype("int64").tolist() == exp["val"].astype("int64").tolist()
     assert got["pct"].tolist() == exp["pct"].tolist()
     assert got["g"].fillna("~").tolist() == exp["g"].fillna("~").tolist()
+
+
+def test_normalize_text_duckdb_parity_fuzz():
+    """Seeded Unicode fuzz: normalize_text_column is byte-identical to its
+    DuckDB oracle expression (nfc_normalize → lower → \\s+ collapse →
+    space-trim) across combining marks, Turkish dotted I, sharp-S casing,
+    fullwidth forms, CJK, ligatures and exotic whitespace."""
+    import duckdb
+
+    import numpy as np
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        normalize_text_column,
+    )
+
+    rng = np.random.default_rng(7)
+    pool = list("abcXYZ 0189") + [
+        "é", "é", "İ", "ı", "ẞ", "ß", "Σ", "σ", "ς", "Д", "д", "中",
+        "\t", "\n", "\r", " ", " ", "　", "Ａ", "ﬁ", "Å", "Å",
+        "I", "õ", "õ"]
+    vals = ["".join(rng.choice(pool, int(rng.integers(0, 12))))
+            for _ in range(1500)]
+    got = normalize_text_column(pa.array(vals)).to_pylist()
+    con = duckdb.connect()
+    exp = [r[0] for r in con.execute(
+        "SELECT trim(regexp_replace(lower(nfc_normalize(v)), '\\s+', ' ', "
+        "'g'), ' ') FROM (SELECT unnest(?) AS v)", [vals]).fetchall()]
+    assert got == exp
