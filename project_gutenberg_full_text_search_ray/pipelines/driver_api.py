@@ -595,6 +595,25 @@ def q_embed_neardup_pairs(sf_dir: str) -> pa.Table:
     return embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
 
 
+def q_similarity_join(sf_dir: str) -> pa.Table:
+    """Text SIMILARITY JOIN (record linkage): for every doc_id < 250, its
+    most-similar doc_id ≥ 250 by exact n-gram Jaccard ≥ 0.3 (ties → smallest
+    right id).  Side-encoded ids through the shared candidate/verify
+    machinery + ONE grouped MAX over a packed (jacc_i4, −right_id) key."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    left = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 250)), batch_format="pyarrow")
+    right = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], 250)), batch_format="pyarrow")
+    t = jaccard_similarity_join(
+        left, right, "text", "doc_id", "doc_id", threshold=0.3
+    ).to_pandas().sort_values("left_id").reset_index(drop=True)
+    return pa.table({"left_id": pa.array(t["left_id"], type=pa.int64()),
+                     "right_id": pa.array(t["right_id"], type=pa.int64()),
+                     "jacc_i4": pa.array(t["jacc_i4"], type=pa.int64())})
+
+
 def q_semantic_dedup(sf_dir: str) -> pa.Table:
     """SemDeDup-style embedding-space dedup materializer: exact cosine pairs
     ≥ 0.45 → connected components → apply_dedup keeps the min-vec_id member
@@ -1649,6 +1668,26 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "CAST(floor(jc * 10000 + 0.5) AS BIGINT) AS jacc_i4 "
         "FROM jkeep ORDER BY id_a, id_b"
     ),
+    # similarity join: same shingle/Jaccard machinery split left/right at
+    # doc_id 250; both sides order the argmax by the SAME quantized jacc_i4
+    # (raw-jc ordering could disagree where two values quantize equally)
+    "similarity_join": (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s "
+        "FROM base, UNNEST(range(1, len(arr) - 1)) AS r(i) WHERE len(arr) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS lid, b.doc_id AS rid, count(*) AS ni "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 250 AND b.doc_id >= 250 "
+        "GROUP BY 1, 2), "
+        "j AS (SELECT lid, rid, CAST(ni AS DOUBLE) / (sa.nsh + sb.nsh - ni) AS jc "
+        "FROM inter JOIN sizes sa ON sa.doc_id = lid JOIN sizes sb ON sb.doc_id = rid), "
+        "q AS (SELECT lid, rid, CAST(floor(jc * 10000 + 0.5) AS BIGINT) AS jacc_i4 "
+        "FROM j WHERE jc >= 0.3), "
+        "rn AS (SELECT lid, rid, jacc_i4, row_number() OVER "
+        "(PARTITION BY lid ORDER BY jacc_i4 DESC, rid ASC) AS rn FROM q) "
+        "SELECT CAST(lid AS BIGINT) AS left_id, CAST(rid AS BIGINT) AS right_id, "
+        "jacc_i4 FROM rn WHERE rn = 1 ORDER BY left_id"
+    ),
     "semantic_dedup": (
         "WITH RECURSIVE p AS (SELECT a.vec_id AS u, b.vec_id AS v "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -2015,6 +2054,7 @@ QUERIES_EXTRAS = {
     "knn_join_ivf": q_knn_join_ivf,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "semantic_dedup": q_semantic_dedup,
+    "similarity_join": q_similarity_join,
     "facet_lang_counts": q_facet_lang_counts,
     "sample_per_source": q_sample_per_source,
     "regex_normalize": q_regex_normalize,
@@ -2241,10 +2281,15 @@ _DRIVER_ORDER = [
     # normalizers + sampling + rollups + joins + hierarchy navigation (the
     # r4 prefix-scoped combiner pass, promoted in place of fts_or — OR
     # evaluation stays hard-verified through fuzzy_search's expansion oracle)
+    # similarity_join (late-r4 record-linkage kernel: side-encoded ids
+    # through the candidate/verify machinery + packed-argmax grouped MAX)
+    # promoted in place of broadcast_join_categories — r3-green, kernel
+    # unchanged, and the broadcast-small-side join pattern stays in-window
+    # via range_join_windows
     "sample_per_source", "user_rollup",
-    "broadcast_join_categories", "hierarchy_children",
+    "similarity_join", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "embed_neardup_pairs", "semantic_dedup", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
+    "broadcast_join_categories", "embed_neardup_pairs", "semantic_dedup", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;

@@ -765,6 +765,85 @@ def ngram_jaccard_pairs(
     return _dedupe_pairs_min(verified, "jacc_i4")
 
 
+def jaccard_similarity_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    text_col: str,
+    left_id_col: str,
+    right_id_col: str,
+    *,
+    threshold: float = 0.3,
+    doc_source=None,
+    k_shingle: int = 3,
+    max_bucket_occupancy: int | None = 1024,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Text SIMILARITY JOIN (record linkage / entity matching): for every
+    left row, its single most-similar right row by EXACT n-gram Jaccard ≥
+    ``threshold`` (ties → smallest right id).  Left rows with no qualifying
+    match are absent from the output (semi-join semantics).
+
+    Built on the shared near-dup machinery: both sides are tagged into one
+    stream by ENCODING the id (``sid = 2·id + side`` — ids must be
+    non-negative int64 < 2^62), ``ngram_jaccard_pairs`` generates and
+    verifies candidates (one (id, shingle-hash) sort exchange, doc-store
+    verify), cross-side pairs survive a parity filter, and the per-left
+    argmax folds through ONE grouped MAX over a packed
+    ``jacc_i4·2^32 + (2^32−1−right_id)`` key — no per-group Python.  Right
+    ids must be < 2^32 for the packing (checked).
+
+    ``doc_source`` must map the ENCODED sid to text at scale (a combined
+    parquet); the default row-capped broadcast covers test/driver corpora.
+    Returns ``(left_id, right_id, jacc_i4)``."""
+    from ray.data.aggregate import Max
+
+    def enc(id_col: str, side: int):
+        def f(b: pa.Table) -> pa.Table:
+            sid = pc.add(pc.multiply(pc.cast(b[id_col], pa.int64()), 2), side)
+            return pa.table({"sid": sid, text_col: b[text_col]})
+        return f
+
+    union = left.map_batches(enc(left_id_col, 0), batch_format="pyarrow") \
+        .union(right.map_batches(enc(right_id_col, 1), batch_format="pyarrow"))
+    pairs = ngram_jaccard_pairs(
+        union, text_col, "sid", threshold=threshold, doc_source=doc_source,
+        k_shingle=k_shingle, max_bucket_occupancy=max_bucket_occupancy,
+        concurrency=concurrency)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ja = b["jacc_i4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = (a & 1) != (bb & 1)
+        a, bb, ja = a[cross], bb[cross], ja[cross]
+        left_sid = np.where(a & 1 == 0, a, bb)
+        right_sid = np.where(a & 1 == 0, bb, a)
+        rid = right_sid >> 1
+        if len(rid) and int(rid.max()) >= (1 << 32):
+            raise ValueError("jaccard_similarity_join: right ids must be "
+                             "< 2^32 for the argmax packing")
+        pack = ja * (1 << 32) + ((1 << 32) - 1 - rid)
+        return pa.table({"left_id": pa.array(left_sid >> 1),
+                         "pack": pa.array(pack)})
+
+    folded = _drop_empty_blocks(
+        pairs.map_batches(orient, batch_format="pyarrow"))
+    if folded.count() == 0:
+        empty = pa.table({"left_id": pa.array([], type=pa.int64()),
+                          "right_id": pa.array([], type=pa.int64()),
+                          "jacc_i4": pa.array([], type=pa.int64())})
+        return rd.from_arrow(empty)
+    best = folded.groupby("left_id").aggregate(Max("pack", alias_name="pack"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["pack"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"left_id": b["left_id"],
+                         "right_id": pa.array((1 << 32) - 1 - (pk & ((1 << 32) - 1))),
+                         "jacc_i4": pa.array(pk >> 32)})
+
+    return best.map_batches(unpack, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- connected components
 def connected_components(pairs: pa.Table, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
     """Duplicate-cluster representatives from a near-dup pair list:
