@@ -1329,3 +1329,41 @@ def test_apply_dedup_block_layout_invariance(ray_session):
                 v for b in ray.get(out.to_arrow_refs()) if b.num_rows
                 for v in b["doc_id"].to_pylist())
             assert got == expected, (nblocks, thr)
+
+
+def test_jaccard_similarity_join_semantics(ray_session):
+    """similarity join: per-left top-1 by Jaccard with min-right-id ties,
+    semi-join semantics (unmatched left rows absent), empty-result path,
+    and the 2^32 right-id packing guard."""
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        jaccard_similarity_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    left = pa.table({"lid": pa.array([0, 1], type=pa.int64()),
+                     "text": [base, "nothing in common here at all"]})
+    # rids 10 and 11 tie exactly (identical text) -> min rid wins
+    right = pa.table({"rid": pa.array([11, 10, 12], type=pa.int64()),
+                      "text": [base, base, "unrelated filler words entirely"]})
+    out = jaccard_similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  "text", "lid", "rid", threshold=0.5)
+    t = pa.concat_tables(
+        b for b in ray.get(out.to_arrow_refs()) if b.num_rows).sort_by("left_id")
+    assert t["left_id"].to_pylist() == [0]
+    assert t["right_id"].to_pylist() == [10]  # tie -> smallest right id
+    assert t["jacc_i4"].to_pylist() == [10000]
+
+    # no qualifying pairs at all -> typed empty result
+    none = jaccard_similarity_join(
+        rd.from_arrow(left.slice(1, 1)), rd.from_arrow(right.slice(2, 1)),
+        "text", "lid", "rid", threshold=0.9)
+    assert none.count() == 0
+    assert set(none.schema().base_schema.names) == {"left_id", "right_id", "jacc_i4"}
+
+    big = pa.table({"rid": pa.array([1 << 33], type=pa.int64()), "text": [base]})
+    with pytest.raises(Exception, match="2\\^32"):
+        jaccard_similarity_join(rd.from_arrow(left), rd.from_arrow(big),
+                                "text", "lid", "rid", threshold=0.5).materialize()
