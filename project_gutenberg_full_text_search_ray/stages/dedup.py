@@ -738,6 +738,25 @@ def ngram_jaccard_pairs(
     (id, shingle_hash) only; TRUE Jaccard is verified against the doc store
     (``doc_source`` defaults like ``minhash_lsh_pairs``: input parquet files,
     else a row-capped broadcast — pass the path explicitly at scale)."""
+    verified = _verified_jaccard_stream(
+        ds, text_col, id_col, doc_source=doc_source, k_shingle=k_shingle,
+        threshold=threshold, max_bucket_occupancy=max_bucket_occupancy,
+        analyzer=analyzer, concurrency=concurrency)
+    return _dedupe_pairs_min(verified, "jacc_i4")
+
+
+def _verified_jaccard_stream(
+    ds: rd.Dataset, text_col: str, id_col: str, *, doc_source, k_shingle: int,
+    threshold: float, max_bucket_occupancy: int | None, analyzer: Analyzer,
+    concurrency: int | None,
+) -> rd.Dataset:
+    """The shared body of the exact-Jaccard family: shingle-hash explode →
+    ONE sort-based candidate exchange → doc-store verify.  Emits the
+    verified (id_a, id_b, jacc_i4) stream POSSIBLY STILL DUPLICATED (a pair
+    sharing several shingles surfaces once per run) — ``ngram_jaccard_pairs``
+    restores the distinct-pair contract with a grouped MIN; consumers whose
+    fold is duplicate-insensitive (argmax in ``jaccard_similarity_join``)
+    skip that whole extra exchange."""
     concurrency = _pool_size(concurrency)
     if doc_source is None:
         doc_source = _default_doc_source(ds, id_col, text_col)
@@ -755,14 +774,13 @@ def ngram_jaccard_pairs(
     keyed = ds.map_batches(explode_shingle_hashes, batch_format="pyarrow")
     candidates = _candidate_pairs(keyed, id_col, "sh", max_bucket_occupancy,
                                   dedupe=False)
-    verified = candidates.map_batches(
+    return candidates.map_batches(
         VerifyJaccardStage,
         fn_constructor_kwargs={"source": doc_source, "id_col": id_col,
                                "text_col": text_col, "k_shingle": k_shingle,
                                "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
     )
-    return _dedupe_pairs_min(verified, "jacc_i4")
 
 
 def jaccard_similarity_join(
@@ -805,10 +823,20 @@ def jaccard_similarity_join(
 
     union = left.map_batches(enc(left_id_col, 0), batch_format="pyarrow") \
         .union(right.map_batches(enc(right_id_col, 1), batch_format="pyarrow"))
-    pairs = ngram_jaccard_pairs(
-        union, text_col, "sid", threshold=threshold, doc_source=doc_source,
-        k_shingle=k_shingle, max_bucket_occupancy=max_bucket_occupancy,
-        concurrency=concurrency)
+    if doc_source is None:
+        # the default doc-source path executes its input twice more (row-cap
+        # count + broadcast collect); pin the encoded union once instead.
+        # Only in the default (≤200k-row) regime — at scale the caller
+        # passes a combined (sid, text) parquet and nothing materializes.
+        union = union.materialize()
+    # the pre-dedupe verified stream: the argmax fold below is
+    # duplicate-insensitive (a pair re-verified from several shared shingles
+    # scores identically), so the distinct-pair grouped MIN — a whole hash
+    # exchange — is skipped
+    pairs = _verified_jaccard_stream(
+        union, text_col, "sid", doc_source=doc_source, k_shingle=k_shingle,
+        threshold=threshold, max_bucket_occupancy=max_bucket_occupancy,
+        analyzer=DEFAULT_ANALYZER, concurrency=concurrency)
 
     def orient(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
