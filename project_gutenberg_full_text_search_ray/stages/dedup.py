@@ -748,7 +748,7 @@ def ngram_jaccard_pairs(
 def _verified_jaccard_stream(
     ds: rd.Dataset, text_col: str, id_col: str, *, doc_source, k_shingle: int,
     threshold: float, max_bucket_occupancy: int | None, analyzer: Analyzer,
-    concurrency: int | None,
+    concurrency: int | None, candidate_filter=None,
 ) -> rd.Dataset:
     """The shared body of the exact-Jaccard family: shingle-hash explode →
     ONE sort-based candidate exchange → doc-store verify.  Emits the
@@ -774,6 +774,11 @@ def _verified_jaccard_stream(
     keyed = ds.map_batches(explode_shingle_hashes, batch_format="pyarrow")
     candidates = _candidate_pairs(keyed, id_col, "sh", max_bucket_occupancy,
                                   dedupe=False)
+    if candidate_filter is not None:
+        # drop candidates that can never appear in the result BEFORE the
+        # doc-store verify (e.g. the similarity join's same-side pairs)
+        candidates = candidates.map_batches(candidate_filter,
+                                            batch_format="pyarrow")
     return candidates.map_batches(
         VerifyJaccardStage,
         fn_constructor_kwargs={"source": doc_source, "id_col": id_col,
@@ -829,6 +834,15 @@ def jaccard_similarity_join(
         # Only in the default (≤200k-row) regime — at scale the caller
         # passes a combined (sid, text) parquet and nothing materializes.
         union = union.materialize()
+    def cross_side_only(b: pa.Table) -> pa.Table:
+        # same-side candidates can never appear in the result — drop them
+        # before the doc-store verify pays for them (parity of the encoded
+        # sid is the side bit)
+        a64 = pc.cast(b["id_a"], pa.int64())
+        b64 = pc.cast(b["id_b"], pa.int64())
+        return b.filter(pc.not_equal(pc.bit_wise_and(a64, 1),
+                                     pc.bit_wise_and(b64, 1)))
+
     # the pre-dedupe verified stream: the argmax fold below is
     # duplicate-insensitive (a pair re-verified from several shared shingles
     # scores identically), so the distinct-pair grouped MIN — a whole hash
@@ -836,7 +850,8 @@ def jaccard_similarity_join(
     pairs = _verified_jaccard_stream(
         union, text_col, "sid", doc_source=doc_source, k_shingle=k_shingle,
         threshold=threshold, max_bucket_occupancy=max_bucket_occupancy,
-        analyzer=DEFAULT_ANALYZER, concurrency=concurrency)
+        analyzer=DEFAULT_ANALYZER, concurrency=concurrency,
+        candidate_filter=cross_side_only)
 
     def orient(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -847,9 +862,9 @@ def jaccard_similarity_join(
         left_sid = np.where(a & 1 == 0, a, bb)
         right_sid = np.where(a & 1 == 0, bb, a)
         rid = right_sid >> 1
-        if len(rid) and int(rid.max()) >= (1 << 32):
+        if len(rid) and (int(rid.min()) < 0 or int(rid.max()) >= (1 << 32)):
             raise ValueError("jaccard_similarity_join: right ids must be "
-                             "< 2^32 for the argmax packing")
+                             "in [0, 2^32) for the argmax packing")
         pack = ja * (1 << 32) + ((1 << 32) - 1 - rid)
         return pa.table({"left_id": pa.array(left_sid >> 1),
                          "pack": pa.array(pack)})
@@ -996,7 +1011,9 @@ def exact_dedup_labels(ds: rd.Dataset, id_col: str, key_col: str) -> rd.Dataset:
     from ray.data.aggregate import Count, Min
 
     hash_cols = ["__h1", "__h2", "__isnull"]
-    keyed = exact_dedup_keyed(ds, id_col, key_col)
+    # pinned once: both the grouped aggregate AND the members join consume
+    # it — unmaterialized, the corpus read + 128-bit hashing would run twice
+    keyed = exact_dedup_keyed(ds, id_col, key_col).materialize()
     groups = (
         keyed.groupby(hash_cols)
         .aggregate(Min(id_col, alias_name="rep"), Count(alias_name="n"))
@@ -1037,7 +1054,9 @@ def apply_dedup(
     any cluster map with those columns): every row whose id appears with
     ``rep != id`` is a non-canonical duplicate and is dropped; the canonical
     (min-id) member of each cluster and every unpaired document pass through
-    untouched, columns and order preserved (streaming filter — no re-sort).
+    untouched.  On the broadcast route columns and order are preserved
+    (streaming filter — no re-sort); the anti-join route is a hash exchange
+    and does NOT preserve row or column order.
 
     Physical route is chosen by the DROP-SET size, not the corpus size:
 
@@ -1057,19 +1076,30 @@ def apply_dedup(
     if n_drop == 0:
         return ds
     if n_drop <= broadcast_threshold:
-        ids = np.sort(np.concatenate([
-            t["id"].to_numpy(zero_copy_only=False)
-            for t in ray.get(drop.to_arrow_refs())
-            if t.num_rows and "id" in t.column_names
-        ]).astype(np.int64))
-        drop_ref = ray.put(ids)
+        tabs = [t for t in ray.get(drop.to_arrow_refs())
+                if t.num_rows and "id" in t.column_names]
+        drop_col = pa.concat_tables(tabs)["id"].combine_chunks()
+        if pa.types.is_integer(drop_col.type):
+            ids = np.sort(drop_col.to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            drop_ref = ray.put(ids)
 
-        def keep(batch: pa.Table) -> pa.Table:
-            dropset = ray.get(drop_ref)
-            vals = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(dropset, vals)
-            pos[pos == len(dropset)] = 0
-            return batch.filter(pa.array(dropset[pos] != vals))
+            def keep(batch: pa.Table) -> pa.Table:
+                dropset = ray.get(drop_ref)
+                vals = batch[id_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(dropset, vals)
+                pos[pos == len(dropset)] = 0
+                return batch.filter(pa.array(dropset[pos] != vals))
+        else:
+            # string/binary ids: Arrow hash-set membership instead of the
+            # int64 searchsorted fast path (same broadcast discipline)
+            drop_ref = ray.put(drop_col)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                dropset = ray.get(drop_ref)
+                return batch.filter(
+                    pc.invert(pc.is_in(batch[id_col], value_set=dropset)))
 
         return ds.map_batches(keep, batch_format="pyarrow")
     # the corpus side streams into the join UNmaterialized: the anti-join

@@ -91,11 +91,27 @@ def grouped_quantiles(
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    gtype = ds.schema().base_schema.field(group_col).type
+    vtype = ds.schema().base_schema.field(val_col).type
+
     def counts(b: pa.Table) -> pa.Table:
         t = b.select([group_col, val_col]).filter(pc.is_valid(b[val_col]))
         part = (t.to_pandas().groupby([group_col, val_col], dropna=False)
                 .size().rename("c").reset_index())
-        return pa.Table.from_pandas(part, preserve_index=False)
+        out = pa.Table.from_pandas(part, preserve_index=False).cast(
+            pa.schema([(group_col, gtype), (val_col, vtype), ("c", pa.int64())]))
+        # marker row (group, NULL, 0) per distinct group in the batch: a
+        # group whose values are ALL NULL must still surface with a NULL
+        # quantile (SQL GROUP BY semantics) — and the explicit cast above
+        # keeps all-NULL/empty batches schema-stable (no null-typed blocks
+        # into the groupby)
+        groups = pc.unique(b[group_col])
+        markers = pa.table({
+            group_col: groups.cast(gtype),
+            val_col: pa.nulls(len(groups), type=vtype),
+            "c": pa.array([0] * len(groups), type=pa.int64()),
+        })
+        return pa.concat_tables([out, markers])
 
     agg = (
         ds.select_columns([group_col, val_col])
@@ -108,16 +124,25 @@ def grouped_quantiles(
     for g, sub in agg.groupby(group_col, sort=True, dropna=False):
         if pd.isna(g):  # pandas surfaces a NULL group as NaN — keep it NULL
             g = None
-        cum = sub["c"].cumsum().to_numpy()
-        n = int(cum[-1])
-        vals = sub[val_col].to_numpy()
+        subv = sub[sub["c"] > 0]  # drop the group-existence markers
+        cum = subv["c"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        vals = subv[val_col].to_numpy()
         for name, q in qs:
-            rank = max(1, int(np.ceil(q * n)))
-            i = int(np.searchsorted(cum, rank, side="left"))
             out_g.append(g)
             out_p.append(name)
+            if n == 0:  # all-NULL group → NULL quantile, like quantile_disc
+                out_v.append(None)
+                continue
+            rank = max(1, int(np.ceil(q * n)))
+            i = int(np.searchsorted(cum, rank, side="left"))
             out_v.append(vals[i])
-    res = pa.table({group_col: pa.array(out_g),
+    va = pa.array(out_v)
+    if not pa.types.is_null(va.type) and va.type != vtype:
+        # the marker NULLs force pandas to float64 — restore the input type
+        # (values are drawn from the column itself, so the cast is exact)
+        va = va.cast(vtype)
+    res = pa.table({group_col: pa.array(out_g).cast(gtype),
                     "pct": pa.array(out_p, type=pa.string()),
-                    "val": pa.array(np.asarray(out_v))})
+                    "val": va})
     return res.sort_by([(group_col, "ascending"), ("pct", "ascending")])

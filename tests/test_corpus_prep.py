@@ -348,9 +348,11 @@ def test_grouped_quantiles_semantics(ray_session):
 
     from project_gutenberg_full_text_search_ray.stages.topk import grouped_quantiles
 
+    # group "c" is ALL-NULL in v: SQL GROUP BY still emits it with a NULL
+    # quantile — the operator must not silently drop it
     t = pa.table({
-        "g": ["a"] * 5 + ["b"] * 4 + [None] * 2,
-        "v": [1, 2, 3, 4, 100, 10, 20, 30, None, 7, 9],
+        "g": ["a"] * 5 + ["b"] * 4 + [None] * 2 + ["c"] * 2,
+        "v": [1, 2, 3, 4, 100, 10, 20, 30, None, 7, 9, None, None],
     })
     qs = [("p50", 0.5), ("p95", 0.95)]
     got = grouped_quantiles(rd.from_arrow(t), "g", "v", qs).to_pandas()
@@ -363,7 +365,9 @@ def test_grouped_quantiles_semantics(ray_session):
         ") ORDER BY g NULLS LAST, pct"
     ).df()
     got = got.sort_values(["g", "pct"], na_position="last").reset_index(drop=True)
-    assert got["val"].astype("int64").tolist() == exp["val"].astype("int64").tolist()
+    assert got["val"].isna().tolist() == exp["val"].isna().tolist()
+    assert got["val"].fillna(-1).astype("int64").tolist() == \
+        exp["val"].fillna(-1).astype("int64").tolist()
     assert got["pct"].tolist() == exp["pct"].tolist()
     assert got["g"].fillna("~").tolist() == exp["g"].fillna("~").tolist()
 

@@ -1363,7 +1363,28 @@ def test_jaccard_similarity_join_semantics(ray_session):
     assert none.count() == 0
     assert set(none.schema().base_schema.names) == {"left_id", "right_id", "jacc_i4"}
 
-    big = pa.table({"rid": pa.array([1 << 33], type=pa.int64()), "text": [base]})
-    with pytest.raises(Exception, match="2\\^32"):
-        jaccard_similarity_join(rd.from_arrow(left), rd.from_arrow(big),
-                                "text", "lid", "rid", threshold=0.5).materialize()
+    for bad_id in (1 << 33, -7):  # packing guard: both bounds raise
+        big = pa.table({"rid": pa.array([bad_id], type=pa.int64()),
+                        "text": [base]})
+        with pytest.raises(Exception, match="2\\^32"):
+            jaccard_similarity_join(
+                rd.from_arrow(left), rd.from_arrow(big),
+                "text", "lid", "rid", threshold=0.5).materialize()
+
+
+def test_apply_dedup_string_ids(ray_session):
+    """The broadcast route must handle non-integer id columns (Arrow is_in
+    membership instead of the int64 searchsorted fast path)."""
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import apply_dedup
+
+    corpus = pa.table({"doc_id": [f"pg-{i}" for i in range(6)],
+                       "x": list(range(6))})
+    labels = pa.table({"id": ["pg-1", "pg-2", "pg-4"],
+                       "rep": ["pg-1", "pg-1", "pg-4"]})
+    out = apply_dedup(rd.from_arrow(corpus), rd.from_arrow(labels), "doc_id")
+    t = pa.concat_tables(
+        b for b in ray.get(out.to_arrow_refs()) if b.num_rows).sort_by("doc_id")
+    assert t["doc_id"].to_pylist() == ["pg-0", "pg-1", "pg-3", "pg-4", "pg-5"]
