@@ -15,7 +15,7 @@ the engine-core equivalent here is a command line that owns its Ray session
     python -m project_gutenberg_full_text_search_ray.cli prep OP SRC OUT_DIR [op options]
         OP ∈ dedup-exact | dedup-minhash | dedup-apply | dedup-exact-apply
              | split | sessionize | contamination | quota | pack | scrub
-             | knn | pii | chunk | repetition | normalize
+             | knn | pii | chunk | repetition | normalize | simjoin
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -120,6 +120,17 @@ def _prep(args) -> int:
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col,
             chunk_tokens=args.chunk_tokens, overlap=args.overlap)
+    elif args.op == "simjoin":
+        from .stages.dedup import jaccard_similarity_join
+
+        if not args.right:
+            print(json.dumps({"error": "simjoin needs --right (parquet with "
+                              "the match-against rows)"}), file=sys.stderr)
+            return 2
+        out = jaccard_similarity_join(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            rd.read_parquet(args.right, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, args.id_col, threshold=args.threshold)
     elif args.op == "normalize":
         from .stages.corpus_prep import normalize_text
 
@@ -237,7 +248,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "dedup-apply", "dedup-exact-apply", "split",
                                    "sessionize", "contamination", "quota",
                                    "pack", "scrub", "knn", "pii",
-                                   "chunk", "repetition", "normalize"])
+                                   "chunk", "repetition", "normalize",
+                                   "simjoin"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -251,6 +263,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--fractions", default="train:0.8,val:0.1,test:0.1",
                     help="name:frac,... (split)")
     pr.add_argument("--seed", type=int, default=17)
+    pr.add_argument("--right", default=None,
+                    help="parquet with the match-against rows (simjoin)")
     pr.add_argument("--bench", default=None,
                     help="benchmark parquet file/dir with --text-col (contamination)")
     pr.add_argument("--k-shingle", type=int, default=3)

@@ -318,3 +318,34 @@ def test_cli_prep_dedup_exact_apply(ray_session, tmp_path):
     t = pq.read_table(out).sort_by([("doc_id", "ascending")])
     assert t["doc_id"].to_pylist() == [1, 3]
     assert set(t.column_names) == {"doc_id", "text", "lang"}
+
+
+def test_cli_prep_simjoin(ray_session, tmp_path):
+    """`prep simjoin` matches each left row to its best right row."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    left = str(tmp_path / "l.parquet")
+    right = str(tmp_path / "r.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                             "text": [base, "nothing shared here at all"]}), left)
+    pq.write_table(pa.table({"doc_id": pa.array([5], type=pa.int64()),
+                             "text": [base + " extra"]}), right)
+    out = str(tmp_path / "o")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "simjoin", left, out, "--right", right,
+                   "--threshold", "0.5"])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out)
+    assert t["left_id"].to_pylist() == [0] and t["right_id"].to_pylist() == [5]
+
+    # missing --right is a loud usage error
+    assert main(["prep", "simjoin", left, str(tmp_path / "x")]) == 2
