@@ -831,9 +831,18 @@ def jaccard_similarity_join(
     if doc_source is None:
         # the default doc-source path executes its input twice more (row-cap
         # count + broadcast collect); pin the encoded union once instead.
-        # Only in the default (≤200k-row) regime — at scale the caller
-        # passes a combined (sid, text) parquet and nothing materializes.
         union = union.materialize()
+        if union.count() > 200_000:
+            # above the broadcast cap the verify stage needs a fetchable
+            # (sid, text) store keyed by the ENCODED id — no caller-side
+            # file can provide that, so spill the union to a temp parquet
+            # store (filtered row-group reads; the dir lives for the run).
+            # Pass doc_source explicitly to control placement at scale.
+            import tempfile
+
+            store = tempfile.mkdtemp(prefix="pgfts_simjoin_store_")
+            union.write_parquet(store)
+            doc_source = store
     def cross_side_only(b: pa.Table) -> pa.Table:
         # same-side candidates can never appear in the result — drop them
         # before the doc-store verify pays for them (parity of the encoded
@@ -857,8 +866,11 @@ def jaccard_similarity_join(
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         ja = b["jacc_i4"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cross = (a & 1) != (bb & 1)
-        a, bb, ja = a[cross], bb[cross], ja[cross]
+        if ((a & 1) == (bb & 1)).any():
+            # cross_side_only runs upstream of the verify — a same-side pair
+            # here means the candidate filter was bypassed, not a data issue
+            raise AssertionError("similarity join: same-side pair reached "
+                                 "orient(); candidate filter missing")
         left_sid = np.where(a & 1 == 0, a, bb)
         right_sid = np.where(a & 1 == 0, bb, a)
         rid = right_sid >> 1

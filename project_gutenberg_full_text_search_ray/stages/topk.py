@@ -113,21 +113,35 @@ def grouped_quantiles(
         })
         return pa.concat_tables([out, markers])
 
-    agg = (
+    agg_ds = (
         ds.select_columns([group_col, val_col])
         .map_batches(counts, batch_format="pyarrow")
         .groupby([group_col, val_col]).aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values([group_col, val_col])
     )
+    tabs = [t for t in ray.get(agg_ds.to_arrow_refs())
+            if t.num_rows and "c" in t.column_names]
+    empty = pa.table({group_col: pa.array([], type=gtype),
+                      "pct": pa.array([], type=pa.string()),
+                      "val": pa.array([], type=vtype)})
+    if not tabs:
+        return empty
+    # the fold stays in ARROW: a pandas round trip would promote the
+    # marker-NULLed value column to float64 and silently round int64
+    # values above 2^53
+    agg = (pa.concat_tables(tabs)
+           .cast(pa.schema([(group_col, gtype), (val_col, vtype),
+                            ("c", pa.int64())])))
+    data = agg.filter(pc.greater(agg["c"], 0)).sort_by(
+        [(group_col, "ascending"), (val_col, "ascending")])
+    all_groups = agg[group_col].to_pylist()
+    vals_g = data[group_col].to_pylist()
+    vals_v = data[val_col].to_pylist()          # exact (python scalars)
+    cnt = data["c"].to_numpy(zero_copy_only=False)
     out_g, out_p, out_v = [], [], []
-    for g, sub in agg.groupby(group_col, sort=True, dropna=False):
-        if pd.isna(g):  # pandas surfaces a NULL group as NaN — keep it NULL
-            g = None
-        subv = sub[sub["c"] > 0]  # drop the group-existence markers
-        cum = subv["c"].cumsum().to_numpy()
+    for g in sorted(set(all_groups), key=lambda x: (x is None, x)):
+        rows = [j for j, gg in enumerate(vals_g) if gg == g]
+        cum = np.cumsum(cnt[rows]) if rows else np.array([], dtype=np.int64)
         n = int(cum[-1]) if len(cum) else 0
-        vals = subv[val_col].to_numpy()
         for name, q in qs:
             out_g.append(g)
             out_p.append(name)
@@ -136,13 +150,8 @@ def grouped_quantiles(
                 continue
             rank = max(1, int(np.ceil(q * n)))
             i = int(np.searchsorted(cum, rank, side="left"))
-            out_v.append(vals[i])
-    va = pa.array(out_v)
-    if not pa.types.is_null(va.type) and va.type != vtype:
-        # the marker NULLs force pandas to float64 — restore the input type
-        # (values are drawn from the column itself, so the cast is exact)
-        va = va.cast(vtype)
-    res = pa.table({group_col: pa.array(out_g).cast(gtype),
+            out_v.append(vals_v[rows[i]])
+    res = pa.table({group_col: pa.array(out_g, type=gtype),
                     "pct": pa.array(out_p, type=pa.string()),
-                    "val": va})
+                    "val": pa.array(out_v, type=vtype)})
     return res.sort_by([(group_col, "ascending"), ("pct", "ascending")])

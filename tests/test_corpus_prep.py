@@ -398,3 +398,25 @@ def test_normalize_text_duckdb_parity_fuzz():
         "SELECT trim(regexp_replace(lower(nfc_normalize(v)), '\\s+', ' ', "
         "'g'), ' ') FROM (SELECT unnest(?) AS v)", [vals]).fetchall()]
     assert got == exp
+
+
+def test_grouped_quantiles_int64_exact_and_null_schema(ray_session):
+    """The fold must stay exact above 2^53 (no float64 round trip) and the
+    output val type must equal the input type even when EVERY group is
+    all-NULL."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import grouped_quantiles
+
+    big = (1 << 53) + 1
+    t = pa.table({"g": ["a", "a", "a"],
+                  "v": pa.array([big, big, big], type=pa.int64())})
+    got = grouped_quantiles(rd.from_arrow(t), "g", "v", [("p50", 0.5)])
+    assert got["val"].to_pylist() == [big]          # exact, not 2^53
+    assert got["val"].type == pa.int64()
+
+    allnull = pa.table({"g": ["a", "b"],
+                        "v": pa.array([None, None], type=pa.int64())})
+    got = grouped_quantiles(rd.from_arrow(allnull), "g", "v", [("p50", 0.5)])
+    assert got["val"].to_pylist() == [None, None]
+    assert got["val"].type == pa.int64()            # schema-stable output
