@@ -796,15 +796,23 @@ def jaccard_similarity_join(
     right_id_col: str,
     *,
     threshold: float = 0.3,
+    k: int = 1,
     doc_source=None,
     k_shingle: int = 3,
     max_bucket_occupancy: int | None = 1024,
     concurrency: int | None = None,
 ) -> rd.Dataset:
     """Text SIMILARITY JOIN (record linkage / entity matching): for every
-    left row, its single most-similar right row by EXACT n-gram Jaccard ≥
+    left row, its ``k`` most-similar right rows by EXACT n-gram Jaccard ≥
     ``threshold`` (ties → smallest right id).  Left rows with no qualifying
     match are absent from the output (semi-join semantics).
+
+    ``k=1`` (default) returns ``(left_id, right_id, jacc_i4)`` via ONE
+    grouped MAX over a packed key — the scalable exchange path.  ``k>1``
+    returns ``(left_id, right_id, jacc_i4, rank)`` (rank 1 = best): the
+    verified pairs first pass the distinct-pair grouped MIN (top-k is NOT
+    duplicate-insensitive, unlike the argmax) and then the ``grouped_topk``
+    combiner fold — its documented output-sized-fold regime applies.
 
     Built on the shared near-dup machinery: both sides are tagged into one
     stream by ENCODING the id (``sid = 2·id + side`` — ids must be
@@ -880,6 +888,35 @@ def jaccard_similarity_join(
         pack = ja * (1 << 32) + ((1 << 32) - 1 - rid)
         return pa.table({"left_id": pa.array(left_sid >> 1),
                          "pack": pa.array(pack)})
+
+    if k > 1:
+        def orient_plain(b: pa.Table) -> pa.Table:
+            a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            left_sid = np.where(a & 1 == 0, a, bb)
+            right_sid = np.where(a & 1 == 0, bb, a)
+            return pa.table({"left_id": pa.array(left_sid >> 1),
+                             "right_id": pa.array(right_sid >> 1),
+                             "jacc_i4": b["jacc_i4"]})
+
+        from .topk import grouped_topk
+
+        distinct = _dedupe_pairs_min(pairs, "jacc_i4")
+        oriented = _drop_empty_blocks(
+            distinct.map_batches(orient_plain, batch_format="pyarrow"))
+        cols = ["left_id", "right_id", "jacc_i4", "rank"]
+        if oriented.count() == 0:
+            return rd.from_arrow(pa.table(
+                {c: pa.array([], type=pa.int64()) for c in cols}))
+        top = grouped_topk(oriented, "left_id", "jacc_i4", "right_id",
+                           k=k, descending=True)
+        # rank within each left group (grouped_topk output is sorted by
+        # (group ASC, jacc DESC, right_id ASC))
+        g = top["left_id"].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(g)])) + 1
+        return rd.from_arrow(top.append_column("rank", pa.array(rank)))
 
     folded = _drop_empty_blocks(
         pairs.map_batches(orient, batch_format="pyarrow"))

@@ -1388,3 +1388,35 @@ def test_apply_dedup_string_ids(ray_session):
     t = pa.concat_tables(
         b for b in ray.get(out.to_arrow_refs()) if b.num_rows).sort_by("doc_id")
     assert t["doc_id"].to_pylist() == ["pg-0", "pg-1", "pg-3", "pg-4", "pg-5"]
+
+
+def test_jaccard_similarity_join_topk(ray_session):
+    """k>1: ranked match lists per left row, distinct right ids (the
+    distinct-pair MIN guards against duplicated verify emissions filling
+    several rank slots), rank 1 = best."""
+    import ray
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        jaccard_similarity_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    left = pa.table({"lid": pa.array([0], type=pa.int64()), "text": [base]})
+    right = pa.table({
+        "rid": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": [base,                                   # J = 1.0
+                 base.replace("kappa", "zz"),            # high J
+                 base.replace("iota kappa", "aa bb"),    # lower J
+                 "completely different words here"],     # below threshold
+    })
+    out = jaccard_similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  "text", "lid", "rid", threshold=0.2, k=3)
+    t = pa.concat_tables(
+        b for b in ray.get(out.to_arrow_refs()) if b.num_rows
+    ).sort_by([("left_id", "ascending"), ("rank", "ascending")])
+    assert t["rank"].to_pylist() == [1, 2, 3]
+    assert t["right_id"].to_pylist() == [10, 11, 12]
+    ja = t["jacc_i4"].to_pylist()
+    assert ja[0] == 10000 and ja[0] > ja[1] > ja[2]
+    assert len(set(t["right_id"].to_pylist())) == 3  # distinct matches
