@@ -130,7 +130,8 @@ def _prep(args) -> int:
         out = jaccard_similarity_join(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             rd.read_parquet(args.right, columns=[args.id_col, args.text_col]),
-            args.text_col, args.id_col, args.id_col, threshold=args.threshold)
+            args.text_col, args.id_col, args.id_col,
+            threshold=args.threshold, k=args.matches)
     elif args.op == "normalize":
         from .stages.corpus_prep import normalize_text
 
@@ -263,6 +264,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--fractions", default="train:0.8,val:0.1,test:0.1",
                     help="name:frac,... (split)")
     pr.add_argument("--seed", type=int, default=17)
+    pr.add_argument("--matches", type=int, default=1,
+                    help="ranked matches per left row (simjoin; >1 adds a "
+                         "rank column)")
     pr.add_argument("--right", default=None,
                     help="parquet with the match-against rows (simjoin)")
     pr.add_argument("--bench", default=None,
