@@ -1,0 +1,57 @@
+"""Shared Arrow helpers for driver-side folds over Ray block refs.
+
+Why this module exists: Ray's sort-based ``groupby().aggregate()`` can emit
+an output partition whose value column holds ONLY nulls — that block comes
+back **null-typed** (``value: null`` instead of ``value: int64``), and a
+plain ``pa.concat_tables`` over ``to_arrow_refs()`` output then raises
+``ArrowInvalid: Schema at index N was different``.  This is parallelism-
+dependent (more CPUs → more/narrower partitions → higher odds one holds
+only null marker rows); it took down ``grouped_quantiles`` in the round-4
+driver run at ``num_cpus=32`` while passing every 8-CPU local sweep.
+
+Every driver fold that concatenates Ray groupby/aggregate output blocks
+must go through :func:`concat_cast` (or cast per-block BEFORE concat) —
+one definition so the fix lands everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def concat_cast(tabs: list[pa.Table], schema: pa.Schema) -> pa.Table:
+    """Concatenate Ray output blocks that may disagree on null-typed
+    columns, then cast to the declared ``schema``.
+
+    ``promote_options="permissive"`` unifies a ``null``-typed column with
+    its real type (null + int64 → int64); the explicit cast afterwards
+    restores the declared type even when EVERY block is null-typed (the
+    permissive common type would stay ``null``) and pins column order.
+    Blocks are re-selected to the schema's column order first so blocks
+    whose aggregate emitted columns in a different order (pyarrow
+    ``group_by`` output order is version-dependent) still line up.
+    Empty input → empty table with the declared schema."""
+    names = schema.names
+    keep = [t.select(names) for t in tabs if t.num_rows]
+    if not keep:
+        return schema.empty_table()
+    return pa.concat_tables(keep, promote_options="permissive").cast(schema)
+
+
+def run_starts_sorted(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Indices where a new run of equal values starts in an array that is
+    ALREADY sorted on that column (nulls grouped, e.g. Arrow's
+    ``sort_by`` null-at-end placement).  Null-aware: a null↔non-null
+    transition is a boundary, null↔null is not — works for any Arrow type
+    without a dictionary-encode round trip.  Empty input → ``[]``."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    a1, a0 = arr.slice(1), arr.slice(0, n - 1)
+    # not_equal(x, null) is null → fill False, then OR with validity flips
+    neq = pc.fill_null(pc.not_equal(a1, a0), False)
+    vflip = pc.xor(pc.is_valid(a1), pc.is_valid(a0))
+    tail = pc.or_(neq, vflip).to_numpy(zero_copy_only=False)
+    return np.flatnonzero(np.r_[True, tail]).astype(np.int64)

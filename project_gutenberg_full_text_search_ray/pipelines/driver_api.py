@@ -640,6 +640,46 @@ def q_semantic_dedup(sf_dir: str) -> pa.Table:
                      "label": pa.array(kept["label"], type=pa.int64())})
 
 
+# LSH pipeline parameters shared by the Ray query and its SQL twin — one
+# definition so the oracle can never drift from the engine
+_SEMDEDUP_LSH = dict(threshold=0.45, n_planes=48, bands=12, seed=11)
+
+
+def q_semantic_dedup_lsh(sf_dir: str) -> pa.Table:
+    """SemDeDup at corpus scale: the SAME pairs→components→apply chain as
+    q_semantic_dedup, but the pair source is the banded sign-LSH bucketed
+    path (``embedding_neardup_pairs_lsh``) — candidates stream through the
+    shared sort-based bucket machinery, vectors stay at rest, nothing is
+    O(N²).  This is the variant a 100 TB run composes; the exact all-pairs
+    chain stays registered as its recall baseline (pytest
+    test_extras.py::test_semantic_dedup_lsh_recall).
+
+    ``plane_mode="hash"`` makes the bucketing integer-exact
+    (sign(quantized int vec · FNV ±1 planes)), so the WHOLE approximate
+    operator — bucket membership included — is replicated bit-for-bit by
+    the DuckDB oracle (_semantic_dedup_lsh_sql); the oracle verifies the
+    LSH structure itself, not a recall bound."""
+    import ray.data as rd
+
+    from ..stages.dedup import (
+        apply_dedup,
+        connected_components_ds,
+        embedding_neardup_pairs_lsh,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pairs = embedding_neardup_pairs_lsh(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]),
+        "embedding", "vec_id", max_bucket_occupancy=None,
+        plane_mode="hash", **_SEMDEDUP_LSH)
+    labels = connected_components_ds(pairs)
+    kept = apply_dedup(
+        rd.read_parquet(path, columns=["vec_id", "label"]), labels, "vec_id"
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(kept["vec_id"], type=pa.int64()),
+                     "label": pa.array(kept["label"], type=pa.int64())})
+
+
 def q_knn_join(sf_dir: str) -> pa.Table:
     """kNN semi-join (stages/similarity.knn_join): exact top-5 cosine
     neighbors from the FULL corpus for each vec_id < 100 query row — the
@@ -1527,6 +1567,53 @@ def _ann_lsh_topk_sql(n_planes: int = 5, seed: int = 11, k: int = 10) -> str:
     )
 
 
+def _semantic_dedup_lsh_sql(*, threshold: float, n_planes: int, bands: int,
+                            seed: int) -> str:
+    """DuckDB twin of q_semantic_dedup_lsh, LSH structure included: ±1
+    planes from FNV-1a("d|p|seed") bit 32, per-band sign codes as INTEGER
+    dot products over ×10⁴-quantized vectors (bit-exact vs the numpy int64
+    matmul), candidates = pairs sharing any band code, exact-cosine verify
+    (DOUBLE[] casts — DuckDB evaluates FLOAT[] cosine in float32), then the
+    same transitive closure + keep-min-id materializer as semantic_dedup."""
+    per_band = n_planes // bands
+    dp_expr = ("CAST(d AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|"
+               + str(seed) + "'")
+    return (
+        "WITH RECURSIVE nd AS (SELECT len(embedding) AS dim FROM embeddings "
+        "WHERE vec_id = 0), "
+        "planes AS (SELECT CAST(d AS INT) AS d, CAST(p AS INT) AS p, "
+        f"CASE WHEN (CAST({_fnv_sql(dp_expr)} AS UBIGINT) >> 32) & 1 = 1 "
+        "THEN 1 ELSE -1 END AS w "
+        "FROM UNNEST(range(0, (SELECT dim FROM nd))) AS rd(d), "
+        f"UNNEST(range(0, {n_planes})) AS rp(p)), "
+        "dots AS (SELECT e.vec_id, pl.p, "
+        "sum(CAST(floor(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 10000 + 0.5) "
+        "AS HUGEINT) * pl.w) AS dp "
+        "FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2), "
+        f"bkeys AS (SELECT vec_id, CAST(p // {per_band} AS INT) AS band, "
+        f"sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << "
+        f"({per_band} - 1 - CAST(p % {per_band} AS INT))) ELSE 0 END) AS code "
+        "FROM dots GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS v FROM bkeys a "
+        "JOIN bkeys b ON a.band = b.band AND a.code = b.code "
+        "AND a.vec_id < b.vec_id), "
+        "vp AS (SELECT u, v FROM cand "
+        "JOIN embeddings a ON a.vec_id = cand.u "
+        "JOIN embeddings b ON b.vec_id = cand.v "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) >= {threshold}), "
+        "edges AS (SELECT u, v FROM vp UNION SELECT v, u FROM vp), "
+        "nodes AS (SELECT DISTINCT u AS id FROM edges), "
+        "reach AS (SELECT id, id AS lbl FROM nodes "
+        "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id), "
+        "comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "CAST(e.label AS BIGINT) AS label FROM embeddings e "
+        "WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE rep <> id) "
+        "ORDER BY vec_id"
+    )
+
+
 def _fingerprints_sql(limit_doc_id: int = 50) -> str:
     """DuckDB twin of rolling_fingerprints + winnow (textstats.py): 4-token
     Rabin-Karp rolling hashes over FNV token hashes (mod-2^64 wraparound via
@@ -1763,6 +1850,7 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
     "fingerprints": _fingerprints_sql(limit_doc_id=50),
     "minhash_neardup": _minhash_pairs_sql(threshold=0.3),
     "ann_lsh_topk": _ann_lsh_topk_sql(n_planes=5, seed=11, k=10),
+    "semantic_dedup_lsh": _semantic_dedup_lsh_sql(**_SEMDEDUP_LSH),
     # probe-all IVF == exact cosine top-k: same oracle as ann_cosine_topk
     "ann_ivf_probeall": (
         "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
@@ -2054,6 +2142,7 @@ QUERIES_EXTRAS = {
     "knn_join_ivf": q_knn_join_ivf,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "similarity_join": q_similarity_join,
     "facet_lang_counts": q_facet_lang_counts,
     "sample_per_source": q_sample_per_source,
@@ -2223,15 +2312,23 @@ _DRIVER_ORDER = [
     # grouped_quantiles strictly generalizes the global quantiles kernel
     # (same (group,value)-count combiner + driver cumsum, now per group) —
     # the global variant is demoted to the tail
-    "range_join_windows", "grouped_quantiles", "value_histogram",
+    # sliding_window_counts (r5 rotation: never driver-verified) promoted in
+    # place of value_histogram — the histogram's floor-bin map + groupby
+    # count combiner is exactly the keyed-count kernel facet_top_sources and
+    # window_counts hard-verify; the overlapping-window flat_map is the one
+    # piece nothing in the window exercised
+    "range_join_windows", "grouped_quantiles", "sliding_window_counts",
     "parse_fields",
     # corpus-prep + sketches + splits/sessionization/mix-sampling (r3-r4
     # additions promoted into the driver's hard-verification window; the
     # demoted order_random's seeded-random kernel stays hard-verified via
     # sample_per_source's window oracle)
+    # window_counts (r5 rotation: never driver-verified tumbling-window
+    # aggregate) promoted in place of quota_sample, whose splitmix64
+    # hash-threshold kernel is split_assign's, hard-verified in-window
     "pack_sequences", "heavy_hitters_users", "distinct_users_kmv",
     "contamination_check", "sessionize_events", "split_assign",
-    "quota_sample",
+    "window_counts",
     # dedup family (ngram_jaccard_pairs demoted late-r4: its ENTIRE
     # pipeline — candidate sort exchange + rank-packed Jaccard verify —
     # runs unchanged as dedup_components' pair source, which stays in the
@@ -2243,8 +2340,14 @@ _DRIVER_ORDER = [
     # dedup_exact_apply strictly contains dedup_exact's grouped Min/Count
     # kernel (its first stage) and adds the members join + keep filter —
     # the (keep_id, n_dups) variant is demoted to the tail
-    "dedup_exact_apply", "dedup_components", "dedup_apply", "minhash_neardup",
-    "simhash_pairs",
+    # semantic_dedup_lsh (NEW r5 kernel: hash-plane banded sign-LSH pair
+    # source, SQL-replicated bucket structure) promoted in place of
+    # dedup_apply — the keep-canonical apply_dedup materializer and the
+    # min-label components it composes run in-window inside
+    # semantic_dedup_lsh itself, and dedup_components keeps the jaccard
+    # pair source hard-verified
+    "dedup_exact_apply", "dedup_components", "semantic_dedup_lsh",
+    "minhash_neardup", "simhash_pairs",
     # late-r4 corpus-prep kernels: PII redaction (sequential re2 passes,
     # count-then-replace) and Gopher-style repetition signals (factorize +
     # rank-packed run counting); tsvector_agg demoted to make room — the
@@ -2271,8 +2374,11 @@ _DRIVER_ORDER = [
     "ann_lsh_topk", "knn_join", "knn_join_ivf",
     # relational extras + corpus prep
     "asof_prev_purchase", "boilerplate_scrub",
-    # text analysis
-    "token_counts", "langid_counts",
+    # text analysis: facet_lang_counts (r5 rotation: never driver-verified
+    # one-pass group-count-sort) promoted in place of token_counts, whose
+    # tokenize+count kernel is the first stage of the in-window
+    # repetition_scores and langid_counts oracles
+    "facet_lang_counts", "langid_counts",
     # trigram family + per-field search + per-group top-k (the r4
     # grouped_topk kernel, promoted in place of contains_multi — multi-token
     # CONTAINS composes contains_indexed's trigram expansion with the AND
@@ -2286,21 +2392,28 @@ _DRIVER_ORDER = [
     # promoted in place of broadcast_join_categories — r3-green, kernel
     # unchanged, and the broadcast-small-side join pattern stays in-window
     # via range_join_windows
-    "sample_per_source", "user_rollup",
+    # order_random (r5 rotation: the seeded md5(seed‖id) ordering itself,
+    # never driver-verified) promoted in place of sample_per_source — the
+    # mirror of r4's swap: per-group seeded sampling composes the same
+    # md5-order kernel with the grouped head that topk_per_lang
+    # hard-verifies in-window
+    "order_random", "user_rollup",
     "similarity_join", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
     "broadcast_join_categories", "embed_neardup_pairs", "semantic_dedup", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
+    "dedup_apply", "quota_sample", "value_histogram", "sample_per_source",
+    "token_counts",
     # (fts_pagination = the fts_term kernel sliced at page 2 + clamp pytest;
     # fts_ids_in = the pc.is_in kernel semi_join_urgent hard-verifies;
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
-    "dedup_exact", "quantiles", "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or", "order_random",
+    "dedup_exact", "quantiles", "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
-    "window_counts", "sliding_window_counts", "token_estimates",
+    "token_estimates",
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",
-    "regex_normalize", "facet_lang_counts",
+    "regex_normalize",
     "ann_ivf_topk", "multimodal_decode",
 ]
 

@@ -1294,6 +1294,7 @@ def embedding_neardup_pairs_lsh(
     n_planes: int = 16, bands: int = 4, seed: int = 11,
     max_bucket_occupancy: int | None = 4096,
     vec_source=None, concurrency: int | None = None,
+    plane_mode: str = "gaussian",
 ) -> rd.Dataset:
     """Scale path: banded sign-LSH bucketing (like MinHash bands — a pair is
     a candidate if ANY band of hyperplane signs matches exactly), exact
@@ -1303,8 +1304,17 @@ def embedding_neardup_pairs_lsh(
     operators' ``doc_source``).  Candidates come from the shared sort-based
     run generator (``_candidate_pairs``) — no per-bucket ``map_groups``.
     Approximate — recall rises with bands and falls with tighter buckets
-    (asserted ≥ baseline in pytest)."""
-    from .similarity import _matrix, _normalize
+    (asserted ≥ baseline in pytest).
+
+    ``plane_mode="hash"`` projects ×10⁴-quantized INTEGER vectors onto the
+    deterministic ±1 FNV planes (``similarity.hash_planes``) instead of
+    seeded Gaussian planes over normalized floats — sign(∑ int·±1) is
+    exact integer arithmetic (a positive scaling never flips a dot
+    product's sign, so skipping normalization is exact), which makes the
+    bucket structure bit-for-bit re-expressible in a SQL oracle
+    (driver_api._semantic_dedup_lsh_sql), the same trick as
+    ``similarity.lsh_bucket_topk``."""
+    from .similarity import _matrix, _normalize, hash_planes, quantize_i4
 
     concurrency = _pool_size(concurrency)
     planes_by_dim: dict[int, np.ndarray] = {}
@@ -1323,11 +1333,19 @@ def embedding_neardup_pairs_lsh(
     if vec_source is None:
         vec_source = _default_doc_source(ds, id_col, vec_col)
 
+    if plane_mode not in ("gaussian", "hash"):
+        raise ValueError(f"plane_mode={plane_mode!r}: 'gaussian' or 'hash'")
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        M = _normalize(_matrix(batch[vec_col]))
+        if plane_mode == "hash":
+            M = quantize_i4(_matrix(batch[vec_col]))  # int64, exact signs
+        else:
+            M = _normalize(_matrix(batch[vec_col]))
         dim = M.shape[1]
         if dim not in planes_by_dim:
-            planes_by_dim[dim] = np.random.default_rng(seed).standard_normal((dim, n_planes))
+            planes_by_dim[dim] = (
+                hash_planes(dim, n_planes, seed) if plane_mode == "hash"
+                else np.random.default_rng(seed).standard_normal((dim, n_planes)))
         bits = (M @ planes_by_dim[dim]) > 0
         # vectorized band codes: (n, bands, per_band) · 2-powers, then an
         # int64 (band << per_band | code) key — no per-row Python loop

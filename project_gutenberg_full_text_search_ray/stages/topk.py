@@ -18,23 +18,42 @@ avoids (BASELINE.md, pack_sequences r3 lesson).
 Determinism: total order is (group ASC, order_col DESC|ASC, id ASC) — ties
 on the order column cut identically everywhere, which the DuckDB
 row_number() oracle (driver_api.q_topk_per_lang) depends on.
+
+Both kernels are Arrow/numpy-native end to end (no pandas round trips):
+the per-group head is one table sort + run-boundary rank filter, and the
+quantile fold is one global cumsum + searchsorted over the sorted
+(group, value) aggregate — cum counts are strictly increasing after the
+``c > 0`` filter, so one global searchsorted lands inside the right
+group's run without any per-group slicing.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 import ray
 import ray.data as rd
 
+from ..functions.arrowutil import concat_cast, run_starts_sorted
 
-def _head_per_group(df: pd.DataFrame, group_col: str, order_col: str,
-                    id_col: str, k: int, descending: bool) -> pd.DataFrame:
-    df = df.sort_values([group_col, order_col, id_col],
-                        ascending=[True, not descending, True],
-                        kind="mergesort")
-    return df.groupby(group_col, sort=False, dropna=False).head(k)
+
+def _head_per_group(t: pa.Table, group_col: str, order_col: str,
+                    id_col: str, k: int, descending: bool) -> pa.Table:
+    """First ``k`` rows per group under the total order (group ASC nulls
+    last, order_col DESC|ASC, id ASC) — one sort, one vectorized rank
+    filter, no per-group Python."""
+    if t.num_rows == 0:
+        return t
+    srt = t.sort_by([
+        (group_col, "ascending"),
+        (order_col, "descending" if descending else "ascending"),
+        (id_col, "ascending"),
+    ])
+    starts = run_starts_sorted(srt[group_col])
+    run_len = np.diff(np.append(starts, srt.num_rows))
+    rank = np.arange(srt.num_rows, dtype=np.int64) - np.repeat(starts, run_len)
+    return srt.filter(pa.array(rank < k))
 
 
 def grouped_topk(
@@ -47,27 +66,20 @@ def grouped_topk(
     last/first by dialect — excluding them keeps both sides exact).
     Returns the result table sorted by (group, order, id)."""
     cols = [group_col, order_col, id_col]
+    sch = ds.schema().base_schema
+    schema = pa.schema([(c, sch.field(c).type) for c in cols])
 
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         b = b.select(cols).filter(pc.is_valid(b[order_col]))
-        if b.num_rows == 0:
-            return b
-        out = _head_per_group(b.to_pandas(), group_col, order_col, id_col,
-                              k, descending)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _head_per_group(b, group_col, order_col, id_col, k, descending)
 
-    parts = [t for t in ray.get(
+    parts = ray.get(
         ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
-    if not parts:
-        return pa.table({c: pa.array([]) for c in cols})
-    folded = _head_per_group(
-        pa.concat_tables(parts, promote_options="permissive").to_pandas(),
-        group_col, order_col, id_col, k, descending)
-    return pa.Table.from_pandas(folded.reset_index(drop=True),
-                                preserve_index=False)
+        .to_arrow_refs())
+    return _head_per_group(concat_cast(parts, schema), group_col, order_col,
+                           id_col, k, descending)
 
 
 def grouped_quantiles(
@@ -87,24 +99,25 @@ def grouped_quantiles(
 
     NULL values are dropped like ``quantile_disc``; NULL groups form their
     own group.  Returns ``(group_col, pct, val)`` sorted by (group, pct)."""
-    import numpy as np
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     gtype = ds.schema().base_schema.field(group_col).type
     vtype = ds.schema().base_schema.field(val_col).type
+    part_schema = pa.schema([(group_col, gtype), (val_col, vtype),
+                             ("c", pa.int64())])
 
     def counts(b: pa.Table) -> pa.Table:
         t = b.select([group_col, val_col]).filter(pc.is_valid(b[val_col]))
-        part = (t.to_pandas().groupby([group_col, val_col], dropna=False)
-                .size().rename("c").reset_index())
-        out = pa.Table.from_pandas(part, preserve_index=False).cast(
-            pa.schema([(group_col, gtype), (val_col, vtype), ("c", pa.int64())]))
+        part = t.group_by([group_col, val_col]).aggregate([([], "count_all")])
+        # result columns picked BY NAME — pyarrow group_by output order is
+        # version-dependent; the cast keeps all-NULL/empty batches
+        # schema-stable (no null-typed blocks into the groupby)
+        out = pa.table({group_col: part[group_col], val_col: part[val_col],
+                        "c": part["count_all"]}).cast(part_schema)
         # marker row (group, NULL, 0) per distinct group in the batch: a
         # group whose values are ALL NULL must still surface with a NULL
-        # quantile (SQL GROUP BY semantics) — and the explicit cast above
-        # keeps all-NULL/empty batches schema-stable (no null-typed blocks
-        # into the groupby)
+        # quantile (SQL GROUP BY semantics)
         groups = pc.unique(b[group_col])
         markers = pa.table({
             group_col: groups.cast(gtype),
@@ -118,6 +131,9 @@ def grouped_quantiles(
         .map_batches(counts, batch_format="pyarrow")
         .groupby([group_col, val_col]).aggregate(Sum("c", alias_name="c"))
     )
+    # concat_cast, NOT a plain concat: Ray's sort-based aggregate can emit
+    # a partition holding only the all-NULL marker rows, whose value column
+    # comes back null-typed — the r4 driver failure at num_cpus=32
     tabs = [t for t in ray.get(agg_ds.to_arrow_refs())
             if t.num_rows and "c" in t.column_names]
     empty = pa.table({group_col: pa.array([], type=gtype),
@@ -125,23 +141,26 @@ def grouped_quantiles(
                       "val": pa.array([], type=vtype)})
     if not tabs:
         return empty
-    # the fold stays in ARROW: a pandas round trip would promote the
-    # marker-NULLed value column to float64 and silently round int64
-    # values above 2^53
-    agg = (pa.concat_tables(tabs)
-           .cast(pa.schema([(group_col, gtype), (val_col, vtype),
-                            ("c", pa.int64())])))
+    agg = concat_cast(tabs, part_schema)
     data = agg.filter(pc.greater(agg["c"], 0)).sort_by(
         [(group_col, "ascending"), (val_col, "ascending")])
-    all_groups = agg[group_col].to_pylist()
-    vals_g = data[group_col].to_pylist()
-    vals_v = data[val_col].to_pylist()          # exact (python scalars)
+    all_groups = pc.unique(agg[group_col].combine_chunks()).to_pylist()
+    # one global cumsum: counts are strictly positive after the filter, so
+    # cum is strictly increasing and a single searchsorted per (group, q)
+    # resolves inside the right group's run — no per-group slicing
     cnt = data["c"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(cnt, dtype=np.int64)
+    starts = run_starts_sorted(data[group_col])
+    ends = np.append(starts[1:], data.num_rows)
+    base = np.where(starts > 0, cum[starts - 1], 0) if len(starts) else starts
+    totals = (cum[ends - 1] - base) if len(starts) else base
+    vals_v = data[val_col].to_pylist()   # distinct values only (bounded)
+    run_of = {vals_v_g: r for r, vals_v_g in
+              enumerate(data[group_col].take(pa.array(starts)).to_pylist())}
     out_g, out_p, out_v = [], [], []
-    for g in sorted(set(all_groups), key=lambda x: (x is None, x)):
-        rows = [j for j, gg in enumerate(vals_g) if gg == g]
-        cum = np.cumsum(cnt[rows]) if rows else np.array([], dtype=np.int64)
-        n = int(cum[-1]) if len(cum) else 0
+    for g in all_groups:
+        r = run_of.get(g)
+        n = int(totals[r]) if r is not None else 0
         for name, q in qs:
             out_g.append(g)
             out_p.append(name)
@@ -149,8 +168,8 @@ def grouped_quantiles(
                 out_v.append(None)
                 continue
             rank = max(1, int(np.ceil(q * n)))
-            i = int(np.searchsorted(cum, rank, side="left"))
-            out_v.append(vals_v[rows[i]])
+            i = int(np.searchsorted(cum, int(base[r]) + rank, side="left"))
+            out_v.append(vals_v[i])
     res = pa.table({group_col: pa.array(out_g, type=gtype),
                     "pct": pa.array(out_p, type=pa.string()),
                     "val": pa.array(out_v, type=vtype)})

@@ -400,6 +400,71 @@ def test_normalize_text_duckdb_parity_fuzz():
     assert got == exp
 
 
+def test_concat_cast_null_typed_block_regression():
+    """r4 driver failure: Ray's sort-based aggregate emitted a partition
+    holding only the all-NULL (group, NULL, 0) marker rows, whose value
+    column came back NULL-TYPED, and the plain concat threw ArrowInvalid
+    (CORRECTNESS_r04 grouped_quantiles at num_cpus=32).  concat_cast must
+    absorb null-typed blocks — including when EVERY block is null-typed —
+    and pin column order."""
+    from project_gutenberg_full_text_search_ray.functions.arrowutil import (
+        concat_cast)
+
+    schema = pa.schema([("lang", pa.string()), ("n_chars", pa.int64()),
+                        ("c", pa.int64())])
+    typed = pa.table({"lang": ["en"], "n_chars": pa.array([7], pa.int64()),
+                      "c": pa.array([3], pa.int64())})
+    # the failing shape, verbatim from the r4 traceback: n_chars: null
+    marker_only = pa.table({
+        "lang": pa.array(["zz"], pa.string()),
+        "n_chars": pa.array([None], pa.null()),
+        "c": pa.array([0], pa.int64())})
+    # column order differing per block (pyarrow group_by is version-dependent)
+    reordered = typed.select(["c", "n_chars", "lang"])
+    out = concat_cast([typed, marker_only, reordered], schema)
+    assert out.schema == schema
+    assert out["n_chars"].to_pylist() == [7, None, 7]
+    # every block null-typed → declared type still wins
+    out = concat_cast([marker_only], schema)
+    assert out.schema == schema and out["n_chars"].to_pylist() == [None]
+    # empty input → typed empty
+    out = concat_cast([typed.slice(0, 0)], schema)
+    assert out.schema == schema and out.num_rows == 0
+
+
+def test_run_starts_sorted_null_boundaries():
+    from project_gutenberg_full_text_search_ray.functions.arrowutil import (
+        run_starts_sorted)
+
+    a = pa.chunked_array([["a", "a"], ["b", None], [None]])
+    assert run_starts_sorted(a).tolist() == [0, 2, 3]
+    assert run_starts_sorted(pa.array([], pa.string())).tolist() == []
+    assert run_starts_sorted(pa.array([None, None], pa.int64())).tolist() == [0]
+    assert run_starts_sorted(pa.array([5])).tolist() == [0]
+
+
+def test_grouped_quantiles_marker_only_partitions(ray_session):
+    """Force the r4 crash geometry: a group that is ENTIRELY NULL-valued
+    (its only aggregate rows are the (group, NULL, 0) markers) and sorts
+    LAST, over many more partitions than groups, so Ray's sort-based
+    aggregate carves out partitions holding only marker rows."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import (
+        grouped_quantiles)
+
+    t = pa.table({
+        "g": (["a"] * 400 + ["m"] * 400 + ["zz"] * 400),
+        "v": pa.array(list(range(400)) + list(range(400)) + [None] * 400,
+                      type=pa.int64()),
+    })
+    got = grouped_quantiles(rd.from_arrow(t).repartition(64), "g", "v",
+                            [("p50", 0.5), ("p95", 0.95)])
+    assert got["g"].to_pylist() == ["a", "a", "m", "m", "zz", "zz"]
+    assert got["val"].to_pylist() == [199, 379, 199, 379, None, None]
+    assert got["val"].type == pa.int64()
+
+
 def test_grouped_quantiles_int64_exact_and_null_schema(ray_session):
     """The fold must stay exact above 2^53 (no float64 round trip) and the
     output val type must equal the input type even when EVERY group is

@@ -465,6 +465,26 @@ def test_embedding_lsh_neardup_recall(ray_session):
     assert len(lsh_pairs) >= 0.66 * len(exact_pairs)  # recall on planted dups
 
 
+def test_semantic_dedup_lsh_recall(ray_session):
+    """The registered LSH-routed SemDeDup (the 100 TB scale path) must
+    agree with the exact all-pairs chain on nearly every dedup decision:
+    every id IT drops is one the exact path drops (precision 100% — LSH
+    pairs are exact-cosine verified, so a false drop is impossible), and
+    it recovers ≥80% of the exact path's drops at sf0.001."""
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
+        q_semantic_dedup, q_semantic_dedup_lsh)
+
+    sf = "/root/testdata/sf0.001"
+    all_ids = set(range(500))
+    kept_exact = set(q_semantic_dedup(sf)["vec_id"].to_pylist())
+    kept_lsh = set(q_semantic_dedup_lsh(sf)["vec_id"].to_pylist())
+    dropped_exact = all_ids - kept_exact
+    dropped_lsh = all_ids - kept_lsh
+    assert dropped_lsh <= dropped_exact          # no false drops
+    assert len(dropped_exact) >= 3               # fixture actually dedups
+    assert len(dropped_lsh) >= 0.8 * len(dropped_exact)
+
+
 def test_contains_multi_token_boundary(ray_session, tmp_path):
     """Multi-token CONTAINS must equal ILIKE '%q%': positions collapse
     separators, so 'window, merge' phrase-matches but the literal substring
