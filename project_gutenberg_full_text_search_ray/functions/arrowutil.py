@@ -12,6 +12,18 @@ driver run at ``num_cpus=32`` while passing every 8-CPU local sweep.
 Every driver fold that concatenates Ray groupby/aggregate output blocks
 must go through :func:`concat_cast` (or cast per-block BEFORE concat) —
 one definition so the fix lands everywhere.
+
+Repo-wide audit (round 5) of every ``to_arrow_refs()`` fold site: the
+hazard needs a Ray aggregate whose VALUE/KEY column can be entirely NULL
+within one output partition.  Only two operators deliberately feed
+all-null rows into an aggregate — ``stages/topk.grouped_quantiles``
+(the (group, NULL, 0) markers; fixed here) and ``stages/sketches``'s
+heavy-hitters error rider (guarded by a per-block key cast BEFORE its
+concat, the other sanctioned pattern).  Every other fold concatenates
+map-produced blocks whose columns are typed by construction (explicit
+``pa.array(..., type=)`` / ``.cast(schema)`` in the UDF — asof/
+sessionize/pack summaries, knn folds) or parquet-read blocks that carry
+their file schema even when empty (dedup doc stores).
 """
 
 from __future__ import annotations

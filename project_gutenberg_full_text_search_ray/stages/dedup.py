@@ -844,11 +844,16 @@ def jaccard_similarity_join(
             # above the broadcast cap the verify stage needs a fetchable
             # (sid, text) store keyed by the ENCODED id — no caller-side
             # file can provide that, so spill the union to a temp parquet
-            # store (filtered row-group reads; the dir lives for the run).
-            # Pass doc_source explicitly to control placement at scale.
+            # store.  The returned dataset is lazy, so the dir must outlive
+            # this call; it is reclaimed at interpreter exit (atexit) —
+            # pass doc_source explicitly to control placement/lifetime at
+            # scale.
+            import atexit
+            import shutil
             import tempfile
 
             store = tempfile.mkdtemp(prefix="pgfts_simjoin_store_")
+            atexit.register(shutil.rmtree, store, ignore_errors=True)
             union.write_parquet(store)
             doc_source = store
     def cross_side_only(b: pa.Table) -> pa.Table:
@@ -1132,11 +1137,19 @@ def apply_dedup(
             ids = np.sort(drop_col.to_numpy(zero_copy_only=False)
                           .astype(np.int64))
             drop_ref = ray.put(ids)
+            drop_arr_ref = ray.put(drop_col)
 
             def keep(batch: pa.Table) -> pa.Table:
+                col = batch[id_col]
+                if col.null_count:
+                    # NULL ids round-trip through float64 NaN in to_numpy
+                    # and compare as an undefined sentinel — use the Arrow
+                    # membership kernel for such batches (NULL is never in
+                    # the drop set → is_in false → row kept)
+                    return batch.filter(pc.invert(pc.is_in(
+                        col, value_set=ray.get(drop_arr_ref))))
                 dropset = ray.get(drop_ref)
-                vals = batch[id_col].to_numpy(
-                    zero_copy_only=False).astype(np.int64)
+                vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
                 pos = np.searchsorted(dropset, vals)
                 pos[pos == len(dropset)] = 0
                 return batch.filter(pa.array(dropset[pos] != vals))

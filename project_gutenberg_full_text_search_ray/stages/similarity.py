@@ -388,6 +388,12 @@ class IVFIndex:
                                 query_vecs, k, exclude_ids)
 
 
+# exact-path pool ceiling, matching the similarity-join doc store's
+# broadcast cap (stages/dedup.py): above it, refuse loudly and point at the
+# scale path instead of letting per-actor pool copies exhaust the heap
+KNN_POOL_CAP = 200_000
+
+
 def knn_join(
     queries: rd.Dataset, vec_col: str, id_col: str, k: int = 5, *,
     pool: rd.Dataset | None = None, concurrency=(1, 8),
@@ -410,7 +416,17 @@ def knn_join(
     path; at corpus scale route through ``IVFIndex`` (partition-pruned) or
     ``lsh_bucket_topk`` (banded sign-LSH) instead."""
     src = pool if pool is not None else queries
-    refs_handle = ray.put(src.select_columns([id_col, vec_col]).to_arrow_refs())
+    mat = src.select_columns([id_col, vec_col]).materialize()
+    n_pool = mat.count()
+    if n_pool > KNN_POOL_CAP:
+        # every actor concat-materializes the full pool in __init__ — above
+        # the cap that's heap-sized × concurrency, not a kNN join anymore
+        raise ValueError(
+            f"knn_join: pool has {n_pool} rows > {KNN_POOL_CAP} — the exact "
+            f"path holds the whole pool per actor; at this scale build a "
+            f"persisted IVFIndex and use knn_join_ivf (partition-pruned "
+            f"probes), or lsh_bucket_topk for ad-hoc top-k")
+    refs_handle = ray.put(mat.to_arrow_refs())
     id_type = queries.schema().base_schema.field(id_col).type
 
     class KnnBlock:

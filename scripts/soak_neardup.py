@@ -107,6 +107,102 @@ def dup_factor(sf_dir: str) -> dict:
             "dup_factor": round(n_raw / max(1, n_distinct), 4)}
 
 
+N_VECS = 5_000  # 10× the fixture's 500-vector embeddings table
+EMB_DIM = 64
+
+
+def gen_sf1_embeddings() -> str:
+    """Deterministic 10× embeddings table matching the fixture's schema
+    (vec_id int64, embedding list<float32>[64], label int32) with ~5% of
+    rows planted as scaled+noised copies of an earlier row (cosine ≈ 0.99,
+    the fixture's near-dup mechanism)."""
+    path = os.path.join(SOAK_DIR, "embeddings.parquet")
+    if os.path.exists(path):
+        return SOAK_DIR
+    os.makedirs(SOAK_DIR, exist_ok=True)
+    rng = np.random.default_rng(SEED + 1)
+    M = rng.standard_normal((N_VECS, EMB_DIM))
+    for i in range(1, N_VECS):
+        if rng.random() < P_NEARDUP:
+            j = int(rng.integers(0, i))
+            M[i] = M[j] * 1.01 + 0.02 * rng.standard_normal(EMB_DIM)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(N_VECS), type=pa.int64()),
+        "embedding": pa.array(list(M.astype(np.float32)),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(N_VECS, dtype=np.int32), type=pa.int32()),
+    })
+    pq.write_table(t, path, row_group_size=4096)
+    return SOAK_DIR
+
+
+def run_simjoin_scale(tag: str, sf_dir: str) -> dict:
+    """similarity_join soak (VERDICT r4 #8): record linkage over the corpus
+    split at its midpoint — the same shape as q_similarity_join, 10×-able."""
+    import pyarrow.compute as pc
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        jaccard_similarity_join)
+
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(doc_src).metadata.num_rows
+    mid = n // 2
+    left = docs_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], mid)), batch_format="pyarrow")
+    right = docs_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], mid)),
+        batch_format="pyarrow")
+    t0 = time.time()
+    out = jaccard_similarity_join(left, right, "text", "doc_id", "doc_id",
+                                  threshold=0.3).materialize()
+    return {"scale": tag, "op": "similarity_join", "n_docs": n,
+            "simjoin_sec": round(time.time() - t0, 2),
+            "match_rows": out.count(), "canary_sort_sec": canary()}
+
+
+def run_semdedup_scale(tag: str, emb_dir: str) -> dict:
+    """semantic_dedup soak (VERDICT r4 #8): the REGISTERED scale chain —
+    hash-plane banded sign-LSH pairs (bucket-capped) → components → apply —
+    over the 10× embeddings table, with the exact all-pairs source timed
+    alongside for the growth comparison."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        apply_dedup,
+        connected_components_ds,
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    path = os.path.join(emb_dir, "embeddings.parquet")
+    emb = lambda: rd.read_parquet(path, columns=["vec_id", "embedding"])
+    n = pq.ParquetFile(path).metadata.num_rows
+    out: dict = {"scale": tag, "op": "semantic_dedup", "n_vecs": n}
+
+    t0 = time.time()
+    pairs = embedding_neardup_pairs_lsh(
+        emb(), "embedding", "vec_id", threshold=0.45, n_planes=48, bands=12,
+        seed=11, max_bucket_occupancy=4096, plane_mode="hash").materialize()
+    out["lsh_pairs_sec"] = round(time.time() - t0, 2)
+    out["lsh_pairs"] = pairs.count()
+
+    t0 = time.time()
+    labels = connected_components_ds(pairs)
+    kept = apply_dedup(
+        rd.read_parquet(path, columns=["vec_id", "label"]), labels,
+        "vec_id").materialize()
+    out["components_apply_sec"] = round(time.time() - t0, 2)
+    out["kept_rows"] = kept.count()
+
+    t0 = time.time()
+    exact = embedding_neardup_pairs(emb(), "embedding", "vec_id",
+                                    threshold=0.45)
+    out["exact_pairs_sec"] = round(time.time() - t0, 2)
+    out["exact_pairs"] = exact.num_rows
+    out["canary_sort_sec"] = canary()
+    return out
+
+
 def run_scale(tag: str, sf_dir: str) -> dict:
     from project_gutenberg_full_text_search_ray.stages.dedup import (
         connected_components_ds, minhash_lsh_pairs, ngram_jaccard_pairs)
@@ -147,14 +243,31 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    ops = "ngram,simjoin,semdedup"
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            ops = a.split("=", 1)[1]
+    ops_set = set(ops.split(","))
+
     print(json.dumps({"canary_sort_sec_pre": canary()}), flush=True)
     sf1_dir = gen_sf1()
     results = []
-    if "--skip-sf01" not in sys.argv:
-        results.append(run_scale("sf0.1", SF01))
-        print(json.dumps(results[-1]), flush=True)
-    results.append(run_scale("sf1_synth_10x", sf1_dir))
-    print(json.dumps(results[-1]), flush=True)
+    scales = ([] if "--skip-sf01" in sys.argv else [("sf0.1", SF01)]) + \
+        [("sf1_synth_10x", sf1_dir)]
+    if "ngram" in ops_set:
+        for tag, d in scales:
+            results.append(run_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
+    if "simjoin" in ops_set:
+        for tag, d in scales:
+            results.append(run_simjoin_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
+    if "semdedup" in ops_set:
+        emb10 = gen_sf1_embeddings()
+        for tag, d in ([] if "--skip-sf01" in sys.argv
+                       else [("sf0.1", SF01)]) + [("sf1_synth_10x", emb10)]:
+            results.append(run_semdedup_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
     ray.shutdown()
 
 

@@ -465,6 +465,43 @@ def test_embedding_lsh_neardup_recall(ray_session):
     assert len(lsh_pairs) >= 0.66 * len(exact_pairs)  # recall on planted dups
 
 
+def test_knn_join_pool_cap(ray_session, monkeypatch):
+    """Above the pool cap the exact kNN path must refuse loudly and point
+    at the IVF scale path instead of concat-materializing a heap-sized
+    pool in every actor."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages import similarity
+
+    monkeypatch.setattr(similarity, "KNN_POOL_CAP", 10)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), type=pa.int64()),
+        "embedding": pa.array([[1.0, float(i)] for i in range(20)])}))
+    with pytest.raises(ValueError, match="knn_join_ivf"):
+        similarity.knn_join(ds, "embedding", "vec_id", k=2)
+
+
+def test_apply_dedup_null_ids_int_broadcast(ray_session):
+    """NULL corpus ids must survive the int64 broadcast fast path: the
+    numpy view would round-trip NULL through float64 NaN and compare as an
+    undefined sentinel — such batches must route through the Arrow
+    membership kernel and keep their NULL rows."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.dedup import apply_dedup
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, None, 4], type=pa.int64()),
+        "text": ["a", "b", "c", "d"]}))
+    labels = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "rep": pa.array([1, 1], type=pa.int64())}))  # drop id 2
+    kept = apply_dedup(corpus, labels, "doc_id").to_pandas()
+    assert len(kept) == 3
+    assert set(kept["doc_id"].dropna().astype("int64")) == {1, 4}
+    assert kept["doc_id"].isna().sum() == 1
+
+
 def test_semantic_dedup_lsh_recall(ray_session):
     """The registered LSH-routed SemDeDup (the 100 TB scale path) must
     agree with the exact all-pairs chain on nearly every dedup decision:
