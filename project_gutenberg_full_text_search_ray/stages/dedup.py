@@ -788,6 +788,13 @@ def _verified_jaccard_stream(
     )
 
 
+# similarity-join default doc-source ceiling: below it the encoded union is
+# driver-broadcast; above it the union spills to a temp parquet store the
+# verify actors fetch from (reclaimed at interpreter exit).  Module-level so
+# tests can exercise the spill branch at toy scale.
+SIMJOIN_BROADCAST_CAP = 200_000
+
+
 def jaccard_similarity_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -840,7 +847,7 @@ def jaccard_similarity_join(
         # the default doc-source path executes its input twice more (row-cap
         # count + broadcast collect); pin the encoded union once instead.
         union = union.materialize()
-        if union.count() > 200_000:
+        if union.count() > SIMJOIN_BROADCAST_CAP:
             # above the broadcast cap the verify stage needs a fetchable
             # (sid, text) store keyed by the ENCODED id — no caller-side
             # file can provide that, so spill the union to a temp parquet

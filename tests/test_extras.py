@@ -1,6 +1,9 @@
 """Semantic tests for the non-SQL-expressible extras: MinHash-LSH, SimHash,
 LSH-ANN, fingerprints, language-ID, fuzzy search, multimodal plumbing."""
 
+import os
+import tempfile
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -463,6 +466,41 @@ def test_embedding_lsh_neardup_recall(ray_session):
     assert lsh_pairs <= exact_pairs  # precision 100%
     assert len(exact_pairs) >= 3
     assert len(lsh_pairs) >= 0.66 * len(exact_pairs)  # recall on planted dups
+
+
+def test_simjoin_spill_store_branch(ray_session, monkeypatch, tmp_path):
+    """Above SIMJOIN_BROADCAST_CAP the default doc source must spill the
+    encoded union to a temp parquet store (registered for atexit cleanup)
+    and still produce the same matches as the broadcast path."""
+    import glob
+
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages import dedup
+
+    mk = lambda ids, texts: rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()), "text": texts}))
+    texts = [f"the quick brown fox jumps over lazy dog {i % 4}"
+             for i in range(12)]
+    left, right = mk(range(12), texts), mk(range(100, 112), texts)
+
+    broadcast = dedup.jaccard_similarity_join(
+        left, right, "text", "doc_id", "doc_id", threshold=0.5).to_pandas()
+
+    pre = set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                     "pgfts_simjoin_store_*")))
+    monkeypatch.setattr(dedup, "SIMJOIN_BROADCAST_CAP", 4)
+    spilled = dedup.jaccard_similarity_join(
+        left, right, "text", "doc_id", "doc_id", threshold=0.5).to_pandas()
+    post = set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                      "pgfts_simjoin_store_*"))) - pre
+    assert len(post) == 1  # spill branch taken; dir is atexit-reclaimed
+
+    key = ["left_id", "right_id"] if "left_id" in broadcast.columns else \
+        sorted(broadcast.columns)[:2]
+    b = broadcast.sort_values(key).reset_index(drop=True)
+    s = spilled.sort_values(key).reset_index(drop=True)
+    assert b.equals(s) and len(b) > 0
 
 
 def test_knn_join_pool_cap(ray_session, monkeypatch):
