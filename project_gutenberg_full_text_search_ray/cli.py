@@ -243,6 +243,10 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--workers", type=int, default=0,
                     help="actor-pool workers; 0 = in-process engine")
+    sv.add_argument("--default-mode", default="fts",
+                    choices=["fts", "fuzzy", "contains"],
+                    help="bare-field search mode; 'fuzzy' = reference "
+                         "(opds.py) parity")
 
     pr = sub.add_parser("prep", help="training-data pipelines: parquet in → parquet out")
     pr.add_argument("op", choices=["dedup-exact", "dedup-minhash",
@@ -316,7 +320,8 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = FullTextSearchEngine(args.index_dir)
         backend = SearchService(eng, n_workers=args.workers) if args.workers else eng
-        srv = SearchHTTPServer(backend, host=args.host, port=args.port).start()
+        srv = SearchHTTPServer(backend, host=args.host, port=args.port,
+                               default_mode=args.default_mode).start()
         print(json.dumps({"serving": srv.url}), flush=True)
         try:
             srv._thread.join()

@@ -56,7 +56,7 @@ def parse_pagination(page, limit, default_limit: int = DEFAULT_LIMIT) -> tuple[i
     return p, n
 
 
-def parse_field(field: str) -> tuple[str | None, str]:
+def parse_field(field: str, default_mode: str = "fts") -> tuple[str | None, str]:
     """``field`` param → (field_name | None, search_mode).
 
     Mirrors opds.py:25-38: ``fts_``/``fuzzy_``/``contains_`` prefix picks the
@@ -69,9 +69,12 @@ def parse_field(field: str) -> tuple[str | None, str]:
     retrieval, so ``/search?query=x`` runs the websearch query language
     (AND/OR/NOT/phrase) against the inverted index.  Fuzzy is one explicit
     prefix away (``field=fuzzy_keyword``), with identical clamps and field
-    scoping.  Pinned by tests/test_http_api.py::test_parse_field and
+    scoping — and a reference-parity deployment is one knob away:
+    ``SearchAPI(..., default_mode="fuzzy")`` (CLI ``serve
+    --default-mode=fuzzy``) restores the opds.py default exactly.
+    Pinned by tests/test_http_api.py::test_parse_field and
     ::test_default_mode_divergence_from_reference."""
-    mode = "fts"
+    mode = default_mode
     name = field or "keyword"
     for prefix in ("fts_", "fuzzy_", "contains_"):
         if name.startswith(prefix):
@@ -100,9 +103,15 @@ class SearchAPI:
     ``backend`` is anything with ``query()`` and ``execute(q) -> SearchResult``
     — a ``FullTextSearchEngine`` or a ``SearchService`` wrapper."""
 
-    def __init__(self, backend, title: str = "project-gutenberg-fts-ray"):
+    def __init__(self, backend, title: str = "project-gutenberg-fts-ray", *,
+                 default_mode: str = "fts"):
+        if default_mode not in ("fts", "fuzzy", "contains"):
+            raise ValueError(f"default_mode must be fts|fuzzy|contains, "
+                             f"got {default_mode!r}")
         self.backend = backend
         self.title = title
+        # bare-field search mode; "fuzzy" = reference parity (opds.py:31-32)
+        self.default_mode = default_mode
 
     # ------------------------------------------------------------ endpoints
     def index(self) -> dict:
@@ -365,7 +374,8 @@ class SearchAPI:
         query = (params.get("query") or "").strip()
         page, limit = parse_pagination(params.get("page", 1),
                                        params.get("limit", DEFAULT_LIMIT))
-        field_name, mode = parse_field(params.get("field", ""))
+        field_name, mode = parse_field(params.get("field", ""),
+                                       self.default_mode)
         sort = params.get("sort", "")
         sort_order = params.get("sort_order", "")
 
@@ -651,8 +661,9 @@ class SearchHTTPServer:
     thread, ``close()`` → shut down.  Port 0 picks a free port."""
 
     def __init__(self, backend, host: str = "127.0.0.1", port: int = 0,
-                 title: str = "project-gutenberg-fts-ray"):
-        api = SearchAPI(backend, title=title)
+                 title: str = "project-gutenberg-fts-ray", *,
+                 default_mode: str = "fts"):
+        api = SearchAPI(backend, title=title, default_mode=default_mode)
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib API name)

@@ -75,6 +75,27 @@ def test_default_mode_divergence_from_reference(server, engine):
     assert fuzzy["total"] > 0
 
 
+def test_default_mode_fuzzy_reference_parity(engine):
+    """``default_mode="fuzzy"`` restores the opds.py:31-32 default exactly:
+    bare/unknown fields route FUZZY, explicit prefixes still win."""
+    assert parse_field("", "fuzzy") == (None, "fuzzy")
+    assert parse_field("keyword", "fuzzy") == (None, "fuzzy")
+    assert parse_field("nosuchfield", "fuzzy") == ("nosuchfield", "fuzzy")
+    assert parse_field("fts_text", "fuzzy") == ("text", "fts")
+
+    srv = SearchHTTPServer(engine, default_mode="fuzzy").start()
+    try:
+        _, bare = _get(srv, "/search?query=streming&limit=5")
+        assert bare["total"] > 0  # typo now trigram-expands by default
+        _, fts = _get(srv, "/search?query=streming&field=fts_keyword&limit=5")
+        assert fts["total"] == 0  # explicit prefix still selects FTS
+    finally:
+        srv.close()
+
+    with pytest.raises(ValueError, match="default_mode"):
+        SearchAPI(engine, default_mode="nonsense")
+
+
 def test_index_feed(server):
     status, feed = _get(server, "/")
     assert status == 200
