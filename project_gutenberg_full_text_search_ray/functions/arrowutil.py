@@ -33,6 +33,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def table_refs(ds) -> list:
+    """Execute a Dataset ONCE and return its Arrow block object refs.
+
+    ``Dataset.to_arrow_refs()`` consumes the stream via
+    ``iter_internal_ref_bundles()`` and then calls
+    ``schema(fetch_if_missing=True)`` — which, on a dataset that was never
+    materialized, plans a SECOND limit-1 execution of the entire upstream
+    pipeline (measured in round 5: 2× the task count for every lazy fold;
+    on a pipeline ending in a blocking aggregate the "limit 1" re-runs the
+    whole corpus scan).  Every driver-side fold in this repo must collect
+    block refs through this helper instead.  All blocks here are Arrow
+    (``batch_format="pyarrow"`` throughout), so the skipped
+    schema-dependent conversion branch can never be needed.
+    """
+    return [ref for bundle in ds.iter_internal_ref_bundles()
+            for ref in bundle.block_refs]
+
+
 def concat_cast(tabs: list[pa.Table], schema: pa.Schema) -> pa.Table:
     """Concatenate Ray output blocks that may disagree on null-typed
     columns, then cast to the declared ``schema``.

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.arrowutil import table_refs
 from ..pipelines.search import SearchQuery, SearchResult, _merge_comparator_indices
 from ..stages.segment_search import (
     SEG_ID_COL,
@@ -75,7 +76,7 @@ def finalize_batch_results(
     default the batch path doesn't use."""
     from ..crosswalks import apply_crosswalk
 
-    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [ray.get(r) for r in table_refs(ds)]
     parts = [p for p in parts if p.num_rows]
     merged_all = pa.concat_tables(parts) if parts else None
     out: dict[str, SearchResult] = {}

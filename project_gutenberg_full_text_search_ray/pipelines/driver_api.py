@@ -33,6 +33,7 @@ from ..pipelines.build import build_index
 from ..pipelines.search import RANDOM, FullTextSearchEngine
 from ..stages.segment_search import FilterSpec
 from ..state.manifest import fingerprint, parquet_input_fingerprint
+from ..functions.arrowutil import table_refs
 
 INDEX_CACHE_ROOT = "/tmp/pgfts_indices"
 _ENGINES: dict[str, FullTextSearchEngine] = {}
@@ -696,7 +697,7 @@ def q_knn_join(sf_dir: str) -> pa.Table:
                        filters=[("vec_id", "<", 100)])
     out = knn_join(rd.from_arrow(qt), "embedding", "vec_id", k=5, pool=pool)
     # output-sized collect (100 queries × 5 neighbors at every sf)
-    tabs = [t for t in ray.get(out.to_arrow_refs())
+    tabs = [t for t in ray.get(table_refs(out))
             if t.num_rows and "cos_i4" in t.column_names]
     res = pa.concat_tables(tabs).sort_by(
         [("vec_id", "ascending"), ("rank", "ascending")])
@@ -724,7 +725,7 @@ def q_knn_join_ivf(sf_dir: str) -> pa.Table:
                        filters=[("vec_id", "<", 100)])
     out = knn_join_ivf(rd.from_arrow(qt), idx.index_dir, k=5,
                        n_probe=idx.meta["n_lists"])
-    tabs = [t for t in ray.get(out.to_arrow_refs())
+    tabs = [t for t in ray.get(table_refs(out))
             if t.num_rows and "cos_i4" in t.column_names]
     res = pa.concat_tables(tabs).sort_by(
         [("vec_id", "ascending"), ("rank", "ascending")])
@@ -1931,7 +1932,7 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     cols = ["event_id", "user_id", "session_id"]
     # stay in Arrow end-to-end: the nullable int64 session_id must never round
     # trip through pandas (NULLs force float64 → silent precision loss ≥ 2^53)
-    tabs = [t.select(cols) for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tabs = [t.select(cols) for t in ray.get(table_refs(out)) if t.num_rows]
     if not tabs:
         return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
     t = pa.concat_tables(tabs, promote_options="permissive")
@@ -2415,6 +2416,10 @@ _DRIVER_ORDER = [
     "quality_scores", "fingerprints", "dedup_prefix10", "contains_scan",
     "regex_normalize",
     "ann_ivf_topk", "multimodal_decode",
+    # r5 addition: unbounded-cardinality exact quantiles (iterative
+    # histogram refinement) — tail slot; the bounded-cardinality quantile
+    # kernel it generalizes is hard-verified in-window (grouped_quantiles)
+    "quantiles_streaming",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

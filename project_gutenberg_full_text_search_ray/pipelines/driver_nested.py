@@ -306,6 +306,28 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     return pa.table({"pct": pa.array(out_pct), "val": pa.array(out_val, type=pa.int64())})
 
 
+def q_quantiles_streaming(sf_dir: str) -> pa.Table:
+    """EXACT quantiles over an UNBOUNDED-cardinality column
+    (``stages/topk.quantiles_unbounded``): iterative histogram refinement —
+    O(log range) column-pruned streaming passes, O(n_buckets) exchange each
+    — where the value-count combiner behind ``quantiles`` would shuffle
+    O(distinct).  Runs on ``lineitem.l_extendedprice`` projected to integer
+    cents (floor(x*100 + 0.5), IEEE-identical in DuckDB, so the oracle is
+    bit-exact)."""
+    import ray.data as rd
+
+    from ..stages.topk import quantiles_unbounded
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(b["l_extendedprice"], 100.0), 0.5))
+        return pa.table({"cents": cents.cast(pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    return quantiles_unbounded(ds, "cents", _QUANTILES)
+
+
 def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     """Per-group EXACT quantiles (stages/topk.grouped_quantiles): the
     per-language length-distribution report — generalizes the global
@@ -384,6 +406,15 @@ ORACLE_SQL_NESTED: dict[str, str] = {
         "SELECT pct, CAST(val AS BIGINT) AS val FROM ("
         + " UNION ALL ".join(
             f"SELECT '{name}' AS pct, quantile_disc(n_chars, {q}) AS val FROM documents"
+            for name, q in _QUANTILES)
+        + ") ORDER BY pct"
+    ),
+    "quantiles_streaming": (
+        "SELECT pct, CAST(val AS BIGINT) AS val FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{name}' AS pct, quantile_disc("
+            f"CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT), {q}) AS val "
+            f"FROM lineitem"
             for name, q in _QUANTILES)
         + ") ORDER BY pct"
     ),
@@ -475,6 +506,7 @@ QUERIES_NESTED = {
     "tsvector_agg": q_tsvector_agg,
     "range_join_windows": q_range_join_windows,
     "quantiles": q_quantiles,
+    "quantiles_streaming": q_quantiles_streaming,
     "grouped_quantiles": q_grouped_quantiles,
     "value_histogram": q_value_histogram,
     "heavy_hitters_users": q_heavy_hitters_users,

@@ -32,6 +32,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlencode, urlparse
 
 import pyarrow as pa
+from ..functions.arrowutil import table_refs
 
 DEFAULT_LIMIT = 28
 MAX_LIMIT = 100
@@ -496,8 +497,8 @@ class SearchAPI:
                 b = b.take(idx.slice(0, k))
             return b.select(id_cols)
 
-        parts = [t for t in ray.get(
-            ds.map_batches(local_bottomk_ids, batch_format="pyarrow").to_arrow_refs())
+        parts = [t for t in ray.get(table_refs(
+            ds.map_batches(local_bottomk_ids, batch_format="pyarrow")))
             if t.num_rows]
         if not parts:
             return total, []
@@ -513,8 +514,8 @@ class SearchAPI:
         def pick(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b[id0], value_set=want0))
 
-        rows = pa.concat_tables([t for t in ray.get(
-            ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        rows = pa.concat_tables([t for t in ray.get(table_refs(
+            ds.map_batches(pick, batch_format="pyarrow")))
             if t.num_rows])
         # exact-identity match (id0 prefilter may over-fetch on composite
         # identities), then identity order == page order

@@ -35,6 +35,7 @@ from ..functions.analyzer import Analyzer
 from ..functions.bm25 import idf as bm25_idf
 from ..functions.querylang import ParsedQuery, parse_query
 from ..state.manifest import load_index_manifest, resolve_dirs
+from ..functions.arrowutil import table_refs
 from ..stages.segment_search import (
     SCORE_COL,
     SEG_ID_COL,
@@ -533,9 +534,9 @@ class FullTextSearchEngine:
                 # exchange — the driver folds tiny partials
                 return b.select([col]).group_by(col).aggregate([([], "count_all")])
 
-            parts = [t for t in ray.get(
+            parts = [t for t in ray.get(table_refs(
                 rd.read_parquet(files, columns=[col])
-                .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+                .map_batches(partial, batch_format="pyarrow")))
                 if t.num_rows and "count_all" in t.column_names]
             if not parts:
                 self._vocab_cache[col] = pa.table({
@@ -621,9 +622,9 @@ class FullTextSearchEngine:
                              "n_exact": g["n_exact_sum"],
                              "n_longer": g["n_longer_sum"]})
 
-        parts = [t for t in ray.get(
+        parts = [t for t in ray.get(table_refs(
             rd.read_parquet(files, columns=[col], **read_kwargs)
-            .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+            .map_batches(partial, batch_format="pyarrow")))
             if t.num_rows and "trunc" in t.column_names]
         if not parts:
             out = out_schema.empty_table()
@@ -824,7 +825,7 @@ class FullTextSearchEngine:
             make_search_fn(plan, self.index_dir, self.seg_dirs),
             batch_format="pyarrow", batch_size=1,
         )
-        parts = [ray.get(ref) for ref in res.to_arrow_refs()]
+        parts = [ray.get(ref) for ref in table_refs(res)]
         return merge_segment_partials(parts, q.order, self.spec.id_cols, k,
                                       self._empty_result_table)
 

@@ -41,6 +41,7 @@ import ray
 import ray.data as rd
 
 from ..functions.nputil import key_runs
+from ..functions.arrowutil import table_refs
 
 _SIDE = "__side"  # 0 = right, 1 = left
 
@@ -133,9 +134,9 @@ def asof_join(
                          "__seq": b["__seq"].take(idx),
                          "__rval": b["__rval"].take(idx)}).cast(schema)
 
-    stabs = [t for t in ray.get(
+    stabs = [t for t in ray.get(table_refs(
         srt.map_batches(summarize, batch_size=None,
-                        batch_format="pyarrow").to_arrow_refs())
+                        batch_format="pyarrow")))
         if t.num_rows and "__rval" in t.column_names]
     summary = pa.concat_tables(stabs) if stabs else None
     carry: dict = {}

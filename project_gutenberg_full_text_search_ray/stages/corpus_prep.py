@@ -47,6 +47,7 @@ import ray
 import ray.data as rd
 
 from ..functions.analyzer import DEFAULT_ANALYZER
+from ..functions.arrowutil import table_refs
 
 
 def _doc_spans(texts: pa.Array | pa.ChunkedArray, span_tokens: int):
@@ -199,9 +200,9 @@ def pack_sequences(
         return pa.table({"first_id": b[id_col].slice(0, 1),
                          "block_sum": pa.array([int(n.sum())], type=pa.int64())})
 
-    stabs = [t for t in ray.get(
+    stabs = [t for t in ray.get(table_refs(
         srt.map_batches(summarize, batch_size=None,
-                        batch_format="pyarrow").to_arrow_refs())
+                        batch_format="pyarrow")))
         if t.num_rows and "first_id" in t.column_names]
     offsets, run = {}, 0
     if stabs:

@@ -25,6 +25,7 @@ import ray
 import ray.data as rd
 
 from ..functions.analyzer import DEFAULT_ANALYZER, Analyzer
+from ..functions.arrowutil import table_refs
 from ..functions.textstats import (
     hamming64,
     minhash_params,
@@ -129,7 +130,7 @@ def _default_doc_source(ds: rd.Dataset, id_col: str, need_col: str,
     # empty blocks bypass map UDFs and keep stale schemas/column order —
     # select per block and drop zero-row tables before the concat
     tabs = [t.select([id_col, need_col])
-            for t in ray.get(ds.select_columns([id_col, need_col]).to_arrow_refs())
+            for t in ray.get(table_refs(ds.select_columns([id_col, need_col])))
             if t.num_rows and id_col in t.column_names]
     if not tabs:
         raise ValueError("doc_source default: dataset produced no rows")
@@ -380,7 +381,7 @@ def _candidate_pairs(
                    if "__bkey" in b.column_names else b.slice(0, 0)),
         batch_format="pyarrow",
     )
-    edge_tabs = [t for t in ray.get(edge_only.to_arrow_refs())
+    edge_tabs = [t for t in ray.get(table_refs(edge_only))
                  if t.num_rows and "__bkey" in t.column_names]
     edge_rows = pa.concat_tables(edge_tabs) if edge_tabs else None
     if edge_rows is not None and edge_rows.num_rows:
@@ -1004,7 +1005,7 @@ def connected_components_ds(
 
     edges = pairs.select_columns([id_a, id_b]).materialize()
     if driver_threshold and edges.count() <= driver_threshold:
-        tables = [t for t in ray.get(edges.to_arrow_refs())
+        tables = [t for t in ray.get(table_refs(edges))
                   if t.num_rows and id_a in t.column_names]
         if not tables:
             return rd.from_arrow(pa.table({"id": [], "rep": []}))
@@ -1137,7 +1138,7 @@ def apply_dedup(
     if n_drop == 0:
         return ds
     if n_drop <= broadcast_threshold:
-        tabs = [t for t in ray.get(drop.to_arrow_refs())
+        tabs = [t for t in ray.get(table_refs(drop))
                 if t.num_rows and "id" in t.column_names]
         drop_col = pa.concat_tables(tabs)["id"].combine_chunks()
         if pa.types.is_integer(drop_col.type):
@@ -1194,7 +1195,7 @@ def embedding_neardup_pairs(
     O(N²/B) per task, memory is O(N·dim) shared via the object store.
     Inherently all-pairs — for corpus scale use
     ``embedding_neardup_pairs_lsh`` (bucketed, approximate)."""
-    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    refs = table_refs(ds.select_columns([id_col, vec_col]))
     refs_handle = ray.put(refs)
     id_type = ds.schema().base_schema.field(id_col).type
 

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from ..functions.arrowutil import table_refs
 
 
 def _block_sessions(users: np.ndarray, ts: np.ndarray, ids: np.ndarray,
@@ -110,9 +111,9 @@ def sessionize(
             "single_chain": pa.array([bool(single)]),
         })
 
-    stabs = [t for t in ray.get(
+    stabs = [t for t in ray.get(table_refs(
         srt.map_batches(summarize, batch_size=None,
-                        batch_format="pyarrow").to_arrow_refs())
+                        batch_format="pyarrow")))
         if t.num_rows and "first_id" in t.column_names]
     fix: dict = {}
     if stabs:

@@ -20,6 +20,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+from ..functions.arrowutil import table_refs
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -82,7 +83,8 @@ def brute_force_topk(
             }
         )
 
-    blocks = [ray.get(r) for r in ds.map_batches(partial_topk, batch_format="pyarrow").to_arrow_refs()]
+    blocks = [ray.get(r) for r in table_refs(
+        ds.map_batches(partial_topk, batch_format="pyarrow"))]
     # Ray Data can pass empty input blocks through without calling the UDF —
     # drop any block that doesn't carry the UDF's output schema
     blocks = [b for b in blocks if b.num_rows and "cos" in b.column_names]
@@ -426,7 +428,7 @@ def knn_join(
             f"path holds the whole pool per actor; at this scale build a "
             f"persisted IVFIndex and use knn_join_ivf (partition-pruned "
             f"probes), or lsh_bucket_topk for ad-hoc top-k")
-    refs_handle = ray.put(mat.to_arrow_refs())
+    refs_handle = ray.put(table_refs(mat))
     id_type = queries.schema().base_schema.field(id_col).type
 
     class KnnBlock:

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
+from ..functions.arrowutil import table_refs
 
 
 def heavy_hitters(
@@ -84,7 +85,7 @@ def heavy_hitters(
         .sum(["count_lower", "__mg_err"])
     )
     key_type = ds.schema().base_schema.field(col).type
-    parts = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(table_refs(agg)) if t.num_rows]
     if not parts:
         return pa.table({col: pa.array([], type=key_type),
                          "count_lower": pa.array([], type=pa.int64())}), 0

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.arrowutil import concat_cast, run_starts_sorted
+from ..functions.arrowutil import concat_cast, run_starts_sorted, table_refs
 
 
 def _head_per_group(t: pa.Table, group_col: str, order_col: str,
@@ -75,9 +75,8 @@ def grouped_topk(
         b = b.select(cols).filter(pc.is_valid(b[order_col]))
         return _head_per_group(b, group_col, order_col, id_col, k, descending)
 
-    parts = ray.get(
-        ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
-        .to_arrow_refs())
+    parts = ray.get(table_refs(
+        ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")))
     return _head_per_group(concat_cast(parts, schema), group_col, order_col,
                            id_col, k, descending)
 
@@ -134,7 +133,7 @@ def grouped_quantiles(
     # concat_cast, NOT a plain concat: Ray's sort-based aggregate can emit
     # a partition holding only the all-NULL marker rows, whose value column
     # comes back null-typed — the r4 driver failure at num_cpus=32
-    tabs = [t for t in ray.get(agg_ds.to_arrow_refs())
+    tabs = [t for t in ray.get(table_refs(agg_ds))
             if t.num_rows and "c" in t.column_names]
     empty = pa.table({group_col: pa.array([], type=gtype),
                       "pct": pa.array([], type=pa.string()),
@@ -174,3 +173,155 @@ def grouped_quantiles(
                     "pct": pa.array(out_p, type=pa.string()),
                     "val": pa.array(out_v, type=vtype)})
     return res.sort_by([(group_col, "ascending"), ("pct", "ascending")])
+
+
+def quantiles_unbounded(
+    ds: rd.Dataset, val_col: str, qs: list[tuple[str, float]], *,
+    n_buckets: int = 8192, exact_span: int = 1 << 16, max_passes: int = 12,
+) -> pa.Table:
+    """EXACT ``percentile_disc`` quantiles over an UNBOUNDED-cardinality
+    integer column — the classic distributed-median algorithm (iterative
+    histogram refinement), where the value-count combiner behind
+    ``grouped_quantiles`` / the global ``quantiles`` query would shuffle
+    O(distinct values).
+
+    Each pass streams the (column-pruned) dataset once and exchanges only
+    O(active intervals × n_buckets) ``(bucket, count)`` rows: histogram the
+    values falling in each quantile's current candidate interval, cumsum on
+    the driver, descend every rank into its bucket.  Interval spans shrink
+    ×``n_buckets`` per pass, so int64's full range resolves in
+    ≤ ⌈64 / log2(n_buckets)⌉ + 1 passes; once a span is ≤ ``exact_span``
+    the next pass histograms at width 1 and the rank's bucket IS the exact
+    answer.  Nothing corpus-sized ever reaches the driver and there is no
+    sort — at 100 TB this is ~5 column-pruned scans, each cheaper than the
+    single all-to-all a distributed sort-based quantile would pay.
+
+    NULLs are dropped (``quantile_disc`` semantics); empty input → NULL
+    values.  Non-integer columns must be projected to int64 by the caller
+    (e.g. prices → cents) — raises on float columns rather than silently
+    binning inexactly.  Returns ``(pct, val)`` sorted by pct, val int64.
+    """
+    vtype = ds.schema().base_schema.field(val_col).type
+    if not pa.types.is_integer(vtype):
+        raise TypeError(
+            f"quantiles_unbounded needs an integer column (got {vtype}): "
+            f"project to int64 first (e.g. prices → cents) so refinement "
+            f"stays exact")
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    src = ds.select_columns([val_col])
+
+    # ---- pass 0: global min / max / non-null count (O(blocks) exchange)
+    def minmax(b: pa.Table) -> pa.Table:
+        col = pc.drop_null(b[val_col])
+        if len(col) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"lo": pa.array([int(v.min())], type=pa.int64()),
+                         "hi": pa.array([int(v.max())], type=pa.int64()),
+                         "n": pa.array([len(v)], type=pa.int64())})
+
+    mm_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                           ("n", pa.int64())])
+    mm = concat_cast(
+        ray.get(table_refs(src.map_batches(minmax, batch_format="pyarrow"))),
+        mm_schema)
+    n = int(pc.sum(mm["n"]).as_py() or 0)
+    if n == 0:
+        return pa.table({"pct": pa.array([name for name, _ in qs]),
+                         "val": pa.nulls(len(qs), type=pa.int64())})
+    glo = int(pc.min(mm["lo"]).as_py())
+    ghi = int(pc.max(mm["hi"]).as_py())
+
+    # intervals: disjoint [lo, hi] candidate ranges, each carrying the
+    # (name, local_rank) pairs whose answer lies inside it; all bounds are
+    # Python ints (a full-int64 span overflows int64 arithmetic)
+    intervals = [(glo, ghi,
+                  [(name, max(1, int(np.ceil(q * n)))) for name, q in qs])]
+    resolved: dict[str, int] = {}
+    hist_schema = pa.schema([("bkt", pa.int64()), ("c", pa.int64())])
+
+    for _ in range(max_passes):
+        live = [(lo, hi, rk) for lo, hi, rk in intervals if lo < hi]
+        for lo, hi, rk in intervals:
+            if lo == hi:
+                for name, _r in rk:
+                    resolved[name] = lo
+        if not live:
+            break
+        live.sort(key=lambda t: t[0])
+        los_py = [lo for lo, _, _ in live]
+        widths_py, nb_py, bases_py = [], [], []
+        base = 0
+        for lo, hi, _ in live:
+            span = hi - lo + 1
+            w = 1 if span <= exact_span else -(-span // n_buckets)
+            nb = -(-span // w)
+            widths_py.append(w)
+            nb_py.append(nb)
+            bases_py.append(base)
+            base += nb
+        los = np.array(los_py, dtype=np.int64)
+        his = np.array([hi for _, hi, _ in live], dtype=np.int64)
+        widths = np.array(widths_py, dtype=np.uint64)
+        bases = np.array(bases_py, dtype=np.int64)
+        total = base
+
+        def hist(b: pa.Table, los=los, his=his, widths=widths, bases=bases,
+                 total=total) -> pa.Table:
+            col = pc.drop_null(b[val_col])
+            if len(col) == 0:
+                return pa.table({"bkt": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(los, v, side="right") - 1
+            ok = (idx >= 0) & (v <= his[np.clip(idx, 0, len(his) - 1)])
+            v, idx = v[ok], idx[ok]
+            if len(v) == 0:
+                return pa.table({"bkt": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            # wraparound-exact unsigned distance: (v - lo) mod 2^64 is the
+            # true offset for ANY int64 pair, even across a full-range span
+            d = (v - los[idx]).view(np.uint64)
+            bkt = bases[idx] + (d // widths[idx]).astype(np.int64)
+            cnt = np.bincount(bkt, minlength=total)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bkt": pa.array(nz, type=pa.int64()),
+                             "c": pa.array(cnt[nz], type=pa.int64())})
+
+        agg = (src.map_batches(hist, batch_format="pyarrow")
+               .groupby("bkt").aggregate(Sum("c", alias_name="c")))
+        t = concat_cast([b for b in ray.get(table_refs(agg))
+                         if b.num_rows], hist_schema)
+        cnt = np.zeros(total, dtype=np.int64)
+        cnt[t["bkt"].to_numpy(zero_copy_only=False)] = \
+            t["c"].to_numpy(zero_copy_only=False)
+
+        nxt: dict[tuple[int, int], list[tuple[str, int]]] = {}
+        for (lo, hi, rk), w, nb, b0 in zip(live, widths_py, nb_py, bases_py):
+            cum = np.cumsum(cnt[b0:b0 + nb])
+            for name, r in rk:
+                j = int(np.searchsorted(cum, r, side="left"))
+                nlo = lo + j * w
+                nhi = min(hi, lo + (j + 1) * w - 1)
+                nr = r - (int(cum[j - 1]) if j > 0 else 0)
+                nxt.setdefault((nlo, nhi), []).append((name, nr))
+        intervals = [(lo, hi, rk) for (lo, hi), rk in nxt.items()]
+    for lo, hi, rk in intervals:  # span-1 leftovers from the final pass
+        if lo == hi:
+            for name, _r in rk:
+                resolved.setdefault(name, lo)
+    if any(name not in resolved for name, _ in qs):
+        raise RuntimeError(
+            f"quantiles_unbounded did not converge in {max_passes} passes "
+            f"(span {ghi - glo + 1}, n_buckets {n_buckets}) — raise "
+            f"max_passes or n_buckets")
+
+    names = [name for name, _ in qs]
+    return pa.table({
+        "pct": pa.array(names, type=pa.string()),
+        "val": pa.array([resolved[name] for name in names], type=pa.int64()),
+    }).sort_by([("pct", "ascending")])

@@ -485,3 +485,63 @@ def test_grouped_quantiles_int64_exact_and_null_schema(ray_session):
     got = grouped_quantiles(rd.from_arrow(allnull), "g", "v", [("p50", 0.5)])
     assert got["val"].to_pylist() == [None, None]
     assert got["val"].type == pa.int64()            # schema-stable output
+
+
+def test_quantiles_unbounded_vs_bruteforce(ray_session):
+    """quantiles_unbounded (iterative histogram refinement) must equal the
+    sorted-array percentile_disc on every geometry: full-int64 spans (the
+    wraparound-distance arithmetic), mass points, all-negative values, and
+    single-row inputs — with tiny n_buckets/exact_span so several
+    refinement passes actually run."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import (
+        quantiles_unbounded)
+
+    import numpy as np
+
+    def ref(v, q):
+        s = np.sort(v)
+        return int(s[max(1, int(np.ceil(q * len(v)))) - 1])
+
+    rng = np.random.default_rng(7)
+    cases = {
+        "wide": rng.integers(-2**62, 2**62, 2000, dtype=np.int64),
+        "mass_point": np.concatenate([
+            np.full(1500, 123456789, dtype=np.int64),
+            rng.integers(-10**12, 10**12, 500, dtype=np.int64)]),
+        "negative": rng.integers(-10**15, -5, 1000, dtype=np.int64),
+        "single": np.array([42], dtype=np.int64),
+        "extremes": np.array([-2**63, 2**63 - 1], dtype=np.int64),
+    }
+    qs = [("p01", 0.01), ("p50", 0.5), ("p95", 0.95), ("p100", 1.0)]
+    for name, v in cases.items():
+        ds = rd.from_arrow(pa.table({"x": pa.array(v, type=pa.int64())})) \
+            .repartition(8)
+        t = quantiles_unbounded(ds, "x", qs, n_buckets=64, exact_span=128)
+        got = dict(zip(t["pct"].to_pylist(), t["val"].to_pylist()))
+        assert got == {n2: ref(v, q) for n2, q in qs}, name
+
+
+def test_quantiles_unbounded_nulls_empty_and_float_guard(ray_session):
+    """NULLs drop like quantile_disc, empty/all-NULL input yields NULL
+    values, and float columns are refused (exactness contract)."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import (
+        quantiles_unbounded)
+
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array([None, 5, None, 1, 9], type=pa.int64())}))
+    t = quantiles_unbounded(ds, "x", [("p50", 0.5)])
+    assert t["val"].to_pylist() == [5]
+
+    empty = rd.from_arrow(pa.table({
+        "x": pa.array([None, None], type=pa.int64())}))
+    t = quantiles_unbounded(empty, "x", [("p50", 0.5)])
+    assert t["val"].to_pylist() == [None]
+    assert t["val"].type == pa.int64()
+
+    with pytest.raises(TypeError, match="integer"):
+        quantiles_unbounded(
+            rd.from_arrow(pa.table({"x": [1.0]})), "x", [("p50", 0.5)])
