@@ -466,7 +466,24 @@ class VerifyJaccardStage:
             for i, did in enumerate(ids_list):
                 self.sh_cache[did] = fp[starts[i]:starts[i + 1]]
         sh = self.sh_cache
-        n_pairs = len(a)
+        n_all = len(a)
+        # EXACT length prefilter: jc = isect/union ≤ min(|A|,|B|)/max(|A|,|B|)
+        # in the reals, and correctly-rounded float division is monotone, so
+        # fl(jc) ≥ t ⟹ fl(min/max) ≥ t — dropping pairs with fl(min/max) < t
+        # never drops a pair the full kernel would keep.  Candidate pairs are
+        # mostly length-mismatched junk (one shared shingle), so this removes
+        # the bulk of the flat-stream sort below for free (lengths come from
+        # the cache that's already filled).
+        lA = np.fromiter((len(sh[x]) for x in a), dtype=np.int64, count=n_all)
+        lB = np.fromiter((len(sh[y]) for y in b), dtype=np.int64, count=n_all)
+        mx = np.maximum(lA, lB)
+        # both-empty ⇒ union 0 ⇒ Jaccard 1.0 (matches the scalar jaccard())
+        cand = np.flatnonzero(
+            (mx == 0)
+            | ((np.minimum(lA, lB) / np.maximum(mx, 1)) >= self.threshold))
+        n_pairs = len(cand)
+        a = [a[i] for i in cand]
+        b = [b[i] for i in cand]
         # one flat (pair_idx, hash) stream over both sides; a hash seen twice
         # within a pair is in the intersection (per-doc arrays are distinct)
         arrs = [sh[x] for x in a]
@@ -489,10 +506,9 @@ class VerifyJaccardStage:
                 isect = np.bincount(key[1:][dup] // np.int64(len(u)),
                                     minlength=n_pairs)
         union = lens[:n_pairs] + lens[n_pairs:] - isect
-        # both-empty ⇒ union 0 ⇒ Jaccard 1.0 (matches the scalar jaccard())
         jc = np.where(union > 0, isect / np.maximum(union, 1), 1.0)
         keep = jc >= self.threshold
-        idx = pa.array(np.flatnonzero(keep))
+        idx = pa.array(cand[keep])
         return pa.table({
             "id_a": batch["id_a"].take(idx),
             "id_b": batch["id_b"].take(idx),
@@ -649,6 +665,11 @@ def minhash_lsh_pairs(
                                "text_col": text_col, "k_shingle": k_shingle,
                                "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
+        # the intersection kernel (np.unique argsort over the flat shingle
+        # stream) is memory-bandwidth-bound like the compaction merge
+        # (build.py cpus_per_merge_task): declare 2 CPUs per actor so a full
+        # node runs cores/2 verifiers instead of thrashing the controllers
+        num_cpus=2,
     )
     return _dedupe_pairs_min(verified, "jacc_i4")
 
@@ -786,6 +807,7 @@ def _verified_jaccard_stream(
                                "text_col": text_col, "k_shingle": k_shingle,
                                "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
+        num_cpus=2,  # bandwidth-bound intersection kernel (see minhash note)
     )
 
 
