@@ -2419,7 +2419,7 @@ _DRIVER_ORDER = [
     # r5 addition: unbounded-cardinality exact quantiles (iterative
     # histogram refinement) — tail slot; the bounded-cardinality quantile
     # kernel it generalizes is hard-verified in-window (grouped_quantiles)
-    "quantiles_streaming",
+    "quantiles_streaming", "grouped_quantiles_streaming",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

@@ -328,6 +328,28 @@ def q_quantiles_streaming(sf_dir: str) -> pa.Table:
     return quantiles_unbounded(ds, "cents", _QUANTILES)
 
 
+def q_grouped_quantiles_streaming(sf_dir: str) -> pa.Table:
+    """PER-GROUP exact quantiles over an UNBOUNDED-cardinality value column
+    (``stages/topk.grouped_quantiles_unbounded``): per-returnflag price
+    percentiles — the same iterative histogram refinement as
+    ``quantiles_streaming``, all groups' live intervals packed into one
+    shared bucket space per streaming pass."""
+    import ray.data as rd
+
+    from ..stages.topk import grouped_quantiles_unbounded
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.floor(pc.add(pc.multiply(b["l_extendedprice"], 100.0), 0.5))
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "cents": cents.cast(pa.int64())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"]) \
+        .map_batches(to_cents, batch_format="pyarrow")
+    return grouped_quantiles_unbounded(ds, "l_returnflag", "cents",
+                                       _QUANTILES)
+
+
 def q_grouped_quantiles(sf_dir: str) -> pa.Table:
     """Per-group EXACT quantiles (stages/topk.grouped_quantiles): the
     per-language length-distribution report — generalizes the global
@@ -418,6 +440,15 @@ ORACLE_SQL_NESTED: dict[str, str] = {
             for name, q in _QUANTILES)
         + ") ORDER BY pct"
     ),
+    "grouped_quantiles_streaming": (
+        "SELECT l_returnflag, pct, CAST(val AS BIGINT) AS val FROM ("
+        + " UNION ALL ".join(
+            f"SELECT l_returnflag, '{name}' AS pct, quantile_disc("
+            f"CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT), {q}) AS val "
+            f"FROM lineitem GROUP BY l_returnflag"
+            for name, q in _QUANTILES)
+        + ") ORDER BY l_returnflag, pct"
+    ),
     "grouped_quantiles": (
         "SELECT lang, pct, CAST(val AS BIGINT) AS val FROM ("
         + " UNION ALL ".join(
@@ -507,6 +538,7 @@ QUERIES_NESTED = {
     "range_join_windows": q_range_join_windows,
     "quantiles": q_quantiles,
     "quantiles_streaming": q_quantiles_streaming,
+    "grouped_quantiles_streaming": q_grouped_quantiles_streaming,
     "grouped_quantiles": q_grouped_quantiles,
     "value_histogram": q_value_histogram,
     "heavy_hitters_users": q_heavy_hitters_users,

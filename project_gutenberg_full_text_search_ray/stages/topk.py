@@ -325,3 +325,227 @@ def quantiles_unbounded(
         "pct": pa.array(names, type=pa.string()),
         "val": pa.array([resolved[name] for name in names], type=pa.int64()),
     }).sort_by([("pct", "ascending")])
+
+
+def grouped_quantiles_unbounded(
+    ds: rd.Dataset, group_col: str, val_col: str,
+    qs: list[tuple[str, float]], *,
+    n_buckets: int = 8192, exact_span: int = 1 << 16, max_passes: int = 12,
+) -> pa.Table:
+    """PER-GROUP :func:`quantiles_unbounded`: exact ``percentile_disc`` per
+    group over an UNBOUNDED-cardinality integer value column — the missing
+    quadrant between :func:`grouped_quantiles` (bounded values, any-ish
+    groups) and :func:`quantiles_unbounded` (unbounded values, no groups).
+    Per-language timestamp/price percentiles at corpus scale run here.
+
+    Same iterative histogram refinement, with every group's candidate
+    intervals packed into ONE shared bucket space per pass: each streaming
+    pass histograms all groups' live intervals at once (O(groups ×
+    intervals × n_buckets) ``(bucket, count)`` exchange), the driver
+    descends every (group, quantile) rank independently.  Pass count is
+    driven by the WIDEST group's span — groups resolve independently and
+    drop out of later passes as they finish.
+
+    Group cardinality must be bounded (enum-like — the ``grouped_topk`` /
+    ``grouped_quantiles`` contract); the per-batch kernel loops over groups
+    PRESENT IN THE BATCH (vectorized within each group).  NULL groups form
+    their own group; NULL values drop like ``quantile_disc``; a group whose
+    values are all NULL gets NULL quantiles.  Returns
+    ``(group_col, pct, val)`` sorted by (group, pct), val int64."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    gtype = ds.schema().base_schema.field(group_col).type
+    vtype = ds.schema().base_schema.field(val_col).type
+    if not pa.types.is_integer(vtype):
+        raise TypeError(
+            f"grouped_quantiles_unbounded needs an integer value column "
+            f"(got {vtype}): project to int64 first so refinement stays "
+            f"exact")
+
+    src = ds.select_columns([group_col, val_col])
+    names = [name for name, _ in qs]
+
+    # ---- pass 0: per-group min / max / non-null count (+ all-NULL-group
+    # markers so such groups still surface, like grouped_quantiles)
+    mm_schema = pa.schema([(group_col, gtype), ("lo", pa.int64()),
+                          ("hi", pa.int64()), ("n", pa.int64())])
+
+    def gminmax(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, val_col]).filter(pc.is_valid(b[val_col]))
+        part = t.group_by([group_col]).aggregate(
+            [(val_col, "min"), (val_col, "max"), ([], "count_all")])
+        out = pa.table({
+            group_col: part[group_col],
+            "lo": part[f"{val_col}_min"].cast(pa.int64()),
+            "hi": part[f"{val_col}_max"].cast(pa.int64()),
+            "n": part["count_all"],
+        }).cast(mm_schema)
+        marker_groups = pc.unique(b[group_col])
+        markers = pa.table({
+            group_col: marker_groups.cast(gtype),
+            "lo": pa.nulls(len(marker_groups), type=pa.int64()),
+            "hi": pa.nulls(len(marker_groups), type=pa.int64()),
+            "n": pa.array([0] * len(marker_groups), type=pa.int64()),
+        })
+        return pa.concat_tables([out, markers])
+
+    mm = concat_cast(
+        ray.get(table_refs(src.map_batches(gminmax, batch_format="pyarrow"))),
+        mm_schema)
+    # driver fold over the tiny (groups × blocks) partial table
+    stats: dict = {}
+    g_list = mm[group_col].to_pylist()
+    lo_list, hi_list, n_list = (mm["lo"].to_pylist(), mm["hi"].to_pylist(),
+                                mm["n"].to_pylist())
+    for g, lo, hi, nn in zip(g_list, lo_list, hi_list, n_list):
+        cur = stats.setdefault(g, [None, None, 0])
+        if lo is not None:
+            cur[0] = lo if cur[0] is None else min(cur[0], lo)
+            cur[1] = hi if cur[1] is None else max(cur[1], hi)
+        cur[2] += int(nn)
+    groups = sorted(stats, key=lambda g: (g is None, g))
+
+    # (group slot, qname) → value; all-NULL groups resolve to NULL now
+    resolved: dict[tuple[int, str], int | None] = {}
+    # live refinement state: slot → [(lo, hi, [(qname, local_rank)])]
+    state: dict[int, list] = {}
+    for s, g in enumerate(groups):
+        glo, ghi, n_g = stats[g]
+        if n_g == 0:
+            for name in names:
+                resolved[(s, name)] = None
+            continue
+        state[s] = [(glo, ghi,
+                     [(name, max(1, int(np.ceil(q * n_g))))
+                      for name, q in qs])]
+
+    # non-null group lookup array for pc.index_in; NULL group → its slot
+    nn_groups = [g for g in groups if g is not None]
+    nn_slots = np.array([groups.index(g) for g in nn_groups], dtype=np.int64)
+    null_slot = groups.index(None) if None in groups else -1
+    gset = pa.array(nn_groups, type=gtype)
+    hist_schema = pa.schema([("bkt", pa.int64()), ("c", pa.int64())])
+
+    for _ in range(max_passes):
+        live: list = []   # (slot, lo, hi, ranks)
+        for s in list(state):
+            still = []
+            for lo, hi, rk in state[s]:
+                if lo == hi:
+                    for name, _r in rk:
+                        resolved[(s, name)] = lo
+                else:
+                    still.append((lo, hi, rk))
+            if still:
+                state[s] = still
+            else:
+                del state[s]
+        if not state:
+            break
+        for s in sorted(state):
+            for lo, hi, rk in sorted(state[s], key=lambda t: t[0]):
+                live.append((s, lo, hi, rk))
+        # flattened per-interval geometry + per-slot sub-ranges for the
+        # batch kernel's per-group searchsorted
+        widths_py, nb_py, bases_py = [], [], []
+        base = 0
+        for _s, lo, hi, _rk in live:
+            span = hi - lo + 1
+            w = 1 if span <= exact_span else -(-span // n_buckets)
+            nb = -(-span // w)
+            widths_py.append(w)
+            nb_py.append(nb)
+            bases_py.append(base)
+            base += nb
+        los = np.array([lo for _, lo, _, _ in live], dtype=np.int64)
+        his = np.array([hi for _, _, hi, _ in live], dtype=np.int64)
+        widths = np.array(widths_py, dtype=np.uint64)
+        bases = np.array(bases_py, dtype=np.int64)
+        total = base
+        slot_rng = {}   # slot → (first interval row, last+1) in the arrays
+        row0 = 0
+        for i, (s, _, _, _) in enumerate(live):
+            if s not in slot_rng:
+                slot_rng[s] = [i, i + 1]
+            else:
+                slot_rng[s][1] = i + 1
+        slot_rng = {s: tuple(v) for s, v in slot_rng.items()}
+
+        def hist(b: pa.Table, los=los, his=his, widths=widths, bases=bases,
+                 total=total, slot_rng=slot_rng) -> pa.Table:
+            t = b.filter(pc.is_valid(b[val_col]))
+            if t.num_rows == 0:
+                return hist_schema.empty_table()
+            gcol = t[group_col]
+            slot_arr = pc.index_in(gcol, value_set=gset).to_numpy(
+                zero_copy_only=False)
+            # index_in yields null for NULL groups → route to the null slot
+            miss = np.isnan(slot_arr) if slot_arr.dtype.kind == "f" else \
+                np.zeros(len(slot_arr), dtype=bool)
+            slots = np.where(miss, -1, np.nan_to_num(slot_arr)).astype(
+                np.int64)
+            slots = np.where(slots >= 0, nn_slots[np.clip(slots, 0, None)]
+                             if len(nn_slots) else slots, null_slot)
+            v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cnt = np.zeros(total, dtype=np.int64)
+            for s in np.unique(slots):
+                rng = slot_rng.get(int(s))
+                if rng is None:
+                    continue
+                i0, i1 = rng
+                m = slots == s
+                vs = v[m]
+                idx = np.searchsorted(los[i0:i1], vs, side="right") - 1
+                ok = (idx >= 0) & (vs <= his[i0 + np.clip(idx, 0, i1 - i0 - 1)])
+                vs, idx = vs[ok], i0 + idx[ok]
+                if len(vs) == 0:
+                    continue
+                d = (vs - los[idx]).view(np.uint64)
+                bkt = bases[idx] + (d // widths[idx]).astype(np.int64)
+                cnt += np.bincount(bkt, minlength=total)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bkt": pa.array(nz, type=pa.int64()),
+                             "c": pa.array(cnt[nz], type=pa.int64())})
+
+        agg = (src.map_batches(hist, batch_format="pyarrow")
+               .groupby("bkt").aggregate(Sum("c", alias_name="c")))
+        t = concat_cast([b for b in ray.get(table_refs(agg))
+                         if b.num_rows], hist_schema)
+        cnt = np.zeros(total, dtype=np.int64)
+        cnt[t["bkt"].to_numpy(zero_copy_only=False)] = \
+            t["c"].to_numpy(zero_copy_only=False)
+
+        nxt: dict[int, dict] = {}
+        for (s, lo, hi, rk), w, nb, b0 in zip(live, widths_py, nb_py,
+                                              bases_py):
+            cum = np.cumsum(cnt[b0:b0 + nb])
+            for name, r in rk:
+                j = int(np.searchsorted(cum, r, side="left"))
+                nlo = lo + j * w
+                nhi = min(hi, lo + (j + 1) * w - 1)
+                nr = r - (int(cum[j - 1]) if j > 0 else 0)
+                nxt.setdefault(s, {}).setdefault((nlo, nhi), []).append(
+                    (name, nr))
+        state = {s: [(lo, hi, rk) for (lo, hi), rk in d.items()]
+                 for s, d in nxt.items()}
+    for s, ivs in state.items():   # span-1 leftovers from the final pass
+        for lo, hi, rk in ivs:
+            if lo == hi:
+                for name, _r in rk:
+                    resolved.setdefault((s, name), lo)
+    if any((s, name) not in resolved
+           for s in range(len(groups)) for name in names):
+        raise RuntimeError(
+            f"grouped_quantiles_unbounded did not converge in {max_passes} "
+            f"passes — raise max_passes or n_buckets")
+
+    out_g = [groups[s] for s in range(len(groups)) for _ in names]
+    out_p = [name for _ in groups for name in names]
+    out_v = [resolved[(s, name)]
+             for s in range(len(groups)) for name in names]
+    return pa.table({
+        group_col: pa.array(out_g, type=gtype),
+        "pct": pa.array(out_p, type=pa.string()),
+        "val": pa.array(out_v, type=pa.int64()),
+    }).sort_by([(group_col, "ascending"), ("pct", "ascending")])

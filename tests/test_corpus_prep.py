@@ -582,3 +582,47 @@ def test_table_refs_single_execution(ray_session, tmp_path):
     assert sum(t.num_rows for t in tabs) == 4  # groups 0..3
     n_exec = len(glob.glob(marker_dir + "/*"))
     assert n_exec == 4, f"upstream ran {n_exec / 4:.0f}x (expected once)"
+
+
+def test_grouped_quantiles_unbounded_vs_duckdb(ray_session):
+    """Per-group iterative-refinement quantiles must match DuckDB's
+    GROUP BY quantile_disc on a mixed fixture: full-int64-range values,
+    NULL groups, scattered NULL values, and an all-NULL-value group — with
+    tiny n_buckets/exact_span so several refinement passes run."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.topk import (
+        grouped_quantiles_unbounded)
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    g = rng.choice(["en", "fr", "de", None], size=n, p=[.5, .25, .15, .1]).tolist()
+    v = rng.integers(-2**60, 2**60, n).tolist()
+    g += ["zz"] * 5
+    v += [None] * 5                     # all-NULL group must surface as NULL
+    for i in range(0, n, 37):
+        v[i] = None                     # scattered NULL values drop
+    t = pa.table({"lang": pa.array(g, type=pa.string()),
+                  "x": pa.array(v, type=pa.int64())})
+    qs = [("p25", 0.25), ("p50", 0.5), ("p100", 1.0)]
+    got = grouped_quantiles_unbounded(
+        rd.from_arrow(t).repartition(8), "lang", "x", qs,
+        n_buckets=64, exact_span=256).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT lang, pct, val FROM ("
+        + " UNION ALL ".join(
+            f"SELECT lang, '{nm}' AS pct, quantile_disc(x, {q}) AS val "
+            f"FROM t GROUP BY lang" for nm, q in qs)
+        + ") ORDER BY lang NULLS LAST, pct").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+    with pytest.raises(TypeError, match="integer"):
+        grouped_quantiles_unbounded(
+            rd.from_arrow(pa.table({"g": ["a"], "x": [1.0]})), "g", "x", qs)
