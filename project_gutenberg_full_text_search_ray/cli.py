@@ -16,6 +16,7 @@ the engine-core equivalent here is a command line that owns its Ray session
         OP ∈ dedup-exact | dedup-minhash | dedup-apply | dedup-exact-apply
              | split | sessionize | contamination | quota | pack | scrub
              | knn | pii | chunk | repetition | normalize | simjoin
+             | quantiles
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -175,6 +176,29 @@ def _prep(args) -> int:
             rates[name.strip()] = float(frac)
         out = quota_sample(ds, args.id_col, args.group_col, rates=rates,
                            seed=args.seed, default_rate=args.default_rate)
+    elif args.op == "quantiles":
+        # exact percentile_disc over an UNBOUNDED-cardinality int column
+        # (iterative histogram refinement — O(log range) streaming passes);
+        # --group-col switches to the per-group form
+        from .stages.topk import (
+            grouped_quantiles_unbounded,
+            quantiles_unbounded,
+        )
+
+        qs = []
+        for part in args.pcts.split(","):
+            name, _, frac = part.partition(":")
+            qs.append((name, float(frac)))
+        if args.by:
+            t = grouped_quantiles_unbounded(
+                rd.read_parquet(args.src, columns=[args.by, args.val_col]),
+                args.by, args.val_col, qs)
+        else:
+            t = quantiles_unbounded(
+                rd.read_parquet(args.src, columns=[args.val_col]),
+                args.val_col, qs)
+        out = rd.from_arrow(t)
+        print(json.dumps({"quantiles": t.to_pylist()}))
     else:  # contamination
         import pyarrow.parquet as pq
 
@@ -254,7 +278,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "sessionize", "contamination", "quota",
                                    "pack", "scrub", "knn", "pii",
                                    "chunk", "repetition", "normalize",
-                                   "simjoin"])
+                                   "simjoin", "quantiles"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -273,6 +297,12 @@ def main(argv: list[str] | None = None) -> int:
                          "rank column)")
     pr.add_argument("--right", default=None,
                     help="parquet with the match-against rows (simjoin)")
+    pr.add_argument("--val-col", default="n_chars",
+                    help="integer value column (quantiles)")
+    pr.add_argument("--by", default=None,
+                    help="optional group column (quantiles → per-group)")
+    pr.add_argument("--pcts", default="p25:0.25,p50:0.5,p75:0.75,p95:0.95",
+                    help="name:frac,... (quantiles)")
     pr.add_argument("--bench", default=None,
                     help="benchmark parquet file/dir with --text-col (contamination)")
     pr.add_argument("--k-shingle", type=int, default=3)

@@ -349,3 +349,41 @@ def test_cli_prep_simjoin(ray_session, tmp_path):
 
     # missing --right is a loud usage error
     assert main(["prep", "simjoin", left, str(tmp_path / "x")]) == 2
+
+
+def test_cli_prep_quantiles(ray_session, tmp_path):
+    """`prep quantiles` computes exact unbounded-cardinality quantiles
+    (global and --by group) and writes the report parquet."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "g": ["a"] * 5 + ["b"] * 5,
+        "x": pa.array([1, 2, 3, 4, 100, 10, 20, 30, 40, 50],
+                      type=pa.int64())}), src)
+    out = str(tmp_path / "o")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "quantiles", src, out, "--val-col", "x",
+                   "--pcts", "p50:0.5,p100:1.0"])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().splitlines()[0])["quantiles"]
+    assert {r["pct"]: r["val"] for r in rep} == {"p50": 10, "p100": 100}
+    assert pq.read_table(out).num_rows == 2
+
+    out2 = str(tmp_path / "o2")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "quantiles", src, out2, "--val-col", "x",
+                   "--by", "g", "--pcts", "p50:0.5"])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().splitlines()[0])["quantiles"]
+    assert {(r["g"], r["pct"]): r["val"] for r in rep} == {
+        ("a", "p50"): 3, ("b", "p50"): 30}
