@@ -480,13 +480,17 @@ def grouped_quantiles_unbounded(
             gcol = t[group_col]
             slot_arr = pc.index_in(gcol, value_set=gset).to_numpy(
                 zero_copy_only=False)
-            # index_in yields null for NULL groups → route to the null slot
+            # index_in yields null BOTH for NULL groups and for values not
+            # in gset (the latter is unreachable — pass 0 enumerated every
+            # group — but must never alias into the NULL group's histogram)
             miss = np.isnan(slot_arr) if slot_arr.dtype.kind == "f" else \
                 np.zeros(len(slot_arr), dtype=bool)
+            isnull = pc.is_null(gcol).to_numpy(zero_copy_only=False)
             slots = np.where(miss, -1, np.nan_to_num(slot_arr)).astype(
                 np.int64)
             slots = np.where(slots >= 0, nn_slots[np.clip(slots, 0, None)]
-                             if len(nn_slots) else slots, null_slot)
+                             if len(nn_slots) else slots,
+                             np.where(isnull, null_slot, -1))
             v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
             cnt = np.zeros(total, dtype=np.int64)
             for s in np.unique(slots):
