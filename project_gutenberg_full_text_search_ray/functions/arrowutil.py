@@ -32,6 +32,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
+
+@ray.remote(num_cpus=0.25)
+def _block_to_arrow(block) -> pa.Table:
+    """Convert a non-Arrow (pandas) block to a pa.Table (remote so the
+    block never moves through the driver)."""
+    return block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+
 
 def table_refs(ds) -> list:
     """Execute a Dataset ONCE and return its Arrow block object refs.
@@ -45,10 +54,20 @@ def table_refs(ds) -> list:
     whole corpus scan).  Every driver-side fold in this repo must collect
     block refs through this helper instead.  All blocks here are Arrow
     (``batch_format="pyarrow"`` throughout), so the skipped
-    schema-dependent conversion branch can never be needed.
+    schema-dependent conversion branch can never be needed — but the
+    LIBRARY surface can still be handed pandas-block datasets
+    (``rd.from_pandas``), so bundles whose ``schema`` is not an Arrow
+    schema are converted block-by-block (one tiny task each), preserving
+    to_arrow_refs' behavior without its re-execution.
     """
-    return [ref for bundle in ds.iter_internal_ref_bundles()
-            for ref in bundle.block_refs]
+    import ray
+
+    refs: list = []
+    for bundle in ds.iter_internal_ref_bundles():
+        arrow = bundle.schema is None or isinstance(bundle.schema, pa.Schema)
+        for ref in bundle.block_refs:
+            refs.append(ref if arrow else _block_to_arrow.remote(ref))
+    return refs
 
 
 def concat_cast(tabs: list[pa.Table], schema: pa.Schema) -> pa.Table:

@@ -179,6 +179,18 @@ def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     return rd.from_arrow_refs(keep)
 
 
+def _verify_num_cpus() -> int:
+    """CPU declaration for the bandwidth-bound verify actors: 2 on real
+    nodes (cores/2 concurrent verifiers — the compaction-merge lesson),
+    but never more than the cluster offers, so a 1-CPU session schedules
+    instead of hanging on an infeasible demand."""
+    try:
+        total = int(ray.cluster_resources().get("CPU", 2))
+    except Exception:
+        total = 2
+    return 2 if total >= 2 else 1
+
+
 def _pool_size(concurrency: int | None) -> int:
     """Default verify/signature actor-pool cap: half the cluster's CPUs,
     clamped to [4, 16] (pools are autoscaling ``(1, N)``, so small test
@@ -669,7 +681,7 @@ def minhash_lsh_pairs(
         # stream) is memory-bandwidth-bound like the compaction merge
         # (build.py cpus_per_merge_task): declare 2 CPUs per actor so a full
         # node runs cores/2 verifiers instead of thrashing the controllers
-        num_cpus=2,
+        num_cpus=_verify_num_cpus(),
     )
     return _dedupe_pairs_min(verified, "jacc_i4")
 
@@ -807,7 +819,8 @@ def _verified_jaccard_stream(
                                "text_col": text_col, "k_shingle": k_shingle,
                                "threshold": threshold},
         batch_format="pyarrow", batch_size=4096, concurrency=(1, concurrency),
-        num_cpus=2,  # bandwidth-bound intersection kernel (see minhash note)
+        # bandwidth-bound intersection kernel (see minhash note)
+        num_cpus=_verify_num_cpus(),
     )
 
 

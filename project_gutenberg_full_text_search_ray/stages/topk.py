@@ -202,11 +202,12 @@ def quantiles_unbounded(
     binning inexactly.  Returns ``(pct, val)`` sorted by pct, val int64.
     """
     vtype = ds.schema().base_schema.field(val_col).type
-    if not pa.types.is_integer(vtype):
+    if not pa.types.is_integer(vtype) or vtype == pa.uint64():
         raise TypeError(
-            f"quantiles_unbounded needs an integer column (got {vtype}): "
-            f"project to int64 first (e.g. prices → cents) so refinement "
-            f"stays exact")
+            f"quantiles_unbounded needs an integer column representable in int64 "
+            f"(got {vtype}): project to int64 first (e.g. prices → cents) "
+            f"so refinement stays exact — uint64 values ≥ 2^63 would wrap "
+            f"negative in the int64 kernels and sort wrong silently")
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -357,11 +358,11 @@ def grouped_quantiles_unbounded(
 
     gtype = ds.schema().base_schema.field(group_col).type
     vtype = ds.schema().base_schema.field(val_col).type
-    if not pa.types.is_integer(vtype):
+    if not pa.types.is_integer(vtype) or vtype == pa.uint64():
         raise TypeError(
-            f"grouped_quantiles_unbounded needs an integer value column "
-            f"(got {vtype}): project to int64 first so refinement stays "
-            f"exact")
+            f"grouped_quantiles_unbounded needs an integer "
+            f"value column representable in int64 (got {vtype}): project to int64 first so "
+            f"refinement stays exact (uint64 ≥ 2^63 would wrap negative)")
 
     src = ds.select_columns([group_col, val_col])
     names = [name for name, _ in qs]
@@ -464,7 +465,6 @@ def grouped_quantiles_unbounded(
         bases = np.array(bases_py, dtype=np.int64)
         total = base
         slot_rng = {}   # slot → (first interval row, last+1) in the arrays
-        row0 = 0
         for i, (s, _, _, _) in enumerate(live):
             if s not in slot_rng:
                 slot_rng[s] = [i, i + 1]

@@ -63,6 +63,12 @@ def main() -> int:
     oracles = entry.oracle_sql()
     names = [n for n in queries
              if not args.only or n in args.only.split(",")]
+    if args.only:
+        unknown = sorted(set(args.only.split(",")) - set(queries))
+        if unknown or not names:
+            print(f"--only selected no known queries (unknown: {unknown})",
+                  file=sys.stderr)
+            return 2
 
     con = duckdb.connect()
     for t in TABLES:

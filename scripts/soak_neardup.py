@@ -250,8 +250,9 @@ def main() -> None:
     ops_set = set(ops.split(","))
 
     print(json.dumps({"canary_sort_sec_pre": canary()}), flush=True)
-    sf1_dir = gen_sf1()
     results = []
+    # synthesize the 10x doc corpus only for the ops that read it
+    sf1_dir = gen_sf1() if ops_set & {"ngram", "simjoin"} else None
     scales = ([] if "--skip-sf01" in sys.argv else [("sf0.1", SF01)]) + \
         [("sf1_synth_10x", sf1_dir)]
     if "ngram" in ops_set:
