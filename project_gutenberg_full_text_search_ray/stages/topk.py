@@ -175,6 +175,53 @@ def grouped_quantiles(
     return res.sort_by([(group_col, "ascending"), ("pct", "ascending")])
 
 
+
+def _hist_geometry(spans: list, n_buckets: int, exact_span: int):
+    """Per-interval histogram geometry for one refinement pass:
+    ``[(lo, hi)] → (widths, n_buckets_i, bases, total)``.  Width 1 once the
+    span fits ``exact_span`` (that pass is exact); all arithmetic in Python
+    ints — a full-int64 span overflows int64."""
+    widths, nbs, bases = [], [], []
+    base = 0
+    for lo, hi in spans:
+        span = hi - lo + 1
+        w = 1 if span <= exact_span else -(-span // n_buckets)
+        nb = -(-span // w)
+        widths.append(w)
+        nbs.append(nb)
+        bases.append(base)
+        base += nb
+    return widths, nbs, bases, base
+
+
+def _interval_select(v: np.ndarray, los: np.ndarray, his: np.ndarray):
+    """Assign each value to its row in the SORTED, DISJOINT interval
+    arrays, dropping values outside every interval → (v_kept, idx_kept)."""
+    idx = np.searchsorted(los, v, side="right") - 1
+    ok = (idx >= 0) & (v <= his[np.clip(idx, 0, len(his) - 1)])
+    return v[ok], idx[ok]
+
+
+def _bin_values(v: np.ndarray, idx: np.ndarray, los: np.ndarray,
+                widths: np.ndarray, bases: np.ndarray) -> np.ndarray:
+    """Global bucket ids for values assigned to interval rows.  Wraparound-
+    exact unsigned distance: (v - lo) mod 2^64 is the true offset for ANY
+    int64 pair, even across a full-range span."""
+    d = (v - los[idx]).view(np.uint64)
+    return bases[idx] + (d // widths[idx]).astype(np.int64)
+
+
+def _descend_ranks(cum: np.ndarray, rk: list, lo: int, hi: int, w: int):
+    """One refinement step: each (name, rank) picks the first bucket whose
+    cumulative count reaches it → (name, new_lo, new_hi, new_rank)."""
+    out = []
+    for name, r in rk:
+        j = int(np.searchsorted(cum, r, side="left"))
+        out.append((name, lo + j * w, min(hi, lo + (j + 1) * w - 1),
+                    r - (int(cum[j - 1]) if j > 0 else 0)))
+    return out
+
+
 def quantiles_unbounded(
     ds: rd.Dataset, val_col: str, qs: list[tuple[str, float]], *,
     n_buckets: int = 8192, exact_span: int = 1 << 16, max_passes: int = 12,
@@ -254,41 +301,25 @@ def quantiles_unbounded(
         if not live:
             break
         live.sort(key=lambda t: t[0])
-        los_py = [lo for lo, _, _ in live]
-        widths_py, nb_py, bases_py = [], [], []
-        base = 0
-        for lo, hi, _ in live:
-            span = hi - lo + 1
-            w = 1 if span <= exact_span else -(-span // n_buckets)
-            nb = -(-span // w)
-            widths_py.append(w)
-            nb_py.append(nb)
-            bases_py.append(base)
-            base += nb
-        los = np.array(los_py, dtype=np.int64)
+        widths_py, nb_py, bases_py, total = _hist_geometry(
+            [(lo, hi) for lo, hi, _ in live], n_buckets, exact_span)
+        los = np.array([lo for lo, _, _ in live], dtype=np.int64)
         his = np.array([hi for _, hi, _ in live], dtype=np.int64)
         widths = np.array(widths_py, dtype=np.uint64)
         bases = np.array(bases_py, dtype=np.int64)
-        total = base
 
         def hist(b: pa.Table, los=los, his=his, widths=widths, bases=bases,
                  total=total) -> pa.Table:
             col = pc.drop_null(b[val_col])
             if len(col) == 0:
-                return pa.table({"bkt": pa.array([], type=pa.int64()),
-                                 "c": pa.array([], type=pa.int64())})
-            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
-            idx = np.searchsorted(los, v, side="right") - 1
-            ok = (idx >= 0) & (v <= his[np.clip(idx, 0, len(his) - 1)])
-            v, idx = v[ok], idx[ok]
+                return hist_schema.empty_table()
+            v, idx = _interval_select(
+                col.to_numpy(zero_copy_only=False).astype(np.int64),
+                los, his)
             if len(v) == 0:
-                return pa.table({"bkt": pa.array([], type=pa.int64()),
-                                 "c": pa.array([], type=pa.int64())})
-            # wraparound-exact unsigned distance: (v - lo) mod 2^64 is the
-            # true offset for ANY int64 pair, even across a full-range span
-            d = (v - los[idx]).view(np.uint64)
-            bkt = bases[idx] + (d // widths[idx]).astype(np.int64)
-            cnt = np.bincount(bkt, minlength=total)
+                return hist_schema.empty_table()
+            cnt = np.bincount(_bin_values(v, idx, los, widths, bases),
+                              minlength=total)
             nz = np.flatnonzero(cnt)
             return pa.table({"bkt": pa.array(nz, type=pa.int64()),
                              "c": pa.array(cnt[nz], type=pa.int64())})
@@ -304,11 +335,7 @@ def quantiles_unbounded(
         nxt: dict[tuple[int, int], list[tuple[str, int]]] = {}
         for (lo, hi, rk), w, nb, b0 in zip(live, widths_py, nb_py, bases_py):
             cum = np.cumsum(cnt[b0:b0 + nb])
-            for name, r in rk:
-                j = int(np.searchsorted(cum, r, side="left"))
-                nlo = lo + j * w
-                nhi = min(hi, lo + (j + 1) * w - 1)
-                nr = r - (int(cum[j - 1]) if j > 0 else 0)
+            for name, nlo, nhi, nr in _descend_ranks(cum, rk, lo, hi, w):
                 nxt.setdefault((nlo, nhi), []).append((name, nr))
         intervals = [(lo, hi, rk) for (lo, hi), rk in nxt.items()]
     for lo, hi, rk in intervals:  # span-1 leftovers from the final pass
@@ -449,21 +476,12 @@ def grouped_quantiles_unbounded(
                 live.append((s, lo, hi, rk))
         # flattened per-interval geometry + per-slot sub-ranges for the
         # batch kernel's per-group searchsorted
-        widths_py, nb_py, bases_py = [], [], []
-        base = 0
-        for _s, lo, hi, _rk in live:
-            span = hi - lo + 1
-            w = 1 if span <= exact_span else -(-span // n_buckets)
-            nb = -(-span // w)
-            widths_py.append(w)
-            nb_py.append(nb)
-            bases_py.append(base)
-            base += nb
+        widths_py, nb_py, bases_py, total = _hist_geometry(
+            [(lo, hi) for _s, lo, hi, _rk in live], n_buckets, exact_span)
         los = np.array([lo for _, lo, _, _ in live], dtype=np.int64)
         his = np.array([hi for _, _, hi, _ in live], dtype=np.int64)
         widths = np.array(widths_py, dtype=np.uint64)
         bases = np.array(bases_py, dtype=np.int64)
-        total = base
         slot_rng = {}   # slot → (first interval row, last+1) in the arrays
         for i, (s, _, _, _) in enumerate(live):
             if s not in slot_rng:
@@ -498,16 +516,13 @@ def grouped_quantiles_unbounded(
                 if rng is None:
                     continue
                 i0, i1 = rng
-                m = slots == s
-                vs = v[m]
-                idx = np.searchsorted(los[i0:i1], vs, side="right") - 1
-                ok = (idx >= 0) & (vs <= his[i0 + np.clip(idx, 0, i1 - i0 - 1)])
-                vs, idx = vs[ok], i0 + idx[ok]
+                vs, idx = _interval_select(v[slots == s], los[i0:i1],
+                                           his[i0:i1])
                 if len(vs) == 0:
                     continue
-                d = (vs - los[idx]).view(np.uint64)
-                bkt = bases[idx] + (d // widths[idx]).astype(np.int64)
-                cnt += np.bincount(bkt, minlength=total)
+                cnt += np.bincount(
+                    _bin_values(vs, i0 + idx, los, widths, bases),
+                    minlength=total)
             nz = np.flatnonzero(cnt)
             return pa.table({"bkt": pa.array(nz, type=pa.int64()),
                              "c": pa.array(cnt[nz], type=pa.int64())})
@@ -524,11 +539,7 @@ def grouped_quantiles_unbounded(
         for (s, lo, hi, rk), w, nb, b0 in zip(live, widths_py, nb_py,
                                               bases_py):
             cum = np.cumsum(cnt[b0:b0 + nb])
-            for name, r in rk:
-                j = int(np.searchsorted(cum, r, side="left"))
-                nlo = lo + j * w
-                nhi = min(hi, lo + (j + 1) * w - 1)
-                nr = r - (int(cum[j - 1]) if j > 0 else 0)
+            for name, nlo, nhi, nr in _descend_ranks(cum, rk, lo, hi, w):
                 nxt.setdefault(s, {}).setdefault((nlo, nhi), []).append(
                     (name, nr))
         state = {s: [(lo, hi, rk) for (lo, hi), rk in d.items()]
