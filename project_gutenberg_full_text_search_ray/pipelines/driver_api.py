@@ -681,6 +681,71 @@ def q_semantic_dedup_lsh(sf_dir: str) -> pa.Table:
                      "label": pa.array(kept["label"], type=pa.int64())})
 
 
+# k-means pipeline parameters shared by the Ray queries and their SQL twins
+# (one definition so the oracle can never drift from the engine); the
+# embeddings fixture is 64-dimensional at every scale factor
+_KMEANS = dict(k=10, iters=2, seed=29)
+_KMEANS_DIM = 64
+
+
+def q_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Distributed k-means (stages/clustering.py): the full (vec_id, cluster)
+    assignment after 2 Lloyd iterations over the embeddings table.
+
+    The engine's iterations are deterministic by construction (exact int64
+    per-cluster sums over ×10⁴-quantized vectors; dim-by-dim left-to-right
+    float64 distances; lowest-cid ties; splitmix64 bottom-k seeds), so the
+    DuckDB oracle UNROLLS the same iterations as plain CTEs
+    (_kmeans_assign_cte) and hash-verifies the ENTIRE iterative algorithm —
+    seeds, every intermediate centroid, every assignment — not just a
+    property of the result."""
+    import ray.data as rd
+
+    from ..stages.clustering import cluster_assign, kmeans_train
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    C = kmeans_train(ds, "embedding", "vec_id", _KMEANS["k"],
+                     iters=_KMEANS["iters"], seed=_KMEANS["seed"])
+    out = (cluster_assign(ds, "embedding", "vec_id", C)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return pa.table({"vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                     "cluster": pa.array(out["cluster"], type=pa.int64())})
+
+
+def q_semantic_dedup_kmeans(sf_dir: str) -> pa.Table:
+    """SemDeDup as the paper runs it (Abbas et al. 2023): k-means-cluster
+    the embedding space, compare pairs WITHIN clusters only, then the same
+    components → apply_dedup keep-canonical chain as the exact/LSH
+    variants.  O(Σ nᵢ²) pair work instead of O(N²), k as the knob.
+
+    Because the k-means assignment is bit-exact SQL-replicable
+    (q_kmeans_clusters), the oracle reproduces the WHOLE approximate
+    pipeline — cluster structure included — so this partitioned operator is
+    hash-verified, not recall-bounded (recall vs the exact chain is
+    additionally asserted in pytest: k=1 degenerates to the exact output)."""
+    import ray.data as rd
+
+    from ..stages.clustering import (
+        embedding_neardup_pairs_clustered,
+        kmeans_train,
+    )
+    from ..stages.dedup import apply_dedup, connected_components_ds
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    C = kmeans_train(ds, "embedding", "vec_id", _KMEANS["k"],
+                     iters=_KMEANS["iters"], seed=_KMEANS["seed"])
+    pairs = embedding_neardup_pairs_clustered(
+        ds, "embedding", "vec_id", C, threshold=0.45)
+    labels = connected_components_ds(pairs)
+    kept = apply_dedup(
+        rd.read_parquet(path, columns=["vec_id", "label"]), labels, "vec_id"
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(kept["vec_id"], type=pa.int64()),
+                     "label": pa.array(kept["label"], type=pa.int64())})
+
+
 def q_knn_join(sf_dir: str) -> pa.Table:
     """kNN semi-join (stages/similarity.knn_join): exact top-5 cosine
     neighbors from the FULL corpus for each vec_id < 100 query row — the
@@ -1615,6 +1680,91 @@ def _semantic_dedup_lsh_sql(*, threshold: float, n_planes: int, bands: int,
     )
 
 
+def _kmeans_assign_cte(k: int, iters: int, seed: int,
+                       dim: int = _KMEANS_DIM) -> tuple[str, str]:
+    """CTE chain re-deriving stages/clustering.kmeans_train +
+    cluster_assign in DuckDB, bit-for-bit: quantized coordinates as
+    integral DOUBLEs, splitmix64 bottom-k seeding (the split_assign hash
+    chain), and ``iters`` UNROLLED Lloyd steps — exact BIGINT cluster
+    sums, ``sum/n`` DOUBLE centroids (COALESCE holds an empty cluster's
+    previous centroid), squared distances as a left-associative ``+``
+    chain over dims (the engine accumulates in the same fixed order), ties
+    to the lowest cid via ``row_number() ... ORDER BY dst, cid``.
+
+    Returns (cte_text, final_assignment_cte_name); the final CTE holds
+    (vec_id, cid) under the post-update centroids, exactly
+    ``cluster_assign(ds, ..., kmeans_train(ds, ...))``."""
+    dims = range(1, dim + 1)
+    xq = ", ".join(
+        f"floor(CAST(embedding[{d}] AS DOUBLE) * 10000 + 0.5) AS x{d}"
+        for d in dims)
+    fnv = _fnv_sql(repr(str(seed) + "|") + " || CAST(vec_id AS VARCHAR)")
+    m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    dist = " + ".join(f"(q.x{d} - c.c{d}) * (q.x{d} - c.c{d})" for d in dims)
+    parts = [
+        f"qx AS (SELECT vec_id, {xq} FROM embeddings)",
+        f"kh0 AS (SELECT vec_id, CAST({fnv} AS UBIGINT) AS h FROM embeddings)",
+        f"kh1 AS (SELECT vec_id, CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * "
+        f"CAST({m1} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM kh0)",
+        f"kh2 AS (SELECT vec_id, CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * "
+        f"CAST({m2} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM kh1)",
+        "kh3 AS (SELECT vec_id, xor(h, h >> 31) AS h FROM kh2)",
+        "cent0 AS (SELECT row_number() OVER (ORDER BY h.h, q.vec_id) - 1 AS cid, "
+        + ", ".join(f"q.x{d} AS c{d}" for d in dims)
+        + f" FROM qx q JOIN kh3 h USING (vec_id) ORDER BY h.h, q.vec_id LIMIT {k})",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid FROM (SELECT q.vec_id, c.cid, "
+            f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) "
+            f"AS rn FROM qx q CROSS JOIN cent{t} c) AS t WHERE rn = 1)")
+        if t == iters:
+            break
+        sums = ", ".join(f"sum(CAST(q.x{d} AS BIGINT)) AS s{d}" for d in dims)
+        cents = ", ".join(
+            f"COALESCE(CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE), p.c{d}) "
+            f"AS c{d}" for d in dims)
+        parts.append(
+            f"ks{t + 1} AS (SELECT a.cid, count(*) AS n, {sums} "
+            f"FROM a{t} a JOIN qx q USING (vec_id) GROUP BY a.cid)")
+        parts.append(
+            f"cent{t + 1} AS (SELECT p.cid, {cents} FROM cent{t} p "
+            f"LEFT JOIN ks{t + 1} s USING (cid))")
+    return ", ".join(parts), f"a{iters}"
+
+
+def _kmeans_sql() -> str:
+    ctes, final = _kmeans_assign_cte(**_KMEANS)
+    return (f"WITH {ctes} SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(cid AS BIGINT) AS cluster FROM {final} ORDER BY vec_id")
+
+
+def _semantic_dedup_kmeans_sql(threshold: float) -> str:
+    """DuckDB twin of q_semantic_dedup_kmeans, cluster structure included:
+    the unrolled k-means assignment, within-cluster candidate pairs, exact
+    DOUBLE[] cosine verify, then the same transitive closure + keep-min-id
+    materializer as the exact/LSH SemDeDup oracles."""
+    ctes, final = _kmeans_assign_cte(**_KMEANS)
+    return (
+        "WITH RECURSIVE " + ctes + ", "
+        f"vp AS (SELECT a.vec_id AS u, b.vec_id AS v FROM {final} a "
+        f"JOIN {final} b ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+        "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        f"CAST(eb.embedding AS DOUBLE[])) >= {threshold}), "
+        "edges AS (SELECT u, v FROM vp UNION SELECT v, u FROM vp), "
+        "nodes AS (SELECT DISTINCT u AS id FROM edges), "
+        "reach AS (SELECT id, id AS lbl FROM nodes "
+        "UNION SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id), "
+        "comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "CAST(e.label AS BIGINT) AS label FROM embeddings e "
+        "WHERE e.vec_id NOT IN (SELECT id FROM comp WHERE rep <> id) "
+        "ORDER BY vec_id"
+    )
+
+
 def _fingerprints_sql(limit_doc_id: int = 50) -> str:
     """DuckDB twin of rolling_fingerprints + winnow (textstats.py): 4-token
     Rabin-Karp rolling hashes over FNV token hashes (mod-2^64 wraparound via
@@ -2187,6 +2337,10 @@ QUERIES_EXTRAS["sessionize_events"] = q_sessionize
 ORACLE_SQL_EXTRAS["sessionize_events"] = _SESSIONIZE_SQL
 QUERIES_EXTRAS["split_assign"] = q_split_assign
 ORACLE_SQL_EXTRAS["split_assign"] = _split_sql()
+QUERIES_EXTRAS["kmeans_clusters"] = q_kmeans_clusters
+ORACLE_SQL_EXTRAS["kmeans_clusters"] = _kmeans_sql()
+QUERIES_EXTRAS["semantic_dedup_kmeans"] = q_semantic_dedup_kmeans
+ORACLE_SQL_EXTRAS["semantic_dedup_kmeans"] = _semantic_dedup_kmeans_sql(0.45)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -2327,9 +2481,14 @@ _DRIVER_ORDER = [
     # window_counts (r5 rotation: never driver-verified tumbling-window
     # aggregate) promoted in place of quota_sample, whose splitmix64
     # hash-threshold kernel is split_assign's, hard-verified in-window
+    # kmeans_clusters (NEW r5 kernel: exact-integer distributed Lloyd
+    # iterations, the oracle unrolls and hash-verifies the whole algorithm)
+    # promoted in place of window_counts — the tumbling-window aggregate is
+    # the stride == width degenerate case of sliding_window_counts, whose
+    # in-window oracle hard-verifies the same floor-bin + keyed-count chain
     "pack_sequences", "heavy_hitters_users", "distinct_users_kmv",
     "contamination_check", "sessionize_events", "split_assign",
-    "window_counts",
+    "kmeans_clusters",
     # dedup family (ngram_jaccard_pairs demoted late-r4: its ENTIRE
     # pipeline — candidate sort exchange + rank-packed Jaccard verify —
     # runs unchanged as dedup_components' pair source, which stays in the
@@ -2401,7 +2560,13 @@ _DRIVER_ORDER = [
     "order_random", "user_rollup",
     "similarity_join", "hierarchy_children",
     # ---- position 51+: kernel-redundant variants & rows-only queries ----
-    "broadcast_join_categories", "embed_neardup_pairs", "semantic_dedup", "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
+    "broadcast_join_categories", "embed_neardup_pairs", "semantic_dedup",
+    # semantic_dedup_kmeans: tail slot — its ONE new kernel (the k-means
+    # assignment) is hard-verified in-window by kmeans_clusters; the
+    # candidate/verify/components/apply chain it composes runs in-window
+    # inside semantic_dedup_lsh
+    "semantic_dedup_kmeans", "window_counts",
+    "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     "dedup_apply", "quota_sample", "value_histogram", "sample_per_source",
     "token_counts",

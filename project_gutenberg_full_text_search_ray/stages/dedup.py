@@ -1273,6 +1273,12 @@ def embedding_neardup_pairs(
             f"driver; raise the threshold or use "
             f"embedding_neardup_pairs_lsh (streaming) at this density")
     out = pairs.to_pandas()
+    if "id_a" not in out.columns:
+        # zero pairs anywhere: all-empty blocks lose their schema through
+        # to_pandas — return the typed empty result instead of KeyError-ing
+        return pa.table({"id_a": pa.array([], type=id_type),
+                         "id_b": pa.array([], type=id_type),
+                         "cos_i4": pa.array([], type=pa.int64())})
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.table({"id_a": pa.array(out["id_a"], type=id_type),
                      "id_b": pa.array(out["id_b"], type=id_type),
