@@ -2218,6 +2218,70 @@ def _quota_sql() -> str:
     )
 
 
+# duplicate-span parameters shared by the Ray query and its SQL twin
+_DUP_SPANS = dict(win=6, min_count=2)
+
+
+def q_dup_spans(sf_dir: str) -> pa.Table:
+    """ExactSubstr-style duplicate-substring detection
+    (stages/corpus_prep.duplicate_spans): merged per-document token spans
+    covered by 6-token windows that occur ≥2 times anywhere in the corpus —
+    the span-level dedup signal of Lee et al. 2022.  Window hashing is the
+    shared rolling polynomial (the fingerprints/contamination fold), the
+    span merge is gap-sessionization over hit positions."""
+    from ..stages.corpus_prep import duplicate_spans
+
+    out = duplicate_spans(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id", **_DUP_SPANS
+    ).to_pandas()
+    if "doc_id" not in out.columns:  # empty Dataset.to_pandas drops schema
+        return pa.table({c: pa.array([], type=pa.int64())
+                         for c in ("doc_id", "span_start", "span_end",
+                                   "n_windows")})
+    out = out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        "span_start": pa.array(out["span_start"], type=pa.int64()),
+        "span_end": pa.array(out["span_end"], type=pa.int64()),
+        "n_windows": pa.array(out["n_windows"], type=pa.int64())})
+
+
+def _dup_spans_sql(win: int, min_count: int) -> str:
+    """DuckDB twin of duplicate_spans: the same mod-2^64 rolling w-gram
+    polynomial over FNV token hashes (the contamination/fingerprints
+    pattern generalized to ``win`` self-joins), total-count ≥ min_count
+    window set, then gaps-and-islands span merging — break exactly when
+    the next hit starts more than ``win`` past the previous (the engine's
+    sessionize gap rule), so both sides merge identical integer spans."""
+    base_pow = [pow(1099511628211, win - 1 - j, 1 << 64) for j in range(win)]
+    terms = " + ".join(
+        f"(CAST(a{j}.th AS UHUGEINT) * CAST({base_pow[j]} AS UHUGEINT)) % {_UM64}"
+        for j in range(win))
+    joins = " ".join(
+        f"JOIN tokpos a{j} ON a{j}.doc_id = a0.doc_id AND a{j}.i = a0.i + {j}"
+        for j in range(1, win))
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "tokpos AS (SELECT doc_id, CAST(i AS INT) AS i, "
+        f"CAST({_fnv_sql('arr[CAST(i AS INT)]')} AS UBIGINT) AS th "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        f"wins AS (SELECT a0.doc_id, a0.i - 1 AS pos, "
+        f"CAST(({terms}) % {_UM64} AS UBIGINT) AS h FROM tokpos a0 {joins}), "
+        f"dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= {min_count}), "
+        "hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (h)), "
+        "marked AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) <= {win} THEN 0 ELSE 1 END AS brk "
+        "FROM hits), "
+        "grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g FROM marked) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(min(pos) AS BIGINT) AS span_start, "
+        f"CAST(max(pos) + {win} AS BIGINT) AS span_end, "
+        "CAST(count(*) AS BIGINT) AS n_windows "
+        "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"
+    )
+
+
 _BENCH_DOCS = 3  # decontamination eval set = texts of doc_id < _BENCH_DOCS
 
 
@@ -2341,6 +2405,8 @@ QUERIES_EXTRAS["kmeans_clusters"] = q_kmeans_clusters
 ORACLE_SQL_EXTRAS["kmeans_clusters"] = _kmeans_sql()
 QUERIES_EXTRAS["semantic_dedup_kmeans"] = q_semantic_dedup_kmeans
 ORACLE_SQL_EXTRAS["semantic_dedup_kmeans"] = _semantic_dedup_kmeans_sql(0.45)
+QUERIES_EXTRAS["dup_spans"] = q_dup_spans
+ORACLE_SQL_EXTRAS["dup_spans"] = _dup_spans_sql(**_DUP_SPANS)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -2538,7 +2604,12 @@ _DRIVER_ORDER = [
     # one-pass group-count-sort) promoted in place of token_counts, whose
     # tokenize+count kernel is the first stage of the in-window
     # repetition_scores and langid_counts oracles
-    "facet_lang_counts", "langid_counts",
+    # dup_spans (NEW r5 kernel: ExactSubstr-style duplicate-substring
+    # spans — rolling-window df semi-join + gap-sessionized interval merge)
+    # promoted in place of facet_lang_counts, whose one-pass
+    # group-count-sort is exactly facet_top_sources' in-window kernel
+    # minus the candidate join
+    "dup_spans", "langid_counts",
     # trigram family + per-field search + per-group top-k (the r4
     # grouped_topk kernel, promoted in place of contains_multi — multi-token
     # CONTAINS composes contains_indexed's trigram expansion with the AND
@@ -2565,7 +2636,7 @@ _DRIVER_ORDER = [
     # assignment) is hard-verified in-window by kmeans_clusters; the
     # candidate/verify/components/apply chain it composes runs in-window
     # inside semantic_dedup_lsh
-    "semantic_dedup_kmeans", "window_counts",
+    "semantic_dedup_kmeans", "window_counts", "facet_lang_counts",
     "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     "dedup_apply", "quota_sample", "value_histogram", "sample_per_source",

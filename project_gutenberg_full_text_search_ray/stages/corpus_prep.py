@@ -562,3 +562,143 @@ def normalize_text(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         norm, batch_format="pyarrow")
+
+
+def duplicate_spans(
+    ds: rd.Dataset, text_col: str, id_col: str, *,
+    win: int = 6, min_count: int = 2,
+    broadcast_threshold: int = 5_000_000,
+) -> rd.Dataset:
+    """Cross-document duplicate-substring detection — the ExactSubstr dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") at token-window granularity: every run of ``win`` consecutive
+    analyzer tokens occurring ≥ ``min_count`` times ANYWHERE in the corpus
+    (another document or a self-repeat) is reported, merged per document
+    into maximal token spans ``(id, span_start, span_end, n_windows)`` —
+    positions in analyzer-token space, ``span_end`` exclusive; overlapping
+    and exactly-adjacent windows merge.
+
+    Shape (all exchanges carry (hash, id, pos) integers — never text):
+
+    1. windows — one tokenize pass per block; window hashes are the shared
+       rolling w-gram polynomial (``textstats._rolling_poly`` — the
+       fingerprinting/shingle fold, so the SQL oracle reuses the proven
+       mod-2^64 twin).  Recomputed for pass 3 instead of materialized:
+       windows are ~24 B/token, larger than the text itself.
+    2. window df — ``groupby(h).count()`` over the 8 B/row hash column;
+       hashes with total count ≥ ``min_count`` form the duplicated set.
+    3. semi-join the windows stream against that set: broadcast
+       sorted-int64 membership under ``broadcast_threshold`` ids (the
+       apply_dedup route — no window row enters an exchange), else Ray
+       Data's native inner join.
+    4. span merge IS gap-sessionization (break when the next duplicated
+       window starts more than ``win`` past the previous): the hit stream
+       reuses ``stages.sessionize`` (user=id, ts=pos, gap=win) and one
+       grouped Max/Count emits the merged spans.
+
+    2⁻⁶⁴ window-hash collision risk, like every hash-keyed dedup here.
+    Rows with a NULL id are dropped (a span must be attributable)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    from ..functions.textstats import _rolling_poly, token_hashes
+    from .dedup import _join_args
+    from .sessionize import sessionize
+
+    if win < 1:
+        raise ValueError(f"win must be >= 1, got {win}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    for reserved in ("pos", "h", "__pid"):
+        if id_col == reserved:
+            raise ValueError(f"id_col {id_col!r} collides with an internal column")
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema([
+        (id_col, id_type), ("span_start", pa.int64()),
+        ("span_end", pa.int64()), ("n_windows", pa.int64())])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=id_type),
+                          "pos": pa.array([], type=pa.int64()),
+                          "h": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.filter(pc.is_valid(batch[id_col]))
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if batch.num_rows == 0 or pa.types.is_null(texts.type):
+            return empty
+        terms, doc_index, positions = DEFAULT_ANALYZER.tokenize_column(texts)
+        if len(terms) < win:
+            return empty
+        th = token_hashes(list(terms))
+        fp = _rolling_poly(th, win)
+        n_win = len(th) - win + 1
+        # a window is real only when it stays inside one document
+        valid = doc_index[:n_win] == doc_index[win - 1:]
+        fp, docs = fp[valid], doc_index[:n_win][valid]
+        pos = positions[:n_win][valid].astype(np.int64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids.take(pa.array(docs)),
+                         "pos": pa.array(pos),
+                         "h": pa.array(fp.view(np.int64))})
+
+    def wins_ds() -> rd.Dataset:
+        return ds.select_columns([id_col, text_col]).map_batches(
+            windows, batch_format="pyarrow")
+
+    # pass 2: duplicated window hashes (exchange = the pruned h column)
+    dup = wins_ds().select_columns(["h"]).groupby("h").count().map_batches(
+        lambda b: b.filter(pc.greater_equal(b["count()"], min_count))
+        .select(["h"]),
+        batch_format="pyarrow")
+    from .dedup import _drop_empty_blocks
+
+    dup = _drop_empty_blocks(dup)
+    n_dup = dup.count()
+    if n_dup == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_dup <= broadcast_threshold:
+        tabs = [t for t in ray.get(table_refs(dup))
+                if t.num_rows and "h" in t.column_names]
+        keys = np.sort(pa.concat_tables(tabs)["h"]
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        kref = ray.put(keys)
+
+        def member(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            ks = ray.get(kref)
+            vals = batch["h"].to_numpy(zero_copy_only=False)
+            at = np.searchsorted(ks, vals)
+            at[at == len(ks)] = 0
+            return batch.filter(pa.array(ks[at] == vals))
+
+        hits = wins_ds().map_batches(member, batch_format="pyarrow")
+    else:
+        hits = wins_ds().join(dup, join_type="inner", on=("h",),
+                              **_join_args())
+
+    def addpid(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, "pos"])
+        return t.append_column("__pid", t["pos"])
+
+    sess = sessionize(hits.map_batches(addpid, batch_format="pyarrow"),
+                      id_col, "pos", "__pid", gap_us=win)
+    spans = sess.groupby([id_col, "session_id"]).aggregate(
+        Max("__pid", alias_name="max_pos"), Count(alias_name="n_windows"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "session_id" not in b.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            id_col: b[id_col],
+            "span_start": pc.cast(b["session_id"], pa.int64()),
+            "span_end": pc.cast(pc.add(b["max_pos"], win), pa.int64()),
+            "n_windows": pc.cast(b["n_windows"], pa.int64())})
+
+    return spans.map_batches(finish, batch_format="pyarrow")
