@@ -2218,6 +2218,52 @@ def _quota_sql() -> str:
     )
 
 
+_LM_QUANT = 1024  # surprisal quantum shared by the Ray query and its twin
+
+
+def q_lm_quality_scores(sf_dir: str) -> pa.Table:
+    """CCNet-style unigram-LM surprisal quality scores
+    (stages/corpus_prep.lm_surprisal_scores): per-doc total and per-token
+    information content under the corpus unigram distribution — the
+    perplexity-filter signal.  Each distinct token's surprisal quantizes
+    once to an integer; per-doc scores are exact int64 sums, so the DuckDB
+    twin recomputes the identical table."""
+    from ..stages.corpus_prep import lm_surprisal_scores
+
+    out = lm_surprisal_scores(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+        quant=_LM_QUANT,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        "bits_q": pa.array(out["bits_q"], type=pa.int64()),
+        "bpt_q": pa.array(out["bpt_q"], type=pa.int64())})
+
+
+def _lm_scores_sql(quant: int = _LM_QUANT) -> str:
+    """DuckDB twin of lm_surprisal_scores: the same analyzer tokens
+    (_PTOK_SQL), the same one-rounding-per-distinct-token quantization
+    ``floor(-log2(c/C) * quant + 0.5)`` (float64 expression shapes match
+    the numpy side exactly), exact integer per-doc sums."""
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "t AS (SELECT doc_id, unnest(arr) AS term FROM base), "
+        "cnt AS (SELECT term, count(*) AS c FROM t GROUP BY term), "
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt), "
+        "q AS (SELECT term, CAST(floor(-log2(CAST(c AS DOUBLE) / "
+        f"(SELECT s FROM tot)) * {quant} + 0.5) AS BIGINT) AS qb FROM cnt), "
+        "d AS (SELECT t.doc_id, count(*) AS n_tokens, sum(q.qb) AS bits_q "
+        "FROM t JOIN q USING (term) GROUP BY t.doc_id) "
+        "SELECT CAST(b.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(d.bits_q, 0) AS BIGINT) AS bits_q, "
+        "CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN NULL "
+        "ELSE CAST(d.bits_q // d.n_tokens AS BIGINT) END AS bpt_q "
+        "FROM base b LEFT JOIN d USING (doc_id) ORDER BY doc_id"
+    )
+
+
 # duplicate-span parameters shared by the Ray query and its SQL twin
 _DUP_SPANS = dict(win=6, min_count=2)
 
@@ -2407,6 +2453,8 @@ QUERIES_EXTRAS["semantic_dedup_kmeans"] = q_semantic_dedup_kmeans
 ORACLE_SQL_EXTRAS["semantic_dedup_kmeans"] = _semantic_dedup_kmeans_sql(0.45)
 QUERIES_EXTRAS["dup_spans"] = q_dup_spans
 ORACLE_SQL_EXTRAS["dup_spans"] = _dup_spans_sql(**_DUP_SPANS)
+QUERIES_EXTRAS["lm_quality_scores"] = q_lm_quality_scores
+ORACLE_SQL_EXTRAS["lm_quality_scores"] = _lm_scores_sql()
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -2597,7 +2645,12 @@ _DRIVER_ORDER = [
     # hard-verifies it; promoted in place of ann_cosine_topk, whose
     # brute_force_topk kernel stays hard-verified as the scoring stage of
     # ann_lsh_topk)
-    "ann_lsh_topk", "knn_join", "knn_join_ivf",
+    # lm_quality_scores (NEW r5 kernel: CCNet-style unigram-LM surprisal —
+    # one-rounding-per-distinct-token quantized log table, broadcast score
+    # pass) promoted in place of knn_join_ivf, whose oracle is BY DESIGN
+    # the same SQL as the in-window knn_join (probe-all ≡ brute); the IVF
+    # probe path keeps that shared hard oracle in the tail + recall pytest
+    "ann_lsh_topk", "knn_join", "lm_quality_scores",
     # relational extras + corpus prep
     "asof_prev_purchase", "boilerplate_scrub",
     # text analysis: facet_lang_counts (r5 rotation: never driver-verified
@@ -2646,6 +2699,7 @@ _DRIVER_ORDER = [
     # crosswalk_mini = a projection+rename over the hydration columns every
     # fts row already hash-verifies — demoted in r4 to make room for the
     # three r3 operators above)
+    "knn_join_ivf",
     "dedup_exact", "quantiles", "regex_extract", "fts_ids_in", "fts_pagination", "crosswalk_mini", "fts_or",
     "fts_and", "fts_filter_lang", "fts_filter_nchars", "events_type_counts",
     "token_estimates",

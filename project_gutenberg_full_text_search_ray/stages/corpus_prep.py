@@ -702,3 +702,119 @@ def duplicate_spans(
             "n_windows": pc.cast(b["n_windows"], pa.int64())})
 
     return spans.map_batches(finish, batch_format="pyarrow")
+
+
+def lm_surprisal_scores(
+    ds: rd.Dataset, text_col: str, id_col: str, *,
+    quant: int = 1024, vocab_cap: int = 5_000_000,
+) -> rd.Dataset:
+    """Unigram-LM surprisal quality scoring — the CCNet-style "perplexity
+    filter" (Wenzek et al. 2020) with the LM trained on the corpus itself:
+    per document, the total and per-token information content under the
+    corpus unigram distribution.  Low bits/token ⇒ stereotyped/boilerplate
+    text; high ⇒ rare-token noise — the standard head/middle/tail quality
+    split signal.
+
+    Determinism/oracle contract: each DISTINCT token's surprisal is
+    quantized ONCE to an integer — ``qb(t) = floor(−log2(c_t / C) · quant
+    + 0.5)`` — and per-document scores are exact int64 sums of those
+    integers, so block geometry cannot move a score; a DuckDB twin
+    (driver query ``lm_quality_scores``) recomputes the same table.
+    Output: ``(id, n_tokens, bits_q, bpt_q)`` with ``bpt_q = bits_q //
+    n_tokens`` (NULL for token-less docs).
+
+    Shape: pass 1 trains the LM — per-batch ``np.unique`` partial counts,
+    one vocabulary-bounded ``groupby(term).sum()`` (the combiner
+    discipline; the exchange carries (term, count), never text).  The
+    (term → qb) table is built once on the driver and broadcast via
+    ``ray.put`` — vocabulary tables ship to every worker, exactly how
+    CCNet deploys its LMs; ``vocab_cap`` fails loudly instead of
+    broadcasting an unbounded table.  Pass 2 scores each batch with one
+    tokenize + sorted-vocab ``searchsorted`` gather + per-doc ``reduceat``
+    sums — shuffle-free."""
+    import pyarrow.compute as pc
+
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_null(texts.type):
+            return empty
+        terms, _, _ = DEFAULT_ANALYZER.tokenize_column(texts)
+        if len(terms) == 0:
+            return empty
+        u, c = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(u, type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = (ds.select_columns([text_col])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby("term").sum("c"))
+    tabs = [t for t in ray.get(table_refs(counts))
+            if t.num_rows and "term" in t.column_names]
+    if not tabs:
+        raise ValueError("lm_surprisal_scores: corpus has no tokens")
+    vocab = pa.concat_tables(tabs)
+    if vocab.num_rows > vocab_cap:
+        raise ValueError(
+            f"lm_surprisal_scores: vocabulary {vocab.num_rows} exceeds "
+            f"vocab_cap={vocab_cap} — prune the analyzer or raise the cap")
+    vterm = np.asarray(vocab["term"].to_pylist(), dtype=object)
+    vc = vocab["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vterm, kind="stable")
+    vterm, vc = vterm[order], vc[order]
+    total = np.float64(int(vc.sum()))
+    # ONE quantization per distinct token; everything downstream is int64
+    qb = np.floor(-np.log2(vc.astype(np.float64) / total)
+                  * quant + 0.5).astype(np.int64)
+    vref = ray.put((vterm, qb))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        zeros = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "bits_q": pa.array([], type=pa.int64()),
+                             "bpt_q": pa.array([], type=pa.int64())})
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_null(texts.type):
+            ntok = bits = zeros
+        else:
+            terms, doc_index, _ = DEFAULT_ANALYZER.tokenize_column(texts)
+            ntok = np.bincount(doc_index, minlength=n).astype(np.int64)
+            bits = zeros.copy()
+            if len(terms):
+                vt, vq = ray.get(vref)
+                at = np.searchsorted(vt, terms)
+                at[at == len(vt)] = 0
+                if not (vt[at] == terms).all():
+                    raise KeyError(
+                        "lm_surprisal_scores: token absent from the trained "
+                        "vocabulary — scoring a different dataset than the "
+                        "LM was trained on?")
+                tq = vq[at]
+                # doc_index is nondecreasing (flat token stream in row
+                # order): exact int64 per-doc sums via reduceat
+                starts = np.flatnonzero(
+                    np.r_[True, doc_index[1:] != doc_index[:-1]])
+                bits[doc_index[starts]] = np.add.reduceat(tq, starts)
+        nz = ntok > 0
+        bpt = np.zeros(n, dtype=np.int64)
+        bpt[nz] = bits[nz] // ntok[nz]
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(ntok),
+                         "bits_q": pa.array(bits),
+                         "bpt_q": pa.array(bpt, type=pa.int64(),
+                                           mask=~nz)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -626,3 +626,55 @@ def test_grouped_quantiles_unbounded_vs_duckdb(ray_session):
     with pytest.raises(TypeError, match="integer"):
         grouped_quantiles_unbounded(
             rd.from_arrow(pa.table({"g": ["a"], "x": [1.0]})), "g", "x", qs)
+
+
+def test_lm_surprisal_hand_computed(ray_session):
+    """Tiny corpus with hand-derivable unigram surprisals: counts a:2 b:2
+    c:1 over C=5 tokens; per-doc bits are exact sums of the per-distinct-
+    token quantized values (independently recomputed here with math.log2)."""
+    import math
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        lm_surprisal_scores)
+
+    rows = [(0, "a a b"), (1, "b c")]
+    out = _collect(lm_surprisal_scores(_docs(rows), "text", "doc_id"))
+
+    def qb(c, C=5, quant=1024):
+        return math.floor(-math.log2(c / C) * quant + 0.5)
+
+    exp0 = 2 * qb(2) + qb(2)          # a a b
+    exp1 = qb(2) + qb(1)              # b c
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["bits_q"].tolist() == [exp0, exp1]
+    assert out["bpt_q"].tolist() == [exp0 // 3, exp1 // 2]
+
+
+def test_lm_surprisal_partition_invariance_and_nulls(ray_session):
+    """Scores are pure functions of (token, corpus counts): repartitioning
+    cannot move them; NULL/empty texts score 0 tokens with NULL bpt_q."""
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        lm_surprisal_scores)
+
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["x y z", None, "", "x x y"], type=pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    a = _collect(lm_surprisal_scores(ds, "text", "doc_id"))
+    b = _collect(lm_surprisal_scores(ds.repartition(5), "text", "doc_id"))
+    assert a.equals(b)
+    assert a["n_tokens"].tolist() == [3, 0, 0, 3]
+    assert a["bpt_q"].isna().tolist() == [False, True, True, False]
+    assert (a.loc[[0, 3], "bits_q"] > 0).all()
+
+
+def test_lm_surprisal_vocab_cap(ray_session):
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        lm_surprisal_scores)
+
+    with pytest.raises(ValueError, match="vocab_cap"):
+        lm_surprisal_scores(_docs([(0, "a b c d e f")]), "text", "doc_id",
+                            vocab_cap=3)
