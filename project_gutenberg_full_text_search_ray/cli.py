@@ -16,7 +16,7 @@ the engine-core equivalent here is a command line that owns its Ray session
         OP ∈ dedup-exact | dedup-minhash | dedup-apply | dedup-exact-apply
              | split | sessionize | contamination | quota | pack | scrub
              | knn | pii | chunk | repetition | normalize | simjoin
-             | quantiles
+             | quantiles | kmeans | semdedup | dupspans | lmscore
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -167,6 +167,46 @@ def _prep(args) -> int:
             from .stages.similarity import knn_join
 
             out = knn_join(queries, args.vec_col, args.id_col, k=args.k)
+    elif args.op == "kmeans":
+        # deterministic distributed k-means: (id, cluster) per row
+        from .stages.clustering import cluster_assign, kmeans_train
+
+        vecs = rd.read_parquet(args.src, columns=[args.id_col, args.vec_col])
+        cents = kmeans_train(vecs, args.vec_col, args.id_col,
+                             args.n_clusters, iters=args.iters,
+                             seed=args.seed)
+        out = cluster_assign(vecs, args.vec_col, args.id_col, cents)
+    elif args.op == "semdedup":
+        # SemDeDup proper: k-means clusters → within-cluster cosine pairs
+        # (--threshold) → components → keep-canonical; survivors stream out
+        # with ALL original columns
+        from .stages.clustering import (
+            embedding_neardup_pairs_clustered,
+            kmeans_train,
+        )
+        from .stages.dedup import apply_dedup, connected_components_ds
+
+        vecs = rd.read_parquet(args.src, columns=[args.id_col, args.vec_col])
+        cents = kmeans_train(vecs, args.vec_col, args.id_col,
+                             args.n_clusters, iters=args.iters,
+                             seed=args.seed)
+        pairs = embedding_neardup_pairs_clustered(
+            vecs, args.vec_col, args.id_col, cents,
+            threshold=args.threshold, vec_source=args.src)
+        out = apply_dedup(ds, connected_components_ds(pairs), args.id_col)
+    elif args.op == "dupspans":
+        from .stages.corpus_prep import duplicate_spans
+
+        out = duplicate_spans(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col,
+            win=args.win, min_count=args.min_count)
+    elif args.op == "lmscore":
+        from .stages.corpus_prep import lm_surprisal_scores
+
+        out = lm_surprisal_scores(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, quant=args.quant)
     elif args.op == "quota":
         from .stages.corpus_prep import quota_sample
 
@@ -278,7 +318,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "sessionize", "contamination", "quota",
                                    "pack", "scrub", "knn", "pii",
                                    "chunk", "repetition", "normalize",
-                                   "simjoin", "quantiles"])
+                                   "simjoin", "quantiles", "kmeans",
+                                   "semdedup", "dupspans", "lmscore"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -330,6 +371,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="knn --ivf-dir: IVF list count at build")
     pr.add_argument("--n-probe", type=int, default=2,
                     help="knn --ivf-dir: probed lists per query row")
+    pr.add_argument("--n-clusters", type=int, default=10,
+                    help="kmeans/semdedup: cluster count")
+    pr.add_argument("--iters", type=int, default=2,
+                    help="kmeans/semdedup: Lloyd iterations")
+    pr.add_argument("--win", type=int, default=6,
+                    help="dupspans: window length in analyzer tokens")
+    pr.add_argument("--min-count", type=int, default=2,
+                    help="dupspans: corpus occurrences for a window to count")
+    pr.add_argument("--quant", type=int, default=1024,
+                    help="lmscore: surprisal quantization (units per bit)")
     pr.add_argument("--group-col", default="lang",
                     help="grouping column (quota)")
     pr.add_argument("--rates", default="en:1.0",

@@ -128,7 +128,12 @@ def sessionize(
                          and s["first_user"] == cur_user
                          and s["first_ts"] - cur_last_ts <= gap_us)
             if inherited:
-                fix[s["first_id"]] = cur_sess
+                # key by the block's FIRST full sort key, not first_id
+                # alone: blocks are disjoint ranges of the (user, ts, id)
+                # total order, so the triple is unique per block, while a
+                # bare id need not be globally unique (duplicate_spans
+                # passes __pid = token position, reused across documents)
+                fix[(s["first_user"], s["first_ts"], s["first_id"])] = cur_sess
             # the block's LAST session start is inherited only when the
             # whole block is one unbroken chain continuing the previous one
             last_sess = cur_sess if (inherited and s["single_chain"]) \
@@ -147,7 +152,11 @@ def sessionize(
         users, ts, ids = _np(b, user_col), _np(b, ts_col), _np(b, id_col)
         sess, head_end, _ = _block_sessions(users, ts, ids, gap_us)
         fmap = ray.get(fix_ref)
-        inherited = fmap.get(ids[0].item() if hasattr(ids[0], "item") else ids[0])
+
+        def _py(v):
+            return v.item() if hasattr(v, "item") else v
+
+        inherited = fmap.get((_py(users[0]), int(ts[0]), _py(ids[0])))
         if inherited is not None:
             sess = sess.copy()
             sess[:head_end] = inherited

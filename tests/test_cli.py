@@ -387,3 +387,60 @@ def test_cli_prep_quantiles(ray_session, tmp_path):
     rep = _json.loads(buf.getvalue().splitlines()[0])["quantiles"]
     assert {(r["g"], r["pct"]): r["val"] for r in rep} == {
         ("a", "p50"): 3, ("b", "p50"): 30}
+
+
+def test_cli_prep_kmeans_semdedup_dupspans_lmscore(ray_session, tmp_path):
+    """The four round-5 prep ops end-to-end through the CLI: k-means
+    assignment, clustered SemDeDup materializer, duplicate spans, LM
+    surprisal scores — each writes partitioned parquet with the documented
+    schema."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    vecs = str(tmp_path / "v.parquet")
+    base = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(9), type=pa.int64()),
+        "embedding": pa.array([base[i % 3] for i in range(9)],
+                              type=pa.list_(pa.float32()))}), vecs)
+    docs = str(tmp_path / "d.parquet")
+    shared = "alpha beta gamma delta epsilon zeta"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": [f"one {shared}", f"{shared} two", "unrelated text here"]}),
+        docs)
+
+    def run(argv, out):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(argv + [out]) == 0
+        return pq.read_table(out)
+
+    km = run(["prep", "kmeans", vecs, "--id-col", "vec_id",
+              "--n-clusters", "3"], str(tmp_path / "km"))
+    assert km.num_rows == 9
+    got = dict(zip(km["vec_id"].to_pylist(), km["cluster"].to_pylist()))
+    # identical vectors land in identical clusters
+    for i in range(9):
+        assert got[i] == got[i % 3]
+    # hash-chosen seeds may coincide on duplicate points (a starved cluster
+    # keeps its centroid) — at least the space must actually partition
+    assert len(set(got.values())) >= 2
+
+    sd = run(["prep", "semdedup", vecs, "--id-col", "vec_id",
+              "--n-clusters", "3", "--threshold", "0.9"],
+             str(tmp_path / "sd"))
+    # each duplicate triple collapses to its min-id member
+    assert sorted(sd["vec_id"].to_pylist()) == [0, 1, 2]
+
+    ds = run(["prep", "dupspans", docs, "--win", "4"], str(tmp_path / "ds"))
+    assert sorted(ds["doc_id"].to_pylist()) == [0, 1]
+
+    lm = run(["prep", "lmscore", docs], str(tmp_path / "lm"))
+    assert lm.num_rows == 3
+    assert lm.schema.names == ["doc_id", "n_tokens", "bits_q", "bpt_q"]

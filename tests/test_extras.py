@@ -1108,6 +1108,32 @@ def test_sessionize_sessions_span_blocks(ray_session):
     assert set(out["session_id"]) == {0}  # one session, started at event 0
 
 
+def test_sessionize_duplicate_ids_across_users(ray_session):
+    """Regression: the cross-block fixup map is keyed by the block head's
+    FULL (user, ts, id) sort key.  Keyed by id alone, two blocks whose first
+    rows share an id value (ids unique only per user — duplicate_spans
+    passes token positions) collided, leaking one user's session start into
+    another user's rows and splitting an unbroken chain."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.sessionize import sessionize
+
+    # the duplicate_spans shape: user = doc, ts = id = token position;
+    # one single-row block per row forces every chain across block
+    # boundaries and makes several blocks start with the same id value
+    rows = [{"u": 0, "p": 1}, {"u": 0, "p": 2}, {"u": 0, "p": 3},
+            {"u": 1, "p": 0}, {"u": 1, "p": 1}, {"u": 1, "p": 2}]
+    t = pa.table({"u": pa.array([r["u"] for r in rows], type=pa.int64()),
+                  "ts": pa.array([r["p"] for r in rows], type=pa.int64()),
+                  "id": pa.array([r["p"] for r in rows], type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(len(rows))
+    out = sessionize(ds, "u", "ts", "id", gap_us=4).to_pandas()
+    got = {(r.u, r.id): r.session_id for r in out.itertuples()}
+    assert got == {(0, 1): 1, (0, 2): 1, (0, 3): 1,
+                   (1, 0): 0, (1, 1): 0, (1, 2): 0}
+
+
 def test_sessionize_gaps_users_and_nulls(ray_session):
     """Break on gap, break on user change, NULL user/ts rows get NULL
     session — matches the DuckDB window oracle's semantics exactly."""
