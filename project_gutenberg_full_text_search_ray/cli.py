@@ -17,6 +17,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | split | sessionize | contamination | quota | pack | scrub
              | knn | pii | chunk | repetition | normalize | simjoin
              | quantiles | kmeans | semdedup | dupspans | lmscore
+             | tempsample | pplxbuckets
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -207,6 +208,18 @@ def _prep(args) -> int:
         out = lm_surprisal_scores(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col, quant=args.quant)
+    elif args.op == "tempsample":
+        from .stages.corpus_prep import temperature_sample
+
+        out = temperature_sample(ds, args.id_col, args.group_col,
+                                 alpha=args.alpha, seed=args.seed)
+    elif args.op == "pplxbuckets":
+        from .stages.corpus_prep import perplexity_buckets
+
+        out = perplexity_buckets(
+            rd.read_parquet(args.src, columns=[args.id_col, args.group_col,
+                                               args.text_col]),
+            args.text_col, args.id_col, args.group_col, quant=args.quant)
     elif args.op == "quota":
         from .stages.corpus_prep import quota_sample
 
@@ -319,7 +332,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "pack", "scrub", "knn", "pii",
                                    "chunk", "repetition", "normalize",
                                    "simjoin", "quantiles", "kmeans",
-                                   "semdedup", "dupspans", "lmscore"])
+                                   "semdedup", "dupspans", "lmscore",
+                                   "tempsample", "pplxbuckets"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -387,6 +401,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="group:rate,... (quota)")
     pr.add_argument("--default-rate", type=float, default=0.0,
                     help="rate for groups not in --rates (quota)")
+    pr.add_argument("--alpha", type=float, default=0.5,
+                    help="temperature exponent (tempsample; 0.5 = the "
+                         "standard square-root flattening)")
 
     args = p.parse_args(argv)
 

@@ -2264,6 +2264,114 @@ def _lm_scores_sql(quant: int = _LM_QUANT) -> str:
     )
 
 
+_TEMP_SEED = 29  # decorrelated from the split (17) and quota (23) coins
+
+
+def q_temperature_sample(sf_dir: str) -> pa.Table:
+    """Temperature-α=0.5 training-mix resampling
+    (stages/corpus_prep.temperature_sample): per-language keep-rates
+    sqrt(n_min / n_lang) derived from one tiny count aggregate, applied
+    with the deterministic splitmix64 hash coin — the multilingual-LM
+    square-root flattening step (Conneau & Lample 2019).  sqrt and the
+    division are correctly-rounded IEEE ops, so the DuckDB twin derives
+    the IDENTICAL integer acceptance thresholds from its own counts."""
+    from ..stages.corpus_prep import temperature_sample
+
+    out = temperature_sample(
+        _docs_ds(sf_dir, ["doc_id", "lang"]), "doc_id", "lang",
+        alpha=0.5, seed=_TEMP_SEED,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "lang": pa.array(out["lang"], type=pa.string())})
+
+
+def _temperature_sql() -> str:
+    """DuckDB twin of temperature_sample at α=0.5: counts → rate =
+    sqrt(CAST(n_min AS DOUBLE) / CAST(c AS DOUBLE)) (both ops correctly
+    rounded, so the float64 matches numpy bit-for-bit) → threshold =
+    floor(rate · 2⁶⁴) (power-of-two scaling is exact; the c = n_min
+    branch pins rate 1.0 to 2⁶⁴−1 like rate_threshold's min), then the
+    same FNV + splitmix64 coin as the split/quota oracles."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    fnv = _fnv_sql(repr(str(_TEMP_SEED) + "|") + " || CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH cnt AS (SELECT lang, count(*) AS c FROM documents "
+        "WHERE lang IS NOT NULL GROUP BY lang), "
+        "nm AS (SELECT min(c) AS nmin FROM cnt), "
+        "thr AS (SELECT lang, CASE WHEN c = (SELECT nmin FROM nm) "
+        "THEN CAST(18446744073709551615 AS UBIGINT) "
+        "ELSE CAST(floor(sqrt(CAST((SELECT nmin FROM nm) AS DOUBLE) / "
+        "CAST(c AS DOUBLE)) * 18446744073709551616.0) AS UBIGINT) END AS t "
+        "FROM cnt), "
+        f"h0 AS (SELECT doc_id, lang, CAST({fnv} AS UBIGINT) AS h "
+        "FROM documents WHERE lang IS NOT NULL), "
+        f"h1 AS (SELECT doc_id, lang, CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * "
+        f"CAST({c1} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h0), "
+        f"h2 AS (SELECT doc_id, lang, CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * "
+        f"CAST({c2} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h1), "
+        "h3 AS (SELECT doc_id, lang, xor(h, h >> 31) AS h FROM h2) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang "
+        "FROM h3 JOIN thr USING (lang) WHERE h < t ORDER BY doc_id"
+    )
+
+
+# perplexity-bucket edges shared by the Ray query and its SQL twin
+_PPLX_EDGES = (("head", 1 / 3), ("middle", 2 / 3))
+
+
+def q_perplexity_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style per-language perplexity bucketing
+    (stages/corpus_prep.perplexity_buckets): unigram-LM bits/token
+    (lm_quality_scores' kernel) cut at each language's exact 1/3 and 2/3
+    percentile_disc points (grouped_quantiles_streaming's kernel) →
+    head/middle/tail quality tiers.  Every comparison is integer-exact
+    (quantized surprisal vs a data-value cut point), so the DuckDB twin
+    reproduces the whole composition."""
+    from ..stages.corpus_prep import perplexity_buckets
+
+    out = perplexity_buckets(
+        _docs_ds(sf_dir, ["doc_id", "lang", "text"]), "text", "doc_id",
+        "lang", quant=_LM_QUANT, edges=_PPLX_EDGES,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "bpt_q": pa.array(out["bpt_q"], type=pa.int64()),
+        "bucket": pa.array(out["bucket"], type=pa.string())})
+
+
+def _perplexity_buckets_sql(quant: int = _LM_QUANT) -> str:
+    """DuckDB twin of perplexity_buckets: the _lm_scores_sql surprisal
+    CTEs, per-language quantile_disc cut points at the same float64
+    fraction literals (rank convention verified identical to the
+    refinement kernel's max(1, ceil(q·n))), the same
+    NULL-bpt → NULL-bucket / first-edge-≥ labeling rule."""
+    (n1, q1), (n2, q2) = _PPLX_EDGES
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "t AS (SELECT doc_id, unnest(arr) AS term FROM base), "
+        "cnt AS (SELECT term, count(*) AS c FROM t GROUP BY term), "
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt), "
+        "q AS (SELECT term, CAST(floor(-log2(CAST(c AS DOUBLE) / "
+        f"(SELECT s FROM tot)) * {quant} + 0.5) AS BIGINT) AS qb FROM cnt), "
+        "d AS (SELECT t.doc_id, count(*) AS n_tokens, sum(q.qb) AS bits_q "
+        "FROM t JOIN q USING (term) GROUP BY t.doc_id), "
+        "s AS (SELECT b.doc_id, doc.lang, "
+        "CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN NULL "
+        "ELSE CAST(d.bits_q // d.n_tokens AS BIGINT) END AS bpt_q "
+        "FROM base b JOIN documents doc USING (doc_id) "
+        "LEFT JOIN d USING (doc_id)), "
+        f"cut AS (SELECT lang, quantile_disc(bpt_q, {q1!r}) AS t1, "
+        f"quantile_disc(bpt_q, {q2!r}) AS t2 FROM s GROUP BY lang) "
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.lang, s.bpt_q, "
+        "CASE WHEN s.bpt_q IS NULL THEN NULL "
+        f"WHEN s.bpt_q <= c.t1 THEN '{n1}' "
+        f"WHEN s.bpt_q <= c.t2 THEN '{n2}' ELSE 'tail' END AS bucket "
+        "FROM s LEFT JOIN cut c ON s.lang IS NOT DISTINCT FROM c.lang "
+        "ORDER BY doc_id"
+    )
+
+
 # duplicate-span parameters shared by the Ray query and its SQL twin
 _DUP_SPANS = dict(win=6, min_count=2)
 
@@ -2455,6 +2563,10 @@ QUERIES_EXTRAS["dup_spans"] = q_dup_spans
 ORACLE_SQL_EXTRAS["dup_spans"] = _dup_spans_sql(**_DUP_SPANS)
 QUERIES_EXTRAS["lm_quality_scores"] = q_lm_quality_scores
 ORACLE_SQL_EXTRAS["lm_quality_scores"] = _lm_scores_sql()
+QUERIES_EXTRAS["temperature_sample"] = q_temperature_sample
+ORACLE_SQL_EXTRAS["temperature_sample"] = _temperature_sql()
+QUERIES_EXTRAS["perplexity_buckets"] = q_perplexity_buckets
+ORACLE_SQL_EXTRAS["perplexity_buckets"] = _perplexity_buckets_sql()
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -2710,6 +2822,11 @@ _DRIVER_ORDER = [
     # histogram refinement) — tail slot; the bounded-cardinality quantile
     # kernel it generalizes is hard-verified in-window (grouped_quantiles)
     "quantiles_streaming", "grouped_quantiles_streaming",
+    # r5 training-mix compositions — tail slots; every kernel they compose
+    # is hard-verified in-window (quota hash coin via split_assign, the
+    # surprisal LM via lm_quality_scores, the grouped count aggregate via
+    # langid_counts, the refinement quantiles via grouped_quantiles)
+    "temperature_sample", "perplexity_buckets",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

@@ -707,6 +707,7 @@ def duplicate_spans(
 def lm_surprisal_scores(
     ds: rd.Dataset, text_col: str, id_col: str, *,
     quant: int = 1024, vocab_cap: int = 5_000_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> rd.Dataset:
     """Unigram-LM surprisal quality scoring — the CCNet-style "perplexity
     filter" (Wenzek et al. 2020) with the LM trained on the corpus itself:
@@ -731,10 +732,18 @@ def lm_surprisal_scores(
     CCNet deploys its LMs; ``vocab_cap`` fails loudly instead of
     broadcasting an unbounded table.  Pass 2 scores each batch with one
     tokenize + sorted-vocab ``searchsorted`` gather + per-doc ``reduceat``
-    sums — shuffle-free."""
+    sums — shuffle-free.
+
+    ``carry_cols`` pass extra input columns through to the output
+    unchanged (e.g. the language column a downstream per-group bucketing
+    partitions on) — avoiding the corpus-sized re-join a separate
+    (id → group) lookup would need."""
     import pyarrow.compute as pc
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    sch = ds.schema().base_schema
+    id_type = sch.field(id_col).type
+    carry_cols = tuple(carry_cols)
+    carry_types = {c: sch.field(c).type for c in carry_cols}
 
     def partials(batch: pa.Table) -> pa.Table:
         empty = pa.table({"term": pa.array([], type=pa.string()),
@@ -779,10 +788,13 @@ def lm_surprisal_scores(
         n = batch.num_rows
         zeros = np.zeros(n, dtype=np.int64)
         if n == 0:
-            return pa.table({id_col: pa.array([], type=id_type),
-                             "n_tokens": pa.array([], type=pa.int64()),
-                             "bits_q": pa.array([], type=pa.int64()),
-                             "bpt_q": pa.array([], type=pa.int64())})
+            return pa.table(
+                {id_col: pa.array([], type=id_type),
+                 **{c: pa.array([], type=carry_types[c])
+                    for c in carry_cols},
+                 "n_tokens": pa.array([], type=pa.int64()),
+                 "bits_q": pa.array([], type=pa.int64()),
+                 "bpt_q": pa.array([], type=pa.int64())})
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -811,10 +823,194 @@ def lm_surprisal_scores(
         bpt = np.zeros(n, dtype=np.int64)
         bpt[nz] = bits[nz] // ntok[nz]
         return pa.table({id_col: batch[id_col],
+                         **{c: batch[c] for c in carry_cols},
                          "n_tokens": pa.array(ntok),
                          "bits_q": pa.array(bits),
                          "bpt_q": pa.array(bpt, type=pa.int64(),
                                            mask=~nz)})
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns(
+        [id_col, text_col, *carry_cols]).map_batches(
         score, batch_format="pyarrow")
+
+
+def temperature_rates(
+    ds: rd.Dataset, group_col: str, *, alpha: float = 0.5,
+) -> dict:
+    """Per-group keep-rates for temperature-``alpha`` resampling — the
+    multilingual-LM training-mix flattening step (sample language ℓ with
+    probability ∝ p_ℓ^α, Conneau & Lample 2019; α=0.5 is the standard
+    "square-root temperature").  Downsampling a group never touches
+    another (the quota_sample property), so the whole mix retunes with
+    one rate table.
+
+    rate_g = (n_min / n_g)^(1-α) with n_min = the smallest non-NULL
+    group's count: the smallest group keeps everything and larger groups
+    downsample toward the temperature-flattened distribution.
+
+    Oracle contract: at α=0.5 the rate is ``sqrt(n_min / n_g)`` — ONE
+    correctly-rounded IEEE division + ONE correctly-rounded sqrt, so a
+    SQL twin computing ``sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS
+    DOUBLE))`` reproduces the exact float64, and the shared
+    ``rate_threshold`` power-of-two scaling keeps the acceptance
+    thresholds integer-identical.  Other α go through ``pow``, which
+    IEEE does NOT require correctly rounded — fine for production, but a
+    bit-exact cross-engine oracle should stick to α ∈ {0.5, 1.0}.
+
+    Shape: per-batch partial counts (combiner) → one
+    group-cardinality ``groupby().sum()`` → driver computes the tiny
+    rate table.  Group cardinality must be bounded (enum-like — the
+    quota_sample contract).  NULL groups are excluded (they get
+    quota_sample's ``default_rate``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col]).filter(pc.is_valid(b[group_col]))
+        part = t.group_by([group_col]).aggregate([([], "count_all")])
+        return pa.table({group_col: part[group_col].cast(gtype),
+                         "c": part["count_all"].cast(pa.int64())})
+
+    agg = (ds.select_columns([group_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).aggregate(Sum("c", alias_name="c")))
+    schema = pa.schema([(group_col, gtype), ("c", pa.int64())])
+    tabs = [t for t in ray.get(table_refs(agg))
+            if t.num_rows and "c" in t.column_names]
+    if not tabs:
+        return {}
+    from ..functions.arrowutil import concat_cast
+    counts = concat_cast(tabs, schema)
+    groups = counts[group_col].to_pylist()
+    ns = counts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_min = np.float64(int(ns.min()))
+    if alpha == 1.0:
+        return {g: 1.0 for g in groups}
+    if alpha == 0.5:
+        rates = np.sqrt(n_min / ns.astype(np.float64))
+    else:
+        rates = np.power(n_min / ns.astype(np.float64),
+                         np.float64(1.0 - alpha))
+    return {g: float(r) for g, r in zip(groups, rates)}
+
+
+def temperature_sample(
+    ds: rd.Dataset, id_col: str, group_col: str, *,
+    alpha: float = 0.5, seed: int = 17,
+) -> rd.Dataset:
+    """Temperature-α resampling of the corpus: :func:`temperature_rates`
+    composed with :func:`quota_sample` — keep each group-g row iff
+    splitmix64(FNV-1a64(f"{seed}|{id}")) < rate_g·2⁶⁴.  Deterministic,
+    shuffle-free after the one tiny count aggregate, stable under
+    repartitioning, and a kept doc stays kept when its group's count is
+    unchanged.  NULL-group rows are dropped (no principled temperature
+    weight exists for an unknown group)."""
+    rates = temperature_rates(ds, group_col, alpha=alpha)
+    return quota_sample(ds, id_col, group_col, rates=rates, seed=seed,
+                        default_rate=0.0)
+
+
+def perplexity_buckets(
+    ds: rd.Dataset, text_col: str, id_col: str, group_col: str, *,
+    quant: int = 1024, edges: tuple = (("head", 1 / 3), ("middle", 2 / 3)),
+    tail_name: str = "tail",
+) -> rd.Dataset:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
+    §4.4): score every document with the corpus unigram LM
+    (:func:`lm_surprisal_scores`), cut each language at its surprisal
+    percentiles, and label docs ``head`` (lowest bits/token — cleanest
+    text), ``middle``, ``tail`` — the standard quality-tier signal a
+    training mix samples from.
+
+    Composition of two already-oracled kernels, each with the combiner
+    discipline:
+      1. ``lm_surprisal_scores`` (two streaming passes, vocabulary-sized
+         exchange) with ``group_col`` carried through — materialized
+         once as the tiny (id, group, bpt_q) table so the refinement
+         passes of step 2 re-read blocks instead of re-tokenizing text;
+      2. ``grouped_quantiles_unbounded`` over the integer ``bpt_q``
+         (O(log range) passes over the materialized scores, O(groups ×
+         n_buckets) exchange) — exact percentile_disc cut points per
+         group;
+      3. one shuffle-free labeling pass against the broadcast
+         (group → cut points) table.
+
+    Bucket rule (mirrored by the DuckDB twin): NULL ``bpt_q`` (token-less
+    doc) → NULL bucket; else the first edge whose cut point is ≥ the
+    doc's ``bpt_q``, else ``tail_name``.  Cut points are data values
+    (percentile_disc), so every comparison is integer-exact.  Returns
+    ``(id, group, bpt_q, bucket)``."""
+    import pyarrow.compute as pc
+
+    gtype = ds.schema().base_schema.field(group_col).type
+    id_type = ds.schema().base_schema.field(id_col).type
+    scores = lm_surprisal_scores(
+        ds, text_col, id_col, quant=quant, carry_cols=(group_col,),
+    ).materialize()
+
+    from .topk import grouped_quantiles_unbounded
+    qs = [(name, q) for name, q in edges]
+    cuts = grouped_quantiles_unbounded(scores, group_col, "bpt_q", qs)
+    # (group → [cut per edge, in edges order]); pct labels sort
+    # alphabetically in the output, so index by name, not position
+    cut_map: dict = {}
+    for g, p, v in zip(cuts[group_col].to_pylist(),
+                       cuts["pct"].to_pylist(),
+                       cuts["val"].to_pylist()):
+        cut_map.setdefault(g, {})[p] = v
+    edge_names = [name for name, _ in edges]
+    # per-group cut matrix for the vectorized labeling gather: row per
+    # group (non-NULL groups first, the NULL group — if any — last),
+    # plus an all-missing sentinel row for never-seen groups (unreachable
+    # — the cuts derive from the same scores — but must not mislabel)
+    nn_groups = [g for g in cut_map if g is not None]
+    n_rows = len(nn_groups) + 2
+    cuts_m = np.zeros((n_rows, len(edge_names)), dtype=np.int64)
+    has_m = np.zeros((n_rows, len(edge_names)), dtype=bool)
+    for r, g in enumerate(nn_groups + [None]):
+        d = cut_map.get(g)
+        if d is None:
+            continue
+        for j, name in enumerate(edge_names):
+            v = d.get(name)
+            if v is not None:
+                cuts_m[r, j] = v
+                has_m[r, j] = True
+    null_row, miss_row = len(nn_groups), len(nn_groups) + 1
+    thr_ref = ray.put((pa.array(nn_groups, type=gtype), cuts_m, has_m))
+
+    out_schema = pa.schema([(id_col, id_type), (group_col, gtype),
+                            ("bpt_q", pa.int64()),
+                            ("bucket", pa.string())])
+    names_arr = np.asarray(edge_names + [tail_name], dtype=object)
+
+    def label(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gset, cuts, has = ray.get(thr_ref)
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        isnull_g = pc.is_null(g).to_numpy(zero_copy_only=False)
+        slot = pc.fill_null(pc.index_in(g, value_set=gset),
+                            miss_row).to_numpy(zero_copy_only=False
+                                               ).astype(np.int64)
+        slot = np.where(isnull_g, null_row, slot)
+        valid = pc.is_valid(b["bpt_q"]).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(b["bpt_q"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # first edge whose cut point is >= v, else tail — walk the
+        # (bounded) edge list right-to-left, O(edges) vectorized passes
+        lab = np.full(b.num_rows, len(edge_names), dtype=np.int64)
+        for j in range(len(edge_names) - 1, -1, -1):
+            hit = has[slot, j] & (v <= cuts[slot, j])
+            lab = np.where(hit, j, lab)
+        return pa.table({id_col: b[id_col], group_col: b[group_col],
+                         "bpt_q": b["bpt_q"],
+                         "bucket": pa.array(names_arr[lab],
+                                            type=pa.string(),
+                                            mask=~valid)})
+
+    return scores.map_batches(label, batch_format="pyarrow")

@@ -444,3 +444,41 @@ def test_cli_prep_kmeans_semdedup_dupspans_lmscore(ray_session, tmp_path):
     lm = run(["prep", "lmscore", docs], str(tmp_path / "lm"))
     assert lm.num_rows == 3
     assert lm.schema.names == ["doc_id", "n_tokens", "bits_q", "bpt_q"]
+
+
+def test_cli_prep_tempsample_pplxbuckets(ray_session, tmp_path):
+    """Training-mix ops through the CLI: temperature resampling keeps the
+    min group whole and downsamples the rest; perplexity bucketing labels
+    every doc (head/middle/tail or NULL for token-less)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    docs = str(tmp_path / "d.parquet")
+    n = 90
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["en"] * 75 + ["fr"] * 15, type=pa.string()),
+        "text": pa.array(["common word " + " ".join(
+            f"u{i}x{j}" for j in range(i % 4)) for i in range(n)],
+            type=pa.string())}), docs)
+
+    def run(argv, out):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(argv + [out]) == 0
+        return pq.read_table(out)
+
+    ts = run(["prep", "tempsample", docs], str(tmp_path / "ts"))
+    langs = ts["lang"].to_pylist()
+    assert langs.count("fr") == 15            # min group: rate 1.0
+    assert 0 < langs.count("en") < 75         # majority group downsampled
+
+    pb = run(["prep", "pplxbuckets", docs], str(tmp_path / "pb"))
+    assert pb.num_rows == n
+    assert pb.schema.names == ["doc_id", "lang", "bpt_q", "bucket"]
+    assert set(pb["bucket"].to_pylist()) <= {"head", "middle", "tail", None}

@@ -678,3 +678,121 @@ def test_lm_surprisal_vocab_cap(ray_session):
     with pytest.raises(ValueError, match="vocab_cap"):
         lm_surprisal_scores(_docs([(0, "a b c d e f")]), "text", "doc_id",
                             vocab_cap=3)
+
+
+def _gdocs(spec):
+    """spec: {group: n_docs} → Dataset of (doc_id, grp, text) with doc_ids
+    assigned in group order; text = f"w{doc_id % 7} common"."""
+    import ray.data as rd
+
+    ids, grps, texts = [], [], []
+    i = 0
+    for g, n in spec.items():
+        for _ in range(n):
+            ids.append(i)
+            grps.append(g)
+            texts.append(f"w{i % 7} common")
+            i += 1
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "grp": pa.array(grps, type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def test_temperature_rates_alpha_half(ray_session):
+    """rate_g = sqrt(n_min/n_g): the smallest group keeps everything,
+    larger groups downsample by the square-root ratio; α=1 keeps all."""
+    import numpy as np
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        temperature_rates)
+
+    ds = _gdocs({"en": 400, "de": 100, "fr": 25})
+    rates = temperature_rates(ds, "grp", alpha=0.5)
+    assert rates["fr"] == 1.0
+    assert rates["de"] == float(np.sqrt(np.float64(25.0) / np.float64(100.0)))
+    assert rates["en"] == float(np.sqrt(np.float64(25.0) / np.float64(400.0)))
+    assert temperature_rates(ds, "grp", alpha=1.0) == {
+        "en": 1.0, "de": 1.0, "fr": 1.0}
+
+
+def test_temperature_sample_deterministic_null_groups_dropped(ray_session):
+    """Sampling is a pure function of (seed, id, group counts): identical
+    across repartitionings; NULL-group rows never survive; the min group
+    survives completely (rate exactly 1.0)."""
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        temperature_sample)
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(300)), type=pa.int64()),
+        "grp": pa.array((["en"] * 250 + ["fr"] * 40)
+                        + [None] * 10, type=pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    a = temperature_sample(ds, "doc_id", "grp", seed=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = temperature_sample(ds.repartition(7), "doc_id", "grp", seed=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert not a["grp"].isna().any()
+    assert (a["grp"] == "fr").sum() == 40          # min group: rate 1.0
+    n_en = (a["grp"] == "en").sum()
+    assert 0 < n_en < 250                          # en downsampled
+
+
+def test_perplexity_buckets_labels_and_nulls(ray_session):
+    """Bucket = first edge whose cut ≥ bpt_q (cut points are data values,
+    so per group roughly thirds land in each tier); token-less docs get a
+    NULL bucket; a scalar reimplementation of the rule agrees row-for-row
+    with the vectorized labeling pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        lm_surprisal_scores, perplexity_buckets)
+
+    rng = range(120)
+    t = pa.table({
+        "doc_id": pa.array(list(rng) + [900, 901], type=pa.int64()),
+        "grp": pa.array(["a" if i % 2 else "b" for i in rng]
+                        + ["a", None], type=pa.string()),
+        # i%5 once-only tokens per doc → 5 distinct bpt strata per group
+        "text": pa.array(["common common " + " ".join(
+            f"u{i}x{j}" for j in range(i % 5))
+            for i in rng] + ["", "common"], type=pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    out = perplexity_buckets(ds, "text", "doc_id", "grp") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 122
+    # token-less doc → NULL bucket; NULL group is its own group
+    assert out.loc[out["doc_id"] == 900, "bucket"].isna().all()
+    assert out.loc[out["doc_id"] == 901, "bucket"].notna().all()
+
+    # scalar reference: per-group exact percentile_disc cuts over bpt_q
+    scores = lm_surprisal_scores(ds, "text", "doc_id", carry_cols=("grp",)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for g in ["a", "b", None]:
+        m = scores["grp"].isna() if g is None else scores["grp"] == g
+        vals = np.sort(scores.loc[m, "bpt_q"].dropna().to_numpy())
+        cuts = [vals[max(1, int(np.ceil(q * len(vals)))) - 1]
+                for q in (1 / 3, 2 / 3)] if len(vals) else [None, None]
+        gm = out["grp"].isna() if g is None else out["grp"] == g
+        for _, row in out.loc[gm].iterrows():
+            if pa.compute.is_null(pa.scalar(row["bpt_q"])).as_py() or \
+                    row["bpt_q"] is None or row["bpt_q"] != row["bpt_q"]:
+                assert row["bucket"] is None or row["bucket"] != row["bucket"]
+                continue
+            v = int(row["bpt_q"])
+            exp = ("head" if cuts[0] is not None and v <= cuts[0] else
+                   "middle" if cuts[1] is not None and v <= cuts[1]
+                   else "tail")
+            assert row["bucket"] == exp, (g, v, cuts, row["bucket"])
+    # each populated tier is non-trivial per group (thirds by construction)
+    for g in ("a", "b"):
+        counts = out.loc[out["grp"] == g, "bucket"].value_counts()
+        assert set(counts.index) == {"head", "middle", "tail"}
+        assert (counts >= len(out.loc[out["grp"] == g]) // 6).all()
