@@ -17,7 +17,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | split | sessionize | contamination | quota | pack | scrub
              | knn | pii | chunk | repetition | normalize | simjoin
              | quantiles | kmeans | semdedup | dupspans | lmscore
-             | tempsample | pplxbuckets
+             | tempsample | pplxbuckets | dsir
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -208,6 +208,24 @@ def _prep(args) -> int:
         out = lm_surprisal_scores(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col, quant=args.quant)
+    elif args.op == "dsir":
+        # DSIR importance weights toward --target (Xie et al. 2023);
+        # --select-k switches to the deterministic top-k selection
+        from .stages.dsir import dsir_select, dsir_weights
+
+        if not args.target:
+            print(json.dumps({"error": "dsir needs --target (parquet with "
+                              "the target-domain texts)"}), file=sys.stderr)
+            return 2
+        raw = rd.read_parquet(args.src, columns=[args.id_col, args.text_col])
+        tgt = rd.read_parquet(args.target, columns=[args.text_col])
+        if args.select_k:
+            out = rd.from_arrow(dsir_select(
+                raw, tgt, args.text_col, args.id_col, k=args.select_k,
+                n_buckets=args.n_buckets, quant=args.quant))
+        else:
+            out = dsir_weights(raw, tgt, args.text_col, args.id_col,
+                               n_buckets=args.n_buckets, quant=args.quant)
     elif args.op == "tempsample":
         from .stages.corpus_prep import temperature_sample
 
@@ -333,7 +351,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "chunk", "repetition", "normalize",
                                    "simjoin", "quantiles", "kmeans",
                                    "semdedup", "dupspans", "lmscore",
-                                   "tempsample", "pplxbuckets"])
+                                   "tempsample", "pplxbuckets", "dsir"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -395,6 +413,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="dupspans: corpus occurrences for a window to count")
     pr.add_argument("--quant", type=int, default=1024,
                     help="lmscore: surprisal quantization (units per bit)")
+    pr.add_argument("--target", default=None,
+                    help="dsir: parquet with the target-domain texts")
+    pr.add_argument("--select-k", type=int, default=0,
+                    help="dsir: emit the top-k selection instead of "
+                         "per-doc weights")
+    pr.add_argument("--n-buckets", type=int, default=8192,
+                    help="dsir: hashed feature buckets")
     pr.add_argument("--group-col", default="lang",
                     help="grouping column (quota)")
     pr.add_argument("--rates", default="en:1.0",

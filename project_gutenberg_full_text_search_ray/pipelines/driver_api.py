@@ -2372,6 +2372,88 @@ def _perplexity_buckets_sql(quant: int = _LM_QUANT) -> str:
     )
 
 
+# DSIR parameters shared by the Ray query and its SQL twin
+_DSIR = dict(n_buckets=8192, quant=1024, k=200)
+
+
+def q_dsir_select(sf_dir: str) -> pa.Table:
+    """DSIR importance-resampled selection (stages/dsir.dsir_select, Xie
+    et al. 2023): the 200 documents most like the lang='en' target slice
+    under hashed unigram+bigram bag models, by exact-integer quantized
+    log-ratio weights — deterministic top-k in place of the paper's
+    Gumbel draw.  Feature hashing is the shared FNV-1a + splitmix64
+    chain, so the DuckDB twin recomputes the identical buckets, ratios
+    and selection."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.dsir import dsir_select
+
+    tgt_tab = _docs_ds(sf_dir, ["doc_id", "text", "lang"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t["lang"], "en")),
+                     batch_format="pyarrow")
+    out = dsir_select(
+        _docs_ds(sf_dir, ["doc_id", "text"]), tgt_tab, "text", "doc_id",
+        k=_DSIR["k"], n_buckets=_DSIR["n_buckets"], quant=_DSIR["quant"])
+    return pa.table({
+        "doc_id": out["doc_id"].cast(pa.int64()),
+        "n_feats": out["n_feats"], "dsir_wq": out["dsir_wq"]})
+
+
+def _dsir_sql(n_buckets: int, quant: int, k: int) -> str:
+    """DuckDB twin of dsir_select toward the lang='en' slice: the same
+    namespaced 'u|'/'b|' feature strings from _PTOK_SQL tokens, the same
+    FNV + splitmix64 bucket hash (hashed once per DISTINCT feature), the
+    same one-rounding-per-bucket surprisal quantization under add-one
+    smoothing (``floor(-log2((c+1)/(C+B))·quant+0.5)`` term for term),
+    exact integer per-doc sums, top-k by (wq DESC, doc_id)."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    fnv = _fnv_sql("f")
+    return (
+        "WITH base AS (SELECT doc_id, lang, list_filter("
+        f"regexp_split_to_array(lower(text), '{TOKEN_SPLIT_PATTERN}'), "
+        "x -> x <> '') AS arr FROM documents), "
+        "f1 AS (SELECT doc_id, lang, 'u|' || f AS f FROM base, "
+        "UNNEST(arr) AS u(f)), "
+        "f2 AS (SELECT doc_id, lang, 'b|' || arr[CAST(i AS INT)] || ' ' || "
+        "arr[CAST(i AS INT)+1] AS f FROM base, "
+        "UNNEST(range(1, len(arr))) AS r(i) WHERE len(arr) >= 2), "
+        "feats AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2), "
+        "df AS (SELECT DISTINCT f FROM feats), "
+        f"h0 AS (SELECT f, CAST({fnv} AS UBIGINT) AS h FROM df), "
+        f"h1 AS (SELECT f, CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * "
+        f"CAST({c1} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h0), "
+        f"h2 AS (SELECT f, CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * "
+        f"CAST({c2} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h1), "
+        f"hb AS (SELECT f, CAST(xor(h, h >> 31) % {n_buckets} AS BIGINT) "
+        "AS bkt FROM h2), "
+        "fb AS (SELECT doc_id, lang, bkt FROM feats JOIN hb USING (f)), "
+        "rc AS (SELECT bkt, count(*) AS c FROM fb GROUP BY bkt), "
+        "tc AS (SELECT bkt, count(*) AS c FROM fb WHERE lang = 'en' "
+        "GROUP BY bkt), "
+        f"rt AS (SELECT CAST(sum(c) + {n_buckets} AS DOUBLE) AS s FROM rc), "
+        f"tt AS (SELECT CAST(coalesce(sum(c), 0) + {n_buckets} AS DOUBLE) "
+        "AS s FROM tc), "
+        "lr AS (SELECT rc.bkt, "
+        "CAST(floor(-log2(CAST(rc.c + 1 AS DOUBLE) / (SELECT s FROM rt)) * "
+        f"{quant} + 0.5) AS BIGINT) - "
+        "CAST(floor(-log2(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / "
+        f"(SELECT s FROM tt)) * {quant} + 0.5) AS BIGINT) AS lrq "
+        "FROM rc LEFT JOIN tc USING (bkt)), "
+        "w AS (SELECT b.doc_id, coalesce(d.n, 0) AS n_feats, "
+        "coalesce(d.wq, 0) AS wq FROM base b LEFT JOIN "
+        "(SELECT doc_id, count(*) AS n, sum(lrq) AS wq "
+        "FROM fb JOIN lr USING (bkt) GROUP BY doc_id) d USING (doc_id)) "
+        "SELECT * FROM ("
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_feats AS BIGINT) AS n_feats, CAST(wq AS BIGINT) AS dsir_wq "
+        # token-less docs excluded — their neutral weight 0 would outrank
+        # every negatively-scored real document (dsir_select's contract)
+        f"FROM w WHERE n_feats > 0 ORDER BY wq DESC, doc_id LIMIT {k}) "
+        "ORDER BY doc_id"
+    )
+
+
 # duplicate-span parameters shared by the Ray query and its SQL twin
 _DUP_SPANS = dict(win=6, min_count=2)
 
@@ -2567,6 +2649,8 @@ QUERIES_EXTRAS["temperature_sample"] = q_temperature_sample
 ORACLE_SQL_EXTRAS["temperature_sample"] = _temperature_sql()
 QUERIES_EXTRAS["perplexity_buckets"] = q_perplexity_buckets
 ORACLE_SQL_EXTRAS["perplexity_buckets"] = _perplexity_buckets_sql()
+QUERIES_EXTRAS["dsir_select"] = q_dsir_select
+ORACLE_SQL_EXTRAS["dsir_select"] = _dsir_sql(**_DSIR)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -2762,7 +2846,12 @@ _DRIVER_ORDER = [
     # pass) promoted in place of knn_join_ivf, whose oracle is BY DESIGN
     # the same SQL as the in-window knn_join (probe-all ≡ brute); the IVF
     # probe path keeps that shared hard oracle in the tail + recall pytest
-    "ann_lsh_topk", "knn_join", "lm_quality_scores",
+    # dsir_select (NEW r5 kernel: DSIR hashed-n-gram importance weights —
+    # namespaced unigram+bigram bucket models, quantized log-ratio table,
+    # constant-group candidates-only top-k) promoted in place of
+    # contains_indexed, whose trigram expansion is fuzzy_search's in-window
+    # kernel and whose AND evaluator fts_multi_clause hard-verifies
+    "ann_lsh_topk", "knn_join", "lm_quality_scores", "dsir_select",
     # relational extras + corpus prep
     "asof_prev_purchase", "boilerplate_scrub",
     # text analysis: facet_lang_counts (r5 rotation: never driver-verified
@@ -2779,7 +2868,7 @@ _DRIVER_ORDER = [
     # grouped_topk kernel, promoted in place of contains_multi — multi-token
     # CONTAINS composes contains_indexed's trigram expansion with the AND
     # evaluator fts_multi_clause hard-verifies)
-    "fuzzy_search", "contains_indexed", "topk_per_lang", "field_search",
+    "fuzzy_search", "topk_per_lang", "field_search",
     # normalizers + sampling + rollups + joins + hierarchy navigation (the
     # r4 prefix-scoped combiner pass, promoted in place of fts_or — OR
     # evaluation stays hard-verified through fuzzy_search's expansion oracle)
@@ -2802,7 +2891,8 @@ _DRIVER_ORDER = [
     # candidate/verify/components/apply chain it composes runs in-window
     # inside semantic_dedup_lsh
     "semantic_dedup_kmeans", "window_counts", "facet_lang_counts",
-    "contains_multi", "ann_ivf_probeall", "ann_cosine_topk",
+    "contains_indexed", "contains_multi", "ann_ivf_probeall",
+    "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     "dedup_apply", "quota_sample", "value_histogram", "sample_per_source",
     "token_counts",

@@ -482,3 +482,43 @@ def test_cli_prep_tempsample_pplxbuckets(ray_session, tmp_path):
     assert pb.num_rows == n
     assert pb.schema.names == ["doc_id", "lang", "bpt_q", "bucket"]
     assert set(pb["bucket"].to_pylist()) <= {"head", "middle", "tail", None}
+
+
+def test_cli_prep_dsir(ray_session, tmp_path):
+    """`prep dsir` scores raw docs toward --target; --select-k picks the
+    deterministic top-k."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    raw = str(tmp_path / "raw.parquet")
+    tgt = str(tmp_path / "tgt.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": ["cat sat mat", "dog ran far", "cat sat mat"]}), raw)
+    pq.write_table(pa.table({"text": ["cat sat mat cat"]}), tgt)
+    out = str(tmp_path / "w")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "dsir", raw, out, "--target", tgt])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out).sort_by([("doc_id", "ascending")])
+    assert t.column_names == ["doc_id", "n_feats", "dsir_wq"]
+    wq = t["dsir_wq"].to_pylist()
+    assert wq[0] == wq[2] and wq[0] > wq[1]
+
+    sel = str(tmp_path / "s")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "dsir", raw, sel, "--target", tgt,
+                   "--select-k", "1"])
+    assert rc == 0
+    assert pq.read_table(sel)["doc_id"].to_pylist() == [1]
+
+    # missing --target is a loud usage error
+    assert main(["prep", "dsir", raw, str(tmp_path / "x")]) == 2
