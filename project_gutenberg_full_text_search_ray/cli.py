@@ -17,7 +17,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | split | sessionize | contamination | quota | pack | scrub
              | knn | pii | chunk | repetition | normalize | simjoin
              | quantiles | kmeans | semdedup | dupspans | lmscore
-             | tempsample | pplxbuckets | dsir
+             | tempsample | pplxbuckets | dsir | snapstore | snapdedup
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -208,6 +208,41 @@ def _prep(args) -> int:
         out = lm_surprisal_scores(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col, quant=args.quant)
+    elif args.op == "snapstore":
+        # build a snapshot fingerprint store (sigs + LSH band tables +
+        # manifest) — the persisted state cross-snapshot dedup probes
+        from .stages.snapshot import build_minhash_store
+
+        m = build_minhash_store(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, args.out_dir)
+        print(json.dumps({"op": "snapstore", "store": args.out_dir, **m}))
+        return 0
+    elif args.op == "snapdedup":
+        # dedupe SRC (the new snapshot) against --old-store: build/reuse the
+        # new store, probe band tables, drop agreement-matched docs
+        import os as _os
+
+        from .stages.snapshot import (
+            build_minhash_store,
+            snapshot_dedup_apply,
+            snapshot_dedup_pairs,
+        )
+
+        if not args.old_store:
+            print(json.dumps({"error": "snapdedup needs --old-store (a "
+                              "fingerprint store built by prep snapstore)"}),
+                  file=sys.stderr)
+            return 2
+        new_store = args.new_store or (args.out_dir.rstrip("/") + "_store")
+        if not _os.path.exists(_os.path.join(new_store, "manifest.json")):
+            build_minhash_store(
+                rd.read_parquet(args.src,
+                                columns=[args.id_col, args.text_col]),
+                args.text_col, args.id_col, new_store)
+        pairs = snapshot_dedup_pairs(new_store, args.old_store,
+                                     threshold=args.threshold)
+        out = snapshot_dedup_apply(ds, pairs, args.id_col)
     elif args.op == "dsir":
         # DSIR importance weights toward --target (Xie et al. 2023);
         # --select-k switches to the deterministic top-k selection
@@ -351,7 +386,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "chunk", "repetition", "normalize",
                                    "simjoin", "quantiles", "kmeans",
                                    "semdedup", "dupspans", "lmscore",
-                                   "tempsample", "pplxbuckets", "dsir"])
+                                   "tempsample", "pplxbuckets", "dsir",
+                                   "snapstore", "snapdedup"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -415,6 +451,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="lmscore: surprisal quantization (units per bit)")
     pr.add_argument("--target", default=None,
                     help="dsir: parquet with the target-domain texts")
+    pr.add_argument("--old-store", default=None,
+                    help="snapdedup: fingerprint store of the existing "
+                         "corpus (prep snapstore output)")
+    pr.add_argument("--new-store", default=None,
+                    help="snapdedup: where to build/reuse the new "
+                         "snapshot's store (default OUT_DIR + '_store')")
     pr.add_argument("--select-k", type=int, default=0,
                     help="dsir: emit the top-k selection instead of "
                          "per-doc weights")

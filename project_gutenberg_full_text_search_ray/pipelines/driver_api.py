@@ -2372,6 +2372,125 @@ def _perplexity_buckets_sql(quant: int = _LM_QUANT) -> str:
     )
 
 
+# snapshot-dedup parameters shared by the Ray query and its SQL twin
+_SNAP = dict(threshold=0.25, num_perm=64, bands=16, k_shingle=3, seed=7)
+
+
+def _ensure_snapshot_stores(sf_dir: str) -> tuple[str, str]:
+    """Build-or-reuse the two fingerprint stores the snapshot_dedup query
+    probes: 'old' = even doc_ids, 'new' = odd doc_ids (a deterministic,
+    scale-stable snapshot split of the documents table)."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..stages.snapshot import build_minhash_store
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    fp = parquet_input_fingerprint([path])
+    dirs = []
+    for name, parity in (("new", 1), ("old", 0)):
+        d = os.path.join(INDEX_CACHE_ROOT, f"snap{name}_{fp}")
+        dirs.append(d)
+        if os.path.exists(os.path.join(d, "manifest.json")):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        side = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)),
+            batch_format="pyarrow")
+        build_minhash_store(
+            side, "text", "doc_id", d, num_perm=_SNAP["num_perm"],
+            bands=_SNAP["bands"], k_shingle=_SNAP["k_shingle"],
+            seed=_SNAP["seed"])
+    return dirs[0], dirs[1]
+
+
+def q_snapshot_dedup(sf_dir: str) -> pa.Table:
+    """Cross-snapshot near-dup pairs (stages/snapshot.snapshot_dedup_pairs):
+    the odd-doc_id 'new snapshot' probed against the even-doc_id 'old
+    corpus' fingerprint store — band-table join + signature-agreement
+    estimate, no text ever re-read.  Signatures, the 58-bit packed band
+    keys AND the integer agreement counts are all exact, so the DuckDB
+    twin replays the whole operator."""
+    from ..stages.snapshot import snapshot_dedup_pairs
+
+    new_dir, old_dir = _ensure_snapshot_stores(sf_dir)
+    out = snapshot_dedup_pairs(
+        new_dir, old_dir, threshold=_SNAP["threshold"],
+        max_bucket_occupancy=None,
+    ).to_pandas()
+    if "id_a" not in out.columns:  # empty result drops schema
+        return pa.table({c: pa.array([], type=pa.int64())
+                         for c in ("id_a", "id_b", "est_i4")})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                     "id_b": pa.array(out["id_b"], type=pa.int64()),
+                     "est_i4": pa.array(out["est_i4"], type=pa.int64())})
+
+
+def _snapshot_dedup_sql(threshold: float, num_perm: int, bands: int,
+                        k_shingle: int, seed: int) -> str:
+    """DuckDB twin of q_snapshot_dedup — the minhash signature CTEs (same
+    seeded Mersenne permutations as _minhash_pairs_sql), empty docs given
+    the all-p signature the Python kernel assigns (so banding is uniform,
+    no special-case pairing), the EXACT (band << 58) | (xor-mix & mask58)
+    packed band keys of dedup.band_key_matrix (values < 2⁶², so UBIGINT →
+    BIGINT is lossless), odd×even candidates sharing a key, integer
+    signature-agreement counts, est_i4 = floor(ag/num_perm·10⁴ + 0.5)."""
+    from ..functions.textstats import minhash_params
+
+    rpb = num_perm // bands
+    p61 = (1 << 61) - 1
+    mix = 0x9E3779B97F4A7C15
+    mask58 = (1 << 58) - 1
+    a, b = minhash_params(num_perm, seed)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                          for j in range(num_perm))
+    base_pow = [pow(1099511628211, kk, 1 << 64)
+                for kk in range(k_shingle - 1, -1, -1)]
+    terms = " + ".join(
+        f"(CAST(a{j}.th AS UHUGEINT) * CAST({base_pow[j]} AS UHUGEINT)) % {_UM64}"
+        for j in range(k_shingle))
+    shash_joins = " ".join(
+        f"JOIN tokpos a{j} ON a{j}.doc_id = a0.doc_id AND a{j}.i = a0.i + {j}"
+        for j in range(1, k_shingle))
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "tokpos AS (SELECT doc_id, CAST(i AS INT) AS i, "
+        f"CAST({_fnv_sql('arr[CAST(i AS INT)]')} AS UBIGINT) AS th "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i)), "
+        f"shash AS (SELECT DISTINCT a0.doc_id, CAST(({terms}) % {_UM64} AS UBIGINT) AS h "
+        f"FROM tokpos a0 {shash_joins}), "
+        f"perms(j, pa, pb) AS (VALUES {perm_rows}), "
+        "sig AS (SELECT s.doc_id, p.j, CAST(min((CAST(p.pa AS HUGEINT) * CAST(s.h AS HUGEINT) "
+        f"+ CAST(p.pb AS HUGEINT)) % {p61}) AS UBIGINT) AS sv "
+        "FROM shash s CROSS JOIN perms p GROUP BY 1, 2), "
+        f"emptyd AS (SELECT doc_id FROM base WHERE len(arr) < {k_shingle}), "
+        # empty docs carry the all-p signature (minhash_signature's empty
+        # convention) so their band keys and agreements need no special case
+        "sigf AS (SELECT * FROM sig UNION ALL "
+        f"SELECT doc_id, CAST(j AS BIGINT), CAST({p61} AS UBIGINT) "
+        f"FROM emptyd, UNNEST(range(0, {num_perm})) AS rj(j)), "
+        f"bandh AS (SELECT doc_id, j // {rpb} AS band, "
+        f"bit_xor(CAST((CAST(sv AS UHUGEINT) * CAST({mix} AS UHUGEINT)) % {_UM64} AS UBIGINT)) AS bh "
+        f"FROM sigf WHERE j < {bands * rpb} GROUP BY 1, 2), "
+        "keyt AS (SELECT doc_id, CAST((CAST(band AS UBIGINT) << 58) | "
+        f"(bh & {mask58}) AS BIGINT) AS key FROM bandh), "
+        "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
+        "FROM keyt x JOIN keyt y ON x.key = y.key "
+        "AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0), "
+        "ag AS (SELECT c.id_a, c.id_b, "
+        "sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS n_agree "
+        "FROM cand c JOIN sigf sa ON sa.doc_id = c.id_a "
+        "JOIN sigf sb ON sb.doc_id = c.id_b AND sb.j = sa.j GROUP BY 1, 2) "
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        f"CAST(floor(CAST(n_agree AS DOUBLE) / {num_perm} * {SCORE_SCALE} + 0.5) AS BIGINT) AS est_i4 "
+        f"FROM ag WHERE CAST(n_agree AS DOUBLE) / {num_perm} >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
+
+
 # DSIR parameters shared by the Ray query and its SQL twin
 _DSIR = dict(n_buckets=8192, quant=1024, k=200)
 
@@ -2651,6 +2770,8 @@ QUERIES_EXTRAS["perplexity_buckets"] = q_perplexity_buckets
 ORACLE_SQL_EXTRAS["perplexity_buckets"] = _perplexity_buckets_sql()
 QUERIES_EXTRAS["dsir_select"] = q_dsir_select
 ORACLE_SQL_EXTRAS["dsir_select"] = _dsir_sql(**_DSIR)
+QUERIES_EXTRAS["snapshot_dedup"] = q_snapshot_dedup
+ORACLE_SQL_EXTRAS["snapshot_dedup"] = _snapshot_dedup_sql(**_SNAP)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -2816,8 +2937,15 @@ _DRIVER_ORDER = [
     # min-label components it composes run in-window inside
     # semantic_dedup_lsh itself, and dedup_components keeps the jaccard
     # pair source hard-verified
+    # snapshot_dedup (NEW r5 kernel: cross-snapshot dedup via persisted
+    # fingerprint stores — band-table join + signature-agreement estimate;
+    # its oracle replays the 58-bit packed banding EXACTLY, a stricter
+    # check than minhash_neardup's merge-tolerant banding) promoted in
+    # place of minhash_neardup, whose signature machinery it shares
+    # verbatim (MinHashStage + band_key_matrix) and whose true-Jaccard
+    # verify stays in-window inside dedup_components' pair source
     "dedup_exact_apply", "dedup_components", "semantic_dedup_lsh",
-    "minhash_neardup", "simhash_pairs",
+    "snapshot_dedup", "simhash_pairs",
     # late-r4 corpus-prep kernels: PII redaction (sequential re2 passes,
     # count-then-replace) and Gopher-style repetition signals (factorize +
     # rank-packed run counting); tsvector_agg demoted to make room — the
@@ -2891,8 +3019,8 @@ _DRIVER_ORDER = [
     # candidate/verify/components/apply chain it composes runs in-window
     # inside semantic_dedup_lsh
     "semantic_dedup_kmeans", "window_counts", "facet_lang_counts",
-    "contains_indexed", "contains_multi", "ann_ivf_probeall",
-    "ann_cosine_topk",
+    "contains_indexed", "contains_multi", "minhash_neardup",
+    "ann_ivf_probeall", "ann_cosine_topk",
     "ngram_jaccard_pairs", "tsvector_agg", "concat_assembly",
     "dedup_apply", "quota_sample", "value_histogram", "sample_per_source",
     "token_counts",

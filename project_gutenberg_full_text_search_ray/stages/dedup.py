@@ -605,6 +605,25 @@ class MinHashStage:
         return pa.table({self.id_col: batch[self.id_col], "sig": sig_col})
 
 
+def band_key_matrix(sig_flat: np.ndarray, n: int, num_perm: int,
+                    bands: int) -> np.ndarray:
+    """Packed LSH band keys from ``n`` flattened MinHash signatures —
+    ``(n·bands,)`` int64, row-major per doc: ``(band << 58) | (xor of
+    golden-ratio-mixed band entries & mask58)``.  Shared by the in-corpus
+    LSH pair source and the snapshot store (stages/snapshot.py), whose SQL
+    twin replays this exact packing — change it in lockstep with
+    driver_api._snapshot_dedup_sql.  Remainder perms past
+    ``bands · (num_perm // bands)`` are ignored (only full bands hash)."""
+    rows_per_band = num_perm // bands
+    with np.errstate(over="ignore"):
+        mixed = (sig_flat.reshape(n, num_perm)[:, : bands * rows_per_band]
+                 * np.uint64(0x9E3779B97F4A7C15))
+    bh = np.bitwise_xor.reduce(mixed.reshape(n, bands, rows_per_band), axis=2)
+    keys = ((np.arange(bands, dtype=np.uint64) << np.uint64(58))[None, :]
+            | (bh & np.uint64((1 << 58) - 1))).ravel()
+    return keys.view(np.int64)
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     text_col: str,
@@ -636,27 +655,21 @@ def minhash_lsh_pairs(
         doc_source = _default_doc_source(ds, id_col, text_col)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        # fully vectorized banding: one reshape + per-band xor-reduce over the
-        # (n, num_perm) signature matrix, int64 (band << 58 | hash) keys.
-        # The 58-bit truncation (vs the oracle's 63-bit band hash) can only
-        # MERGE buckets (extra candidates, removed by the TRUE-Jaccard
-        # verify), never split an oracle bucket — recall is preserved.
+        # fully vectorized banding (band_key_matrix): one reshape + per-band
+        # xor-reduce over the (n, num_perm) signature matrix, int64
+        # (band << 58 | hash) keys.  The 58-bit truncation (vs this
+        # operator's oracle, which hashes bands at 63 bits) can only MERGE
+        # buckets (extra candidates, removed by the TRUE-Jaccard verify),
+        # never split an oracle bucket — recall is preserved.
         sig = batch["sig"]
         if isinstance(sig, pa.ChunkedArray):
             sig = sig.combine_chunks()
         n = len(sig)
         flat = sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        with np.errstate(over="ignore"):
-            # remainder perms past bands*rows_per_band are ignored (only full
-            # bands hash), like the scalar banding this replaced
-            mixed = (flat.reshape(n, num_perm)[:, : bands * rows_per_band]
-                     * np.uint64(0x9E3779B97F4A7C15))
-        bh = np.bitwise_xor.reduce(mixed.reshape(n, bands, rows_per_band), axis=2)
-        keys = ((np.arange(bands, dtype=np.uint64) << np.uint64(58))[None, :]
-                | (bh & np.uint64((1 << 58) - 1))).ravel()
+        keys = band_key_matrix(flat, n, num_perm, bands)
         take = pa.array(np.repeat(np.arange(n), bands))
         return pa.table({id_col: batch[id_col].take(take),
-                         "band_key": pa.array(keys.view(np.int64), type=pa.int64())})
+                         "band_key": pa.array(keys, type=pa.int64())})
 
     keyed = (
         # autoscaling actor pool (1, N): a FIXED pool of N would reserve N

@@ -522,3 +522,43 @@ def test_cli_prep_dsir(ray_session, tmp_path):
 
     # missing --target is a loud usage error
     assert main(["prep", "dsir", raw, str(tmp_path / "x")]) == 2
+
+
+def test_cli_prep_snapstore_snapdedup(ray_session, tmp_path):
+    """`prep snapstore` builds a fingerprint store; `prep snapdedup` drops
+    new docs matching it."""
+    import io
+    import json as _json
+    import os as _os
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                             "text": [base]}), old)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": [base, "fresh novel content with its own vocabulary"]}), new)
+    store = str(tmp_path / "store")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "snapstore", old, store])
+    assert rc == 0 and _json.loads(buf.getvalue())["num_perm"] == 64
+    assert _os.path.exists(_os.path.join(store, "manifest.json"))
+
+    out = str(tmp_path / "deduped")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "snapdedup", new, out, "--old-store", store,
+                   "--threshold", "0.25"])
+    assert rc == 0
+    assert pq.read_table(out)["doc_id"].to_pylist() == [11]
+
+    # missing --old-store is a loud usage error
+    assert main(["prep", "snapdedup", new, str(tmp_path / "x")]) == 2
