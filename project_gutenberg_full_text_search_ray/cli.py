@@ -18,6 +18,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | knn | pii | chunk | repetition | normalize | simjoin
              | quantiles | kmeans | semdedup | dupspans | lmscore
              | tempsample | pplxbuckets | dsir | snapstore | snapdedup
+             | budgetsample
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -266,6 +267,14 @@ def _prep(args) -> int:
 
         out = temperature_sample(ds, args.id_col, args.group_col,
                                  alpha=args.alpha, seed=args.seed)
+    elif args.op == "budgetsample":
+        from .stages.corpus_prep import token_budget_sample
+
+        out = token_budget_sample(
+            rd.read_parquet(args.src, columns=[args.id_col, args.group_col,
+                                               args.text_col]),
+            args.text_col, args.id_col, args.group_col,
+            budget_tokens=args.budget_tokens, seed=args.seed)
     elif args.op == "pplxbuckets":
         from .stages.corpus_prep import perplexity_buckets
 
@@ -387,7 +396,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "simjoin", "quantiles", "kmeans",
                                    "semdedup", "dupspans", "lmscore",
                                    "tempsample", "pplxbuckets", "dsir",
-                                   "snapstore", "snapdedup"])
+                                   "snapstore", "snapdedup", "budgetsample"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -451,6 +460,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="lmscore: surprisal quantization (units per bit)")
     pr.add_argument("--target", default=None,
                     help="dsir: parquet with the target-domain texts")
+    pr.add_argument("--budget-tokens", type=int, default=1_000_000,
+                    help="budgetsample: kept analyzer tokens per group "
+                         "(in expectation)")
     pr.add_argument("--old-store", default=None,
                     help="snapdedup: fingerprint store of the existing "
                          "corpus (prep snapstore output)")

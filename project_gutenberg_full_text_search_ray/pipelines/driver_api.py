@@ -2315,6 +2315,58 @@ def _temperature_sql() -> str:
     )
 
 
+_BUDGET_SEED = 37      # decorrelated from split (17) / quota (23) / temp (29)
+_BUDGET_TOKENS = 5000  # per-language token budget shared with the SQL twin
+
+
+def q_token_budget_sample(sf_dir: str) -> pa.Table:
+    """Token-budget training-mix resampling
+    (stages/corpus_prep.token_budget_sample): keep-rates
+    min(1, budget/T_lang) from one tokenize-count combiner, applied with
+    the deterministic splitmix64 coin — the "N tokens per domain" mix
+    step.  The rate is one correctly-rounded IEEE division of exact
+    integers, so the DuckDB twin derives identical thresholds from its
+    own token sums."""
+    from ..stages.corpus_prep import token_budget_sample
+
+    out = token_budget_sample(
+        _docs_ds(sf_dir, ["doc_id", "text", "lang"]), "text", "doc_id",
+        "lang", budget_tokens=_BUDGET_TOKENS, seed=_BUDGET_SEED,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "lang": pa.array(out["lang"], type=pa.string())})
+
+
+def _token_budget_sql() -> str:
+    """DuckDB twin of token_budget_sample: per-language analyzer-token
+    sums (the _PTOK_SQL tokens), threshold = floor(budget/T · 2⁶⁴)
+    (T ≤ budget pins rate 1.0 to 2⁶⁴−1 like rate_threshold's min), then
+    the shared FNV + splitmix64 coin."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    b = _BUDGET_TOKENS
+    fnv = _fnv_sql(repr(str(_BUDGET_SEED) + "|")
+                   + " || CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH toks AS (SELECT doc_id, lang, len(list_filter("
+        f"regexp_split_to_array(lower(text), '{TOKEN_SPLIT_PATTERN}'), "
+        "x -> x <> '')) AS nt FROM documents WHERE lang IS NOT NULL), "
+        "cnt AS (SELECT lang, sum(nt) AS t FROM toks GROUP BY lang), "
+        f"thr AS (SELECT lang, CASE WHEN t <= {b} "
+        "THEN CAST(18446744073709551615 AS UBIGINT) "
+        f"ELSE CAST(floor(CAST({b} AS DOUBLE) / CAST(t AS DOUBLE) * "
+        "18446744073709551616.0) AS UBIGINT) END AS th FROM cnt), "
+        f"h0 AS (SELECT doc_id, lang, CAST({fnv} AS UBIGINT) AS h "
+        "FROM documents WHERE lang IS NOT NULL), "
+        f"h1 AS (SELECT doc_id, lang, CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * "
+        f"CAST({c1} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h0), "
+        f"h2 AS (SELECT doc_id, lang, CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * "
+        f"CAST({c2} AS UHUGEINT)) % {_UM64} AS UBIGINT) AS h FROM h1), "
+        "h3 AS (SELECT doc_id, lang, xor(h, h >> 31) AS h FROM h2) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang "
+        "FROM h3 JOIN thr USING (lang) WHERE h < th ORDER BY doc_id"
+    )
+
+
 # perplexity-bucket edges shared by the Ray query and its SQL twin
 _PPLX_EDGES = (("head", 1 / 3), ("middle", 2 / 3))
 
@@ -2772,6 +2824,8 @@ QUERIES_EXTRAS["dsir_select"] = q_dsir_select
 ORACLE_SQL_EXTRAS["dsir_select"] = _dsir_sql(**_DSIR)
 QUERIES_EXTRAS["snapshot_dedup"] = q_snapshot_dedup
 ORACLE_SQL_EXTRAS["snapshot_dedup"] = _snapshot_dedup_sql(**_SNAP)
+QUERIES_EXTRAS["token_budget_sample"] = q_token_budget_sample
+ORACLE_SQL_EXTRAS["token_budget_sample"] = _token_budget_sql()
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -3045,6 +3099,10 @@ _DRIVER_ORDER = [
     # surprisal LM via lm_quality_scores, the grouped count aggregate via
     # langid_counts, the refinement quantiles via grouped_quantiles)
     "temperature_sample", "perplexity_buckets",
+    # token_budget_sample: tail slot — rate-from-aggregate + splitmix coin,
+    # the temperature_sample kernel class with token sums (the tokenize
+    # count is lm_quality_scores' in-window first stage) for the rate
+    "token_budget_sample",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

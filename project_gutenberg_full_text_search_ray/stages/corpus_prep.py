@@ -912,6 +912,90 @@ def temperature_sample(
                         default_rate=0.0)
 
 
+def token_budget_rates(
+    ds: rd.Dataset, text_col: str, group_col: str, *, budget_tokens: int,
+    analyzer=DEFAULT_ANALYZER,
+) -> dict:
+    """Per-group keep-rates that sample each group down to ``budget_tokens``
+    analyzer tokens IN EXPECTATION — the "10 B tokens per domain"
+    training-mix step (docs are kept whole; the hash coin makes the kept
+    token mass concentrate tightly around rate·T_g).
+
+    rate_g = min(1, budget_tokens / T_g) with T_g the group's total token
+    count — one correctly-rounded IEEE division over two exact integers, so
+    a SQL twin computing ``CAST(b AS DOUBLE) / CAST(T AS DOUBLE)`` derives
+    the identical float64 and (via the shared ``rate_threshold``
+    power-of-two scaling) identical integer acceptance thresholds.
+
+    Shape: ONE streaming tokenize pass emitting per-batch (group, tokens)
+    partials → one group-cardinality ``groupby().sum()`` → the tiny driver
+    rate table.  Group cardinality must be bounded (the quota_sample
+    contract); NULL groups are excluded (they get quota_sample's
+    ``default_rate``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    gtype = ds.schema().base_schema.field(group_col).type
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], type=gtype),
+                          "t": pa.array([], type=pa.int64())})
+        t = b.select([group_col, text_col]).filter(pc.is_valid(b[group_col]))
+        if t.num_rows == 0:
+            return empty
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_null(texts.type):
+            ntok = np.zeros(t.num_rows, dtype=np.int64)
+        else:
+            _, doc_index, _ = analyzer.tokenize_column(texts)
+            ntok = np.bincount(doc_index, minlength=t.num_rows).astype(
+                np.int64)
+        part = pa.table({group_col: t[group_col],
+                         "n": pa.array(ntok)}).group_by(
+            [group_col]).aggregate([("n", "sum")])
+        return pa.table({group_col: part[group_col].cast(gtype),
+                         "t": part["n_sum"].cast(pa.int64())})
+
+    agg = (ds.select_columns([group_col, text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).aggregate(Sum("t", alias_name="t")))
+    schema = pa.schema([(group_col, gtype), ("t", pa.int64())])
+    from ..functions.arrowutil import concat_cast, table_refs
+    tabs = [t for t in ray.get(table_refs(agg))
+            if t.num_rows and "t" in t.column_names]
+    if not tabs:
+        return {}
+    counts = concat_cast(tabs, schema)
+    out = {}
+    for g, tg in zip(counts[group_col].to_pylist(),
+                     counts["t"].to_pylist()):
+        # a zero-token group keeps everything (nothing to budget away)
+        out[g] = 1.0 if tg <= budget_tokens else (
+            np.float64(budget_tokens) / np.float64(tg))
+    return {g: float(r) for g, r in out.items()}
+
+
+def token_budget_sample(
+    ds: rd.Dataset, text_col: str, id_col: str, group_col: str, *,
+    budget_tokens: int, seed: int = 37,
+) -> rd.Dataset:
+    """Token-budget training-mix resampling: :func:`token_budget_rates`
+    composed with :func:`quota_sample` — keep each group-g row iff
+    splitmix64(FNV-1a64(f"{seed}|{id}")) < rate_g·2⁶⁴, where rate_g
+    targets ``budget_tokens`` kept tokens per group.  Deterministic,
+    shuffle-free after the one tiny count aggregate, stable under
+    repartitioning; NULL-group rows are dropped.  Returns the surviving
+    (id, group) rows."""
+    rates = token_budget_rates(ds, text_col, group_col,
+                               budget_tokens=budget_tokens)
+    return quota_sample(ds, id_col, group_col, rates=rates, seed=seed,
+                        default_rate=0.0)
+
+
 def perplexity_buckets(
     ds: rd.Dataset, text_col: str, id_col: str, group_col: str, *,
     quant: int = 1024, edges: tuple = (("head", 1 / 3), ("middle", 2 / 3)),

@@ -203,6 +203,41 @@ def run_semdedup_scale(tag: str, emb_dir: str) -> dict:
     return out
 
 
+def run_snapshot_scale(tag: str, sf_dir: str) -> dict:
+    """snapshot_dedup soak: split the corpus even/odd, build both
+    fingerprint stores, probe new against old (the registered query's
+    shape, 10×-able) — store-build vs probe cost recorded separately."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from project_gutenberg_full_text_search_ray.stages.snapshot import (
+        build_minhash_store, snapshot_dedup_pairs)
+
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(doc_src).metadata.num_rows
+    out: dict = {"scale": tag, "op": "snapshot_dedup", "n_docs": n}
+    stores = {}
+    t0 = time.time()
+    for name, parity in (("old", 0), ("new", 1)):
+        d = os.path.join("/tmp/pgfts_soak_snap", f"{tag}_{name}")
+        shutil.rmtree(d, ignore_errors=True)
+        side = docs_ds(sf_dir).map_batches(
+            lambda b, p=parity: b.filter(
+                pc.equal(pc.bit_wise_and(b["doc_id"], 1), p)),
+            batch_format="pyarrow")
+        build_minhash_store(side, "text", "doc_id", d)
+        stores[name] = d
+    out["store_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    pairs = snapshot_dedup_pairs(stores["new"], stores["old"],
+                                 threshold=0.25).materialize()
+    out["probe_sec"] = round(time.time() - t0, 2)
+    out["pairs"] = pairs.count()
+    out["canary_sort_sec"] = canary()
+    return out
+
+
 def run_scale(tag: str, sf_dir: str) -> dict:
     from project_gutenberg_full_text_search_ray.stages.dedup import (
         connected_components_ds, minhash_lsh_pairs, ngram_jaccard_pairs)
@@ -243,7 +278,7 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    ops = "ngram,simjoin,semdedup"
+    ops = "ngram,simjoin,semdedup,snapshot"
     for a in sys.argv[1:]:
         if a.startswith("--ops="):
             ops = a.split("=", 1)[1]
@@ -252,7 +287,7 @@ def main() -> None:
     print(json.dumps({"canary_sort_sec_pre": canary()}), flush=True)
     results = []
     # synthesize the 10x doc corpus only for the ops that read it
-    sf1_dir = gen_sf1() if ops_set & {"ngram", "simjoin"} else None
+    sf1_dir = gen_sf1() if ops_set & {"ngram", "simjoin", "snapshot"} else None
     scales = ([] if "--skip-sf01" in sys.argv else [("sf0.1", SF01)]) + \
         [("sf1_synth_10x", sf1_dir)]
     if "ngram" in ops_set:
@@ -262,6 +297,10 @@ def main() -> None:
     if "simjoin" in ops_set:
         for tag, d in scales:
             results.append(run_simjoin_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
+    if "snapshot" in ops_set:
+        for tag, d in scales:
+            results.append(run_snapshot_scale(tag, d))
             print(json.dumps(results[-1]), flush=True)
     if "semdedup" in ops_set:
         emb10 = gen_sf1_embeddings()

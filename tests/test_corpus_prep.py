@@ -796,3 +796,64 @@ def test_perplexity_buckets_labels_and_nulls(ray_session):
         counts = out.loc[out["grp"] == g, "bucket"].value_counts()
         assert set(counts.index) == {"head", "middle", "tail"}
         assert (counts >= len(out.loc[out["grp"] == g]) // 6).all()
+
+
+def test_token_budget_rates_and_sample(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        token_budget_rates, token_budget_sample)
+
+    rng = np.random.default_rng(11)
+    rows = {"doc_id": [], "grp": [], "text": []}
+    for i in range(300):
+        grp = "big" if i % 3 else "small"
+        n = 40 if grp == "big" else 5
+        rows["doc_id"].append(i)
+        rows["grp"].append(grp)
+        rows["text"].append(" ".join(
+            f"w{int(x)}" for x in rng.integers(0, 50, size=n)))
+    rows["doc_id"].append(300)
+    rows["grp"].append(None)          # NULL group → excluded
+    rows["text"].append("x y z")
+    tab = pa.table({"doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                    "grp": pa.array(rows["grp"], type=pa.string()),
+                    "text": rows["text"]})
+    ds = rd.from_arrow(tab)
+    rates = token_budget_rates(ds, "text", "grp", budget_tokens=1000)
+    # big: 200 docs × 40 tokens = 8000 → rate 0.125; small: 500 → rate 1.0
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - 1000 / 8000) < 1e-12
+    assert None not in rates
+
+    out = token_budget_sample(ds, "text", "doc_id", "grp",
+                              budget_tokens=1000).to_pandas()
+    kept = out.groupby("grp")["doc_id"].count()
+    assert kept["small"] == 100                 # rate 1.0 keeps everything
+    assert 5 <= kept["big"] <= 60               # ~25 expected at rate 0.125
+    assert (out["grp"].notna()).all()           # NULL group dropped
+    # deterministic and partition-invariant
+    again = token_budget_sample(rd.from_arrow(tab).repartition(7), "text",
+                                "doc_id", "grp",
+                                budget_tokens=1000).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_token_budget_rates_edge_cases(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        token_budget_rates)
+
+    ds = rd.from_arrow(pa.table({
+        "grp": pa.array(["a", "b"], type=pa.string()),
+        "text": pa.array(["one two three", None], type=pa.string())}))
+    rates = token_budget_rates(ds, "text", "grp", budget_tokens=2)
+    assert abs(rates["a"] - 2 / 3) < 1e-12
+    assert rates["b"] == 1.0                     # zero tokens ≤ budget
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_rates(ds, "text", "grp", budget_tokens=-1)
