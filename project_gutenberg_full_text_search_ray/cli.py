@@ -18,7 +18,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | knn | pii | chunk | repetition | normalize | simjoin
              | quantiles | kmeans | semdedup | dupspans | lmscore
              | tempsample | pplxbuckets | dsir | snapstore | snapdedup
-             | budgetsample
+             | budgetsample | tfidf
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -267,6 +267,12 @@ def _prep(args) -> int:
 
         out = temperature_sample(ds, args.id_col, args.group_col,
                                  alpha=args.alpha, seed=args.seed)
+    elif args.op == "tfidf":
+        from .stages.keywords import tfidf_top_terms
+
+        out = tfidf_top_terms(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, k=args.k, quant=args.quant)
     elif args.op == "budgetsample":
         from .stages.corpus_prep import token_budget_sample
 
@@ -396,7 +402,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "simjoin", "quantiles", "kmeans",
                                    "semdedup", "dupspans", "lmscore",
                                    "tempsample", "pplxbuckets", "dsir",
-                                   "snapstore", "snapdedup", "budgetsample"])
+                                   "snapstore", "snapdedup", "budgetsample",
+                                   "tfidf"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")

@@ -2315,6 +2315,58 @@ def _temperature_sql() -> str:
     )
 
 
+_TFIDF = dict(k=5, quant=1024)  # shared by the Ray query and its SQL twin
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pa.Table:
+    """TF-IDF keyword extraction (stages/keywords.tfidf_top_terms): the 5
+    most characteristic terms per document under exact integer
+    ``tf · floor(log2(N/df)·quant + 0.5)`` scores, (score DESC, term ASC)
+    order — the classic IR signal, combiner-shaped (df vocabulary
+    exchange + broadcast idf table + one shuffle-free scoring pass)."""
+    from ..stages.keywords import tfidf_top_terms
+
+    out = tfidf_top_terms(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+        k=_TFIDF["k"], quant=_TFIDF["quant"]).to_pandas()
+    if "doc_id" not in out.columns:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "term": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64()),
+                         "score_q": pa.array([], type=pa.int64())})
+    out = out.sort_values(
+        ["doc_id", "score_q", "term"],
+        ascending=[True, False, True]).reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "term": pa.array(out["term"], type=pa.string()),
+                     "tf": pa.array(out["tf"], type=pa.int64()),
+                     "score_q": pa.array(out["score_q"], type=pa.int64())})
+
+
+def _tfidf_sql(k: int, quant: int) -> str:
+    """DuckDB twin of tfidf_top_terms: the same analyzer tokens, the same
+    one-rounding-per-distinct-term idf quantization (float64 expression
+    shapes match numpy term for term), exact integer tf·idf products,
+    row_number() under the identical (score DESC, term ASC) order."""
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "t AS (SELECT doc_id, unnest(arr) AS term FROM base), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t "
+        "GROUP BY term), "
+        "nd AS (SELECT count(*) AS n FROM base), "
+        "q AS (SELECT term, CAST(floor(log2(CAST((SELECT n FROM nd) AS DOUBLE) "
+        f"/ CAST(df AS DOUBLE)) * {quant} + 0.5) AS BIGINT) AS idf FROM df), "
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * q.idf AS score_q "
+        "FROM tf JOIN q USING (term)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_q DESC, term) AS rn FROM s) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, term, "
+        "CAST(tf AS BIGINT) AS tf, CAST(score_q AS BIGINT) AS score_q "
+        f"FROM r WHERE rn <= {k} ORDER BY doc_id, score_q DESC, term"
+    )
+
+
 _BUDGET_SEED = 37      # decorrelated from split (17) / quota (23) / temp (29)
 _BUDGET_TOKENS = 5000  # per-language token budget shared with the SQL twin
 
@@ -2826,6 +2878,8 @@ QUERIES_EXTRAS["snapshot_dedup"] = q_snapshot_dedup
 ORACLE_SQL_EXTRAS["snapshot_dedup"] = _snapshot_dedup_sql(**_SNAP)
 QUERIES_EXTRAS["token_budget_sample"] = q_token_budget_sample
 ORACLE_SQL_EXTRAS["token_budget_sample"] = _token_budget_sql()
+QUERIES_EXTRAS["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLE_SQL_EXTRAS["tfidf_top_terms"] = _tfidf_sql(**_TFIDF)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -3103,6 +3157,10 @@ _DRIVER_ORDER = [
     # the temperature_sample kernel class with token sums (the tokenize
     # count is lm_quality_scores' in-window first stage) for the rate
     "token_budget_sample",
+    # tfidf_top_terms: tail slot — the df vocabulary combiner + quantized
+    # broadcast weight table is lm_quality_scores' in-window kernel class;
+    # the per-doc grouped head is topk_per_lang's
+    "tfidf_top_terms",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}
