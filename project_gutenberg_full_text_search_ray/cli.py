@@ -18,7 +18,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | knn | pii | chunk | repetition | normalize | simjoin
              | quantiles | kmeans | semdedup | dupspans | lmscore
              | tempsample | pplxbuckets | dsir | snapstore | snapdedup
-             | budgetsample | tfidf
+             | budgetsample | tfidf | esnapstore | esnapdedup
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -244,6 +244,39 @@ def _prep(args) -> int:
         pairs = snapshot_dedup_pairs(new_store, args.old_store,
                                      threshold=args.threshold)
         out = snapshot_dedup_apply(ds, pairs, args.id_col)
+    elif args.op == "esnapstore":
+        # embedding fingerprint store (vectors + sign-LSH band tables)
+        from .stages.snapshot import build_embedding_store
+
+        m = build_embedding_store(
+            rd.read_parquet(args.src, columns=[args.id_col, args.vec_col]),
+            args.vec_col, args.id_col, args.out_dir)
+        print(json.dumps({"op": "esnapstore", "store": args.out_dir, **m}))
+        return 0
+    elif args.op == "esnapdedup":
+        # semantic dedupe of SRC (new snapshot embeddings) vs --old-store
+        import os as _os
+
+        from .stages.snapshot import (
+            build_embedding_store,
+            snapshot_dedup_apply,
+            snapshot_semdedup_pairs,
+        )
+
+        if not args.old_store:
+            print(json.dumps({"error": "esnapdedup needs --old-store (an "
+                              "embedding store from prep esnapstore)"}),
+                  file=sys.stderr)
+            return 2
+        new_store = args.new_store or (args.out_dir.rstrip("/") + "_store")
+        if not _os.path.exists(_os.path.join(new_store, "manifest.json")):
+            build_embedding_store(
+                rd.read_parquet(args.src,
+                                columns=[args.id_col, args.vec_col]),
+                args.vec_col, args.id_col, new_store)
+        pairs = snapshot_semdedup_pairs(new_store, args.old_store,
+                                        threshold=args.threshold)
+        out = snapshot_dedup_apply(ds, pairs, args.id_col)
     elif args.op == "dsir":
         # DSIR importance weights toward --target (Xie et al. 2023);
         # --select-k switches to the deterministic top-k selection
@@ -403,7 +436,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "semdedup", "dupspans", "lmscore",
                                    "tempsample", "pplxbuckets", "dsir",
                                    "snapstore", "snapdedup", "budgetsample",
-                                   "tfidf"])
+                                   "tfidf", "esnapstore", "esnapdedup"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")

@@ -2595,6 +2595,102 @@ def _snapshot_dedup_sql(threshold: float, num_perm: int, bands: int,
     )
 
 
+# embedding snapshot-dedup parameters shared with the SQL twin
+_SNAP_EMB = dict(threshold=0.45, n_planes=48, bands=12, seed=11)
+
+
+def _ensure_embedding_stores(sf_dir: str) -> tuple[str, str]:
+    """Build-or-reuse the two embedding fingerprint stores
+    snapshot_semdedup probes: 'old' = even vec_ids, 'new' = odd."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..stages.snapshot import build_embedding_store
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    fp = parquet_input_fingerprint([path])
+    dirs = []
+    for name, parity in (("new", 1), ("old", 0)):
+        d = os.path.join(INDEX_CACHE_ROOT, f"esnap{name}_{fp}")
+        dirs.append(d)
+        if os.path.exists(os.path.join(d, "manifest.json")):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        import ray.data as rd
+        side = rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+            .map_batches(
+                lambda t, p=parity: t.filter(
+                    pc.equal(pc.bit_wise_and(t["vec_id"], 1), p)),
+                batch_format="pyarrow")
+        build_embedding_store(
+            side, "embedding", "vec_id", d, n_planes=_SNAP_EMB["n_planes"],
+            bands=_SNAP_EMB["bands"], seed=_SNAP_EMB["seed"])
+    return dirs[0], dirs[1]
+
+
+def q_snapshot_semdedup(sf_dir: str) -> pa.Table:
+    """Cross-snapshot SEMANTIC dedup (stages/snapshot.snapshot_semdedup_pairs):
+    the odd-vec_id 'new snapshot' probed against the even-vec_id 'old
+    corpus' embedding store — banded sign-LSH band-table join + exact-
+    cosine verify over the stored vectors.  The integer-sign bucket
+    structure AND the DOUBLE[] cosine are both SQL-exact."""
+    from ..stages.snapshot import snapshot_semdedup_pairs
+
+    new_dir, old_dir = _ensure_embedding_stores(sf_dir)
+    out = snapshot_semdedup_pairs(
+        new_dir, old_dir, threshold=_SNAP_EMB["threshold"],
+        max_bucket_occupancy=None,
+    ).to_pandas()
+    if "id_a" not in out.columns:
+        return pa.table({c: pa.array([], type=pa.int64())
+                         for c in ("id_a", "id_b", "cos_i4")})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                     "id_b": pa.array(out["id_b"], type=pa.int64()),
+                     "cos_i4": pa.array(out["cos_i4"], type=pa.int64())})
+
+
+def _snapshot_semdedup_sql(threshold: float, n_planes: int, bands: int,
+                           seed: int) -> str:
+    """DuckDB twin of q_snapshot_semdedup: the ±1 FNV planes / integer
+    sign codes of _semantic_dedup_lsh_sql (bit-exact bucket structure),
+    odd×even candidates sharing any (band, code), exact DOUBLE[]-cosine
+    verify and the ×10⁴ quantization."""
+    per_band = n_planes // bands
+    dp_expr = ("CAST(d AS VARCHAR) || '|' || CAST(p AS VARCHAR) || '|"
+               + str(seed) + "'")
+    return (
+        "WITH nd AS (SELECT len(embedding) AS dim FROM embeddings "
+        "WHERE vec_id = 0), "
+        "planes AS (SELECT CAST(d AS INT) AS d, CAST(p AS INT) AS p, "
+        f"CASE WHEN (CAST({_fnv_sql(dp_expr)} AS UBIGINT) >> 32) & 1 = 1 "
+        "THEN 1 ELSE -1 END AS w "
+        "FROM UNNEST(range(0, (SELECT dim FROM nd))) AS rd(d), "
+        f"UNNEST(range(0, {n_planes})) AS rp(p)), "
+        "dots AS (SELECT e.vec_id, pl.p, "
+        "sum(CAST(floor(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 10000 + 0.5) "
+        "AS HUGEINT) * pl.w) AS dp "
+        "FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2), "
+        f"bkeys AS (SELECT vec_id, CAST(p // {per_band} AS INT) AS band, "
+        f"sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << "
+        f"({per_band} - 1 - CAST(p % {per_band} AS INT))) ELSE 0 END) AS code "
+        "FROM dots GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.code = b.code "
+        "AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0) "
+        "SELECT CAST(c.id_a AS BIGINT) AS id_a, "
+        "CAST(c.id_b AS BIGINT) AS id_b, "
+        "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS cos_i4 "
+        "FROM cand c JOIN embeddings a ON a.vec_id = c.id_a "
+        "JOIN embeddings b ON b.vec_id = c.id_b "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])) >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
+
+
 # DSIR parameters shared by the Ray query and its SQL twin
 _DSIR = dict(n_buckets=8192, quant=1024, k=200)
 
@@ -2880,6 +2976,8 @@ QUERIES_EXTRAS["token_budget_sample"] = q_token_budget_sample
 ORACLE_SQL_EXTRAS["token_budget_sample"] = _token_budget_sql()
 QUERIES_EXTRAS["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE_SQL_EXTRAS["tfidf_top_terms"] = _tfidf_sql(**_TFIDF)
+QUERIES_EXTRAS["snapshot_semdedup"] = q_snapshot_semdedup
+ORACLE_SQL_EXTRAS["snapshot_semdedup"] = _snapshot_semdedup_sql(**_SNAP_EMB)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -3161,6 +3259,10 @@ _DRIVER_ORDER = [
     # broadcast weight table is lm_quality_scores' in-window kernel class;
     # the per-doc grouped head is topk_per_lang's
     "tfidf_top_terms",
+    # snapshot_semdedup: tail slot — the sign-LSH bucket structure is
+    # semantic_dedup_lsh's in-window kernel and the band-store probe is
+    # snapshot_dedup's; only the composition (embedding stores) is new
+    "snapshot_semdedup",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

@@ -173,32 +173,26 @@ def _parquet_files(path: str) -> list[str]:
     return files
 
 
-def snapshot_dedup_pairs(
-    new_store: str, old_store: str, *, threshold: float = 0.25,
-    max_bucket_occupancy: int | None = 1024,
-    concurrency: int | None = None,
-) -> rd.Dataset:
-    """Cross-snapshot near-duplicate pairs ``(id_a=new, id_b=old,
-    est_i4)``: join the two stores' band tables on band_key, verify
-    candidates by signature agreement ≥ ``threshold``, distinct pairs
-    out.  Never touches either corpus's text.
+def _store_id_type(store: str, subdir: str, id_col: str):
+    import pyarrow.parquet as pq
 
-    ``max_bucket_occupancy`` drops band keys holding more rows than the
-    cap ON EITHER SIDE before the join (a stopword-heavy boilerplate
-    bucket would otherwise explode the candidate product) — same
-    recall trade as the in-corpus LSH source, the verified estimate is
-    unaffected for surviving candidates.  Ids must be comparable across
-    snapshots only in the sense that equal ids are the same document;
-    overlapping id SPACES are fine (sides never mix)."""
+    return pq.read_schema(
+        _parquet_files(os.path.join(store, subdir))[0]).field(id_col).type
+
+
+def _probe_band_stores(
+    new_store: str, old_store: str, id_col: str,
+    max_bucket_occupancy: int | None,
+) -> rd.Dataset | None:
+    """Shared probe: join the two stores' band tables on band_key →
+    (id_a=new, id_b=old) candidate rows, with the hot-bucket occupancy
+    cap applied per side first.  Returns ``None`` when the capped join
+    is provably empty (an all-hot side leaves only map-produced empty
+    blocks, which Ray's hash join cannot key — and the result is
+    definitionally empty anyway; the count guard costs one scan of the
+    already-filtered 16 B/row band tables, paid only on this rare
+    path)."""
     import pyarrow.compute as pc
-
-    m_new, m_old = _load_manifest(new_store), _load_manifest(old_store)
-    if m_new != m_old:
-        raise ValueError(
-            f"incompatible fingerprint stores: {m_new} vs {m_old} — "
-            f"rebuild one side with matching params")
-    id_col = m_new["id_col"]
-    concurrency = _pool_size(concurrency)
 
     def side(store: str, out_id: str) -> rd.Dataset:
         b = rd.read_parquet(os.path.join(store, "bands"))
@@ -230,23 +224,48 @@ def snapshot_dedup_pairs(
 
             new_b = new_b.map_batches(cold, batch_format="pyarrow")
             old_b = old_b.map_batches(cold, batch_format="pyarrow")
-            # an all-hot side leaves only map-produced empty blocks, which
-            # Ray's hash join cannot key (schema-less partitions) — the
-            # result is definitionally empty anyway, so short-circuit.
-            # Count cost is one scan of the already-filtered 16 B/row band
-            # tables, paid only on this rare path.
             if new_b.count() == 0 or old_b.count() == 0:
-                import pyarrow.parquet as pq
+                return None
+    return new_b.join(old_b, join_type="inner", on=("band_key",),
+                      **_join_args()).select_columns(["id_a", "id_b"])
 
-                id_type = pq.read_schema(
-                    _parquet_files(os.path.join(new_store, "sigs"))[0]
-                ).field(id_col).type
-                return rd.from_arrow(pa.table({
-                    "id_a": pa.array([], type=id_type),
-                    "id_b": pa.array([], type=id_type),
-                    "est_i4": pa.array([], type=pa.int64())}))
-    cands = new_b.join(old_b, join_type="inner", on=("band_key",),
-                       **_join_args()).select_columns(["id_a", "id_b"])
+
+def snapshot_dedup_pairs(
+    new_store: str, old_store: str, *, threshold: float = 0.25,
+    max_bucket_occupancy: int | None = 1024,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Cross-snapshot near-duplicate pairs ``(id_a=new, id_b=old,
+    est_i4)``: join the two stores' band tables on band_key, verify
+    candidates by signature agreement ≥ ``threshold``, distinct pairs
+    out.  Never touches either corpus's text.
+
+    ``max_bucket_occupancy`` drops band keys holding more rows than the
+    cap ON EITHER SIDE before the join (a stopword-heavy boilerplate
+    bucket would otherwise explode the candidate product) — same
+    recall trade as the in-corpus LSH source, the verified estimate is
+    unaffected for surviving candidates.  Ids must be comparable across
+    snapshots only in the sense that equal ids are the same document;
+    overlapping id SPACES are fine (sides never mix)."""
+    m_new, m_old = _load_manifest(new_store), _load_manifest(old_store)
+    for m, d in ((m_new, new_store), (m_old, old_store)):
+        if m.get("kind", "minhash") != "minhash":
+            raise ValueError(
+                f"{d} is not a MinHash store (kind={m.get('kind')!r}) — "
+                f"snapshot_semdedup_pairs probes embedding stores")
+    if m_new != m_old:
+        raise ValueError(
+            f"incompatible fingerprint stores: {m_new} vs {m_old} — "
+            f"rebuild one side with matching params")
+    id_col = m_new["id_col"]
+    cands = _probe_band_stores(new_store, old_store, id_col,
+                               max_bucket_occupancy)
+    if cands is None:
+        id_type = _store_id_type(new_store, "sigs", id_col)
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "est_i4": pa.array([], type=pa.int64())}))
     verified = cands.map_batches(
         VerifySigAgreementStage,
         fn_constructor_kwargs={
@@ -255,8 +274,168 @@ def snapshot_dedup_pairs(
             "id_col": id_col, "num_perm": m_new["num_perm"],
             "threshold": threshold},
         batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, concurrency))
+        concurrency=(1, _pool_size(concurrency)))
     return _dedupe_pairs_min(verified, "est_i4")
+
+
+def build_embedding_store(
+    ds: rd.Dataset, vec_col: str, id_col: str, store_dir: str, *,
+    n_planes: int = 48, bands: int = 12, seed: int = 11,
+) -> dict:
+    """Embedding analog of :func:`build_minhash_store`: persist a
+    snapshot's vectors (``vecs/``) and their banded sign-LSH keys
+    (``bands/``, sorted) + manifest — the state cross-snapshot SEMANTIC
+    dedup probes.  Signs come from the deterministic ±1 FNV planes over
+    ×10⁴-quantized INTEGER vectors (``similarity.hash_planes`` —
+    sign(Σ int·±1) is exact integer arithmetic, so the bucket structure
+    is bit-for-bit SQL-replicable, the ``plane_mode='hash'`` trick of
+    ``dedup.embedding_neardup_pairs_lsh``)."""
+    from .similarity import _matrix, hash_planes, quantize_i4
+
+    per_band = n_planes // bands
+    if per_band < 1:
+        raise ValueError(f"n_planes={n_planes} < bands={bands}")
+    if per_band + max(1, (bands - 1).bit_length()) > 62:
+        raise ValueError(
+            f"n_planes={n_planes}/bands={bands}: band key overflows int64")
+    vec_dir = os.path.join(store_dir, "vecs")
+    band_dir = os.path.join(store_dir, "bands")
+    ds.select_columns([id_col, vec_col]).write_parquet(vec_dir)
+
+    used = bands * per_band
+    pow2 = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    band_tag = (np.arange(bands, dtype=np.int64) << np.int64(per_band))
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"band_key": pa.array([], type=pa.int64()),
+                             id_col: batch[id_col]})
+        M = quantize_i4(_matrix(batch[vec_col]))
+        dim = M.shape[1]
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = hash_planes(dim, n_planes, seed)
+        bits = (M @ planes_by_dim[dim]) > 0
+        codes = bits[:, :used].reshape(len(M), bands, per_band) @ pow2
+        keys = (band_tag[None, :] | codes).ravel()
+        take = pa.array(np.repeat(np.arange(batch.num_rows), bands))
+        return pa.table({"band_key": pa.array(keys, type=pa.int64()),
+                         id_col: batch[id_col].take(take)})
+
+    (rd.read_parquet(vec_dir)
+     .map_batches(bucketize, batch_format="pyarrow")
+     .sort("band_key")
+     .write_parquet(band_dir))
+    manifest = {"kind": "embedding", "n_planes": n_planes, "bands": bands,
+                "seed": seed, "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(store_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+class VerifyCosineCrossStage:
+    """Cross-store exact-cosine verify of (id_a=new, id_b=old) candidate
+    pairs: two fetchers (the sides' id spaces may overlap), per-side
+    normalized-row caches, one einsum row-wise dot per batch — the
+    ``VerifyCosineStage`` kernel with a store per side."""
+
+    CACHE_CAP = 200_000
+
+    def __init__(self, new_vecs: str, old_vecs: str, id_col: str,
+                 vec_col: str, threshold: float):
+        self.sides = [DocFetcher(_parquet_files(new_vecs), id_col, [vec_col]),
+                      DocFetcher(_parquet_files(old_vecs), id_col, [vec_col])]
+        self.threshold = threshold
+        self._ids: list = [None, None]
+        self._M: list = [None, None]
+
+    def _rows(self, side: int, ids: np.ndarray) -> np.ndarray:
+        from .similarity import _normalize
+
+        need = set(ids.tolist())
+        have = (set() if self._ids[side] is None
+                else set(self._ids[side].tolist()))
+        missing = need - have
+        if missing:
+            if len(have) + len(missing) > self.CACHE_CAP:
+                self._ids[side], self._M[side] = None, None
+                missing = set(need)
+            vecs = self.sides[side].fetch(missing)
+            absent = missing - vecs.keys()
+            if absent:
+                raise KeyError(
+                    f"vector store side {side} is missing {len(absent)} "
+                    f"candidate id(s), e.g. {sorted(absent)[:5]} — stale "
+                    f"or partial store?")
+            mids = sorted(missing)
+            Mnew = _normalize(np.asarray([vecs[i] for i in mids],
+                                         dtype=np.float64))
+            if self._ids[side] is None:
+                self._ids[side], self._M[side] = np.asarray(mids), Mnew
+            else:
+                all_ids = np.concatenate([self._ids[side],
+                                          np.asarray(mids)])
+                order = np.argsort(all_ids, kind="stable")
+                self._ids[side] = all_ids[order]
+                self._M[side] = np.concatenate(
+                    [self._M[side], Mnew])[order]
+        return self._M[side][np.searchsorted(self._ids[side], ids)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import quantize_i4
+
+        if batch.num_rows == 0:
+            return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                             "cos_i4": pa.array([], type=pa.int64())})
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        sims = np.einsum("ij,ij->i", self._rows(0, a), self._rows(1, b))
+        keep = sims >= self.threshold
+        t = batch.filter(pa.array(keep))
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "cos_i4": pa.array(quantize_i4(sims[keep]),
+                                            type=pa.int64())})
+
+
+def snapshot_semdedup_pairs(
+    new_store: str, old_store: str, *, threshold: float = 0.9,
+    max_bucket_occupancy: int | None = 4096,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Cross-snapshot SEMANTIC near-duplicate pairs ``(id_a=new,
+    id_b=old, cos_i4)``: join the two embedding stores' band tables,
+    verify candidates by exact cosine over the stored vectors.  Same
+    probe shape, cap semantics and id contract as
+    :func:`snapshot_dedup_pairs`."""
+    m_new, m_old = _load_manifest(new_store), _load_manifest(old_store)
+    for m, d in ((m_new, new_store), (m_old, old_store)):
+        if m.get("kind") != "embedding":
+            raise ValueError(
+                f"{d} is not an embedding store (kind="
+                f"{m.get('kind', 'minhash')!r}) — build it with "
+                f"build_embedding_store")
+    if m_new != m_old:
+        raise ValueError(
+            f"incompatible embedding stores: {m_new} vs {m_old} — "
+            f"rebuild one side with matching params")
+    cands = _probe_band_stores(new_store, old_store, m_new["id_col"],
+                               max_bucket_occupancy)
+    if cands is None:
+        id_type = _store_id_type(new_store, "vecs", m_new["id_col"])
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=id_type),
+            "id_b": pa.array([], type=id_type),
+            "cos_i4": pa.array([], type=pa.int64())}))
+    verified = cands.map_batches(
+        VerifyCosineCrossStage,
+        fn_constructor_kwargs={
+            "new_vecs": os.path.join(new_store, "vecs"),
+            "old_vecs": os.path.join(old_store, "vecs"),
+            "id_col": m_new["id_col"], "vec_col": m_new["vec_col"],
+            "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, _pool_size(concurrency)))
+    return _dedupe_pairs_min(verified, "cos_i4")
 
 
 def snapshot_dedup_apply(

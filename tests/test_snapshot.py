@@ -122,3 +122,54 @@ def test_custom_analyzer_rejected(ray_session, tmp_path):
                                     "text": [BASE]})),
             "text", "doc_id", str(tmp_path / "x"),
             analyzer=Analyzer(stopwords=True))
+
+
+def _emb_store(tmp_path, name, ids, vecs, **kw):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.snapshot import (
+        build_embedding_store)
+
+    d = str(tmp_path / name)
+    tab = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(vecs,
+                                          type=pa.list_(pa.float32()))})
+    build_embedding_store(rd.from_arrow(tab), "embedding", "vec_id", d, **kw)
+    return d
+
+
+def test_embedding_store_pairs_and_kind_guard(ray_session, tmp_path):
+    from project_gutenberg_full_text_search_ray.stages.snapshot import (
+        snapshot_dedup_pairs, snapshot_semdedup_pairs)
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    near_v = [0.98, 0.2, 0.0, 0.0]
+    old = _emb_store(tmp_path, "eo", [1, 2], [v, w])
+    new = _emb_store(tmp_path, "en", [10, 11, 12], [v, near_v, w])
+    out = snapshot_semdedup_pairs(new, old, threshold=0.9).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert out["id_a"].tolist() == [10, 11, 12]
+    assert out["id_b"].tolist() == [1, 1, 2]
+    assert out["cos_i4"].tolist()[0] == 10000      # identical vector
+    assert 9000 <= out["cos_i4"].tolist()[1] < 10000
+
+    # kind guards: embedding store into the MinHash probe and vice versa
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a MinHash store"):
+        snapshot_dedup_pairs(new, old)
+    text = _store(tmp_path, "txt", {
+        "doc_id": pa.array([1], type=pa.int64()), "text": [BASE]})
+    with _pytest.raises(ValueError, match="not an embedding store"):
+        snapshot_semdedup_pairs(text, text)
+
+
+def test_embedding_store_param_mismatch(ray_session, tmp_path):
+    from project_gutenberg_full_text_search_ray.stages.snapshot import (
+        snapshot_semdedup_pairs)
+
+    v = [1.0, 0.0]
+    a = _emb_store(tmp_path, "ea", [1], [v])
+    b = _emb_store(tmp_path, "eb", [2], [v], bands=6)
+    with pytest.raises(ValueError, match="incompatible embedding stores"):
+        snapshot_semdedup_pairs(a, b)
