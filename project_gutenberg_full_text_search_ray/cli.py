@@ -48,6 +48,12 @@ def _prep(args) -> int:
     import ray.data as rd
 
     _ray_up()
+    # per-op similarity-threshold defaults: a shared 0.5 default silently
+    # applied to esnapdedup's COSINE threshold would delete merely-related
+    # documents (library default there is 0.9)
+    if getattr(args, "threshold", None) is None:
+        args.threshold = {"snapdedup": 0.25, "esnapdedup": 0.9}.get(
+            args.op, 0.5)
     ds = rd.read_parquet(args.src)
     if args.op == "dedup-exact":
         from .stages.dedup import exact_dedup
@@ -443,8 +449,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--user-col", default="user_id")
     pr.add_argument("--ts-col", default="ts")
-    pr.add_argument("--threshold", type=float, default=0.5,
-                    help="Jaccard threshold (dedup-minhash)")
+    pr.add_argument("--threshold", type=float, default=None,
+                    help="similarity threshold; per-op default when unset "
+                         "(Jaccard 0.5 for dedup-minhash/dedup-apply/"
+                         "simjoin, cosine 0.5 for semdedup, agreement 0.25 "
+                         "for snapdedup, cosine 0.9 for esnapdedup)")
     pr.add_argument("--gap-us", type=int, default=1_800_000_000,
                     help="session gap in µs (sessionize; default 30 min)")
     pr.add_argument("--fractions", default="train:0.8,val:0.1,test:0.1",

@@ -2402,7 +2402,11 @@ def _token_budget_sql() -> str:
         "WITH toks AS (SELECT doc_id, lang, len(list_filter("
         f"regexp_split_to_array(lower(text), '{TOKEN_SPLIT_PATTERN}'), "
         "x -> x <> '')) AS nt FROM documents WHERE lang IS NOT NULL), "
-        "cnt AS (SELECT lang, sum(nt) AS t FROM toks GROUP BY lang), "
+        # coalesce: a group whose texts are ALL NULL has sum(nt) NULL
+        # (len(NULL) is NULL per row) — the Ray side counts 0 tokens and
+        # keeps the whole group via the t <= budget branch
+        "cnt AS (SELECT lang, coalesce(sum(nt), 0) AS t FROM toks "
+        "GROUP BY lang), "
         f"thr AS (SELECT lang, CASE WHEN t <= {b} "
         "THEN CAST(18446744073709551615 AS UBIGINT) "
         f"ELSE CAST(floor(CAST({b} AS DOUBLE) / CAST(t AS DOUBLE) * "

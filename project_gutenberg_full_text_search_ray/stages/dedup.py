@@ -1298,23 +1298,23 @@ def embedding_neardup_pairs(
                      "cos_i4": pa.array(out["cos_i4"], type=pa.int64())})
 
 
-class VerifyCosineStage:
-    """Actor stage over candidate-pair batches: fetch both vectors from the
-    vector store, exact cosine (dot of normalized rows, fully vectorized per
-    batch), keep pairs ≥ threshold.  Mirrors ``VerifyJaccardStage``: an
-    autoscaling actor pool whose per-actor (id → normalized row) cache
-    persists across batches — candidate batches are bucket-clustered, so a
-    vector in thousands of pairs is fetched once per actor."""
+class VecCache:
+    """Per-actor (id → normalized row) vector cache over a ``DocFetcher``
+    — the shared state of the cosine-verify stages (in-corpus
+    ``VerifyCosineStage`` and the cross-store stage in
+    ``stages/snapshot.py``).  Candidate batches are bucket-clustered, so
+    a vector appearing in thousands of pairs is fetched once per actor;
+    above ``CACHE_CAP`` the cache clears and refetches what the call
+    still needs (clearing barely costs hit rate)."""
 
     CACHE_CAP = 200_000
 
-    def __init__(self, source, id_col: str, vec_col: str, threshold: float):
+    def __init__(self, source, id_col: str, vec_col: str):
         self.fetcher = DocFetcher(source, id_col, [vec_col])
-        self.threshold = threshold
         self._ids: np.ndarray | None = None  # sorted id keys
         self._M: np.ndarray | None = None    # normalized rows, id-sorted
 
-    def _ensure(self, need: set) -> None:
+    def ensure(self, need: set) -> None:
         from .similarity import _normalize
 
         have = set() if self._ids is None else set(self._ids.tolist())
@@ -1322,8 +1322,6 @@ class VerifyCosineStage:
         if not missing:
             return
         if len(have) + len(missing) > self.CACHE_CAP:
-            # candidate batches are bucket-clustered — clearing barely costs
-            # hit rate; refetch everything this call still needs
             self._ids, self._M = None, None
             missing = set(need)
         vecs = self.fetcher.fetch(missing)
@@ -1344,6 +1342,22 @@ class VerifyCosineStage:
             self._ids = all_ids[order]
             self._M = np.concatenate([self._M, Mnew])[order]
 
+    def rows(self, ids: np.ndarray) -> np.ndarray:
+        """Normalized rows for ``ids`` (must be covered by a prior
+        ``ensure``) — sorted-id searchsorted gather, no per-id Python."""
+        return self._M[np.searchsorted(self._ids, ids)]
+
+
+class VerifyCosineStage:
+    """Actor stage over candidate-pair batches: fetch both vectors from the
+    vector store (shared ``VecCache``), exact cosine (dot of normalized
+    rows, fully vectorized per batch), keep pairs ≥ threshold.  Mirrors
+    ``VerifyJaccardStage``."""
+
+    def __init__(self, source, id_col: str, vec_col: str, threshold: float):
+        self.cache = VecCache(source, id_col, vec_col)
+        self.threshold = threshold
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .similarity import quantize_i4
 
@@ -1352,12 +1366,8 @@ class VerifyCosineStage:
                              "cos_i4": pa.array([], type=pa.int64())})
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
-        self._ensure(set(a.tolist()) | set(b.tolist()))
-        # vectorized gather: sorted-id searchsorted → row indices → one
-        # einsum row-wise dot of normalized rows (cosine); no per-pair Python
-        Ma = self._M[np.searchsorted(self._ids, a)]
-        Mb = self._M[np.searchsorted(self._ids, b)]
-        sims = np.einsum("ij,ij->i", Ma, Mb)
+        self.cache.ensure(set(a.tolist()) | set(b.tolist()))
+        sims = np.einsum("ij,ij->i", self.cache.rows(a), self.cache.rows(b))
         keep = sims >= self.threshold
         t = batch.filter(pa.array(keep))
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],

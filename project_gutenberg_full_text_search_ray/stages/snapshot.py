@@ -80,6 +80,7 @@ def build_minhash_store(
             "records only hash params, so a custom analyzer would produce "
             "stores that compare as compatible but hash different tokens")
     concurrency = _pool_size(concurrency)
+    _clear_store_dir(store_dir)
     sig_dir = os.path.join(store_dir, "sigs")
     band_dir = os.path.join(store_dir, "bands")
     ds.select_columns([id_col, text_col]).map_batches(
@@ -113,6 +114,18 @@ def build_minhash_store(
     with open(os.path.join(store_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def _clear_store_dir(store_dir: str) -> None:
+    """Reset the build target: Ray's ``write_parquet`` APPENDS UUID-named
+    files, so rebuilding into a dir holding a crashed attempt's partial
+    output would merge stale rows under a fresh manifest — DocFetcher
+    would then return an arbitrary one of two rows per id, silently.
+    The manifest-written-LAST contract only works if the builder starts
+    from nothing."""
+    import shutil
+
+    shutil.rmtree(store_dir, ignore_errors=True)
 
 
 def _load_manifest(store_dir: str) -> dict:
@@ -298,6 +311,7 @@ def build_embedding_store(
     if per_band + max(1, (bands - 1).bit_length()) > 62:
         raise ValueError(
             f"n_planes={n_planes}/bands={bands}: band key overflows int64")
+    _clear_store_dir(store_dir)
     vec_dir = os.path.join(store_dir, "vecs")
     band_dir = os.path.join(store_dir, "bands")
     ds.select_columns([id_col, vec_col]).write_parquet(vec_dir)
@@ -335,51 +349,18 @@ def build_embedding_store(
 
 class VerifyCosineCrossStage:
     """Cross-store exact-cosine verify of (id_a=new, id_b=old) candidate
-    pairs: two fetchers (the sides' id spaces may overlap), per-side
-    normalized-row caches, one einsum row-wise dot per batch — the
-    ``VerifyCosineStage`` kernel with a store per side."""
-
-    CACHE_CAP = 200_000
+    pairs: one ``dedup.VecCache`` PER SIDE (the sides' id spaces may
+    overlap, so they must never share a cache), one einsum row-wise dot
+    per batch — the ``VerifyCosineStage`` kernel with a store per
+    side."""
 
     def __init__(self, new_vecs: str, old_vecs: str, id_col: str,
                  vec_col: str, threshold: float):
-        self.sides = [DocFetcher(_parquet_files(new_vecs), id_col, [vec_col]),
-                      DocFetcher(_parquet_files(old_vecs), id_col, [vec_col])]
+        from .dedup import VecCache
+
+        self.a_cache = VecCache(_parquet_files(new_vecs), id_col, vec_col)
+        self.b_cache = VecCache(_parquet_files(old_vecs), id_col, vec_col)
         self.threshold = threshold
-        self._ids: list = [None, None]
-        self._M: list = [None, None]
-
-    def _rows(self, side: int, ids: np.ndarray) -> np.ndarray:
-        from .similarity import _normalize
-
-        need = set(ids.tolist())
-        have = (set() if self._ids[side] is None
-                else set(self._ids[side].tolist()))
-        missing = need - have
-        if missing:
-            if len(have) + len(missing) > self.CACHE_CAP:
-                self._ids[side], self._M[side] = None, None
-                missing = set(need)
-            vecs = self.sides[side].fetch(missing)
-            absent = missing - vecs.keys()
-            if absent:
-                raise KeyError(
-                    f"vector store side {side} is missing {len(absent)} "
-                    f"candidate id(s), e.g. {sorted(absent)[:5]} — stale "
-                    f"or partial store?")
-            mids = sorted(missing)
-            Mnew = _normalize(np.asarray([vecs[i] for i in mids],
-                                         dtype=np.float64))
-            if self._ids[side] is None:
-                self._ids[side], self._M[side] = np.asarray(mids), Mnew
-            else:
-                all_ids = np.concatenate([self._ids[side],
-                                          np.asarray(mids)])
-                order = np.argsort(all_ids, kind="stable")
-                self._ids[side] = all_ids[order]
-                self._M[side] = np.concatenate(
-                    [self._M[side], Mnew])[order]
-        return self._M[side][np.searchsorted(self._ids[side], ids)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .similarity import quantize_i4
@@ -389,7 +370,10 @@ class VerifyCosineCrossStage:
                              "cos_i4": pa.array([], type=pa.int64())})
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
-        sims = np.einsum("ij,ij->i", self._rows(0, a), self._rows(1, b))
+        self.a_cache.ensure(set(a.tolist()))
+        self.b_cache.ensure(set(b.tolist()))
+        sims = np.einsum("ij,ij->i", self.a_cache.rows(a),
+                         self.b_cache.rows(b))
         keep = sims >= self.threshold
         t = batch.filter(pa.array(keep))
         return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
