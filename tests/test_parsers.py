@@ -436,7 +436,8 @@ def test_verify_cosine_cache_overflow(ray_session, monkeypatch):
     import numpy as np
     import pyarrow as pa
 
-    from project_gutenberg_full_text_search_ray.stages.dedup import VerifyCosineStage
+    from project_gutenberg_full_text_search_ray.stages.dedup import (
+        VecCache, VerifyCosineStage)
 
     store = pa.table({
         "id": [1, 2, 3, 4, 5, 6],
@@ -444,7 +445,7 @@ def test_verify_cosine_cache_overflow(ray_session, monkeypatch):
                 [0.0, 1.0], [1.0, 0.0],    # orthogonal
                 [1.0, 1.0], [2.0, 2.0]],   # parallel pair
     })
-    monkeypatch.setattr(VerifyCosineStage, "CACHE_CAP", 2)
+    monkeypatch.setattr(VecCache, "CACHE_CAP", 2)
     stage = VerifyCosineStage(store, "id", "vec", threshold=0.9)
     out = []
     for a, b in [(1, 2), (3, 4), (5, 6), (1, 2)]:  # (1,2) re-queried post-evict
