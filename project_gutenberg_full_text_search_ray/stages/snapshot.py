@@ -116,15 +116,28 @@ def build_minhash_store(
     return manifest
 
 
+_STORE_ENTRIES = {"sigs", "bands", "vecs", "manifest.json"}
+
+
 def _clear_store_dir(store_dir: str) -> None:
     """Reset the build target: Ray's ``write_parquet`` APPENDS UUID-named
     files, so rebuilding into a dir holding a crashed attempt's partial
     output would merge stale rows under a fresh manifest — DocFetcher
     would then return an arbitrary one of two rows per id, silently.
     The manifest-written-LAST contract only works if the builder starts
-    from nothing."""
+    from nothing.  Refuses to delete a directory that doesn't look like
+    a (possibly partial) store — a typo'd ``store_dir`` must not erase
+    arbitrary data."""
     import shutil
 
+    if not os.path.exists(store_dir):
+        return
+    extra = set(os.listdir(store_dir)) - _STORE_ENTRIES
+    if extra:
+        raise ValueError(
+            f"refusing to rebuild into {store_dir}: it contains non-store "
+            f"entries {sorted(extra)[:5]} — pass an empty/new directory or "
+            f"a previous store")
     shutil.rmtree(store_dir, ignore_errors=True)
 
 

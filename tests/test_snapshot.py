@@ -173,3 +173,26 @@ def test_embedding_store_param_mismatch(ray_session, tmp_path):
     b = _emb_store(tmp_path, "eb", [2], [v], bands=6)
     with pytest.raises(ValueError, match="incompatible embedding stores"):
         snapshot_semdedup_pairs(a, b)
+
+
+def test_clear_store_dir_refuses_foreign_dirs(ray_session, tmp_path):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.snapshot import (
+        build_minhash_store)
+
+    target = tmp_path / "precious"
+    target.mkdir()
+    (target / "my_data.txt").write_text("do not delete")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                                 "text": [BASE]}))
+    with pytest.raises(ValueError, match="non-store entries"):
+        build_minhash_store(ds, "text", "doc_id", str(target))
+    assert (target / "my_data.txt").read_text() == "do not delete"
+    # rebuilding over a FINISHED store is allowed (and starts clean)
+    ok = tmp_path / "store"
+    build_minhash_store(ds, "text", "doc_id", str(ok))
+    build_minhash_store(ds, "text", "doc_id", str(ok))
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(str(ok / "sigs")).num_rows == 1
