@@ -2315,6 +2315,57 @@ def _temperature_sql() -> str:
     )
 
 
+_MLT = dict(doc=42, k_terms=8, size=20, quant=1024)  # shared with the twin
+
+
+def q_mlt_doc(sf_dir: str) -> pa.Table:
+    """More-like-this (pipelines/search.more_like_this): doc 42's top
+    tf·idf terms (idf from the index dictionary, one quantization per
+    term) OR-searched through the ordinary BM25 path with the source
+    excluded — the classic MLT feature, riding entirely on
+    already-oracled machinery (tfidf derivation + fts_or scoring)."""
+    from .search import more_like_this
+
+    eng = ensure_documents_index(sf_dir)
+    _terms, res = more_like_this(
+        eng, _MLT["doc"], doc_source=os.path.join(sf_dir, "documents.parquet"),
+        k_terms=_MLT["k_terms"], size=_MLT["size"], quant=_MLT["quant"])
+    t = res.table
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                     "score": _scaled(t["score"].to_pylist())})
+
+
+def _mlt_sql(doc: int, k_terms: int, size: int, quant: int) -> str:
+    """DuckDB twin of q_mlt_doc: derive the SAME top terms in SQL (tf of
+    doc ``doc`` × once-quantized idf over corpus df — the engine's
+    dictionary df equals corpus df, which dict_df_top hash-verifies),
+    then the fts_or BM25 CTEs over the derived term set with the source
+    doc excluded."""
+    return (
+        f"WITH {_TOK}, {_DL}, {_STATS}, "
+        f"dtf AS (SELECT term, CAST(count(*) AS BIGINT) AS tfq FROM tok "
+        f"WHERE doc_id = {doc} GROUP BY term), "
+        "ddf AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfq "
+        "FROM tok WHERE term IN (SELECT term FROM dtf) GROUP BY term), "
+        "mlt AS (SELECT term FROM ("
+        "SELECT dtf.term, dtf.tfq * CAST(floor(log2((SELECT n FROM stats) / "
+        f"CAST(dfq AS DOUBLE)) * {quant} + 0.5) AS BIGINT) AS s "
+        "FROM dtf JOIN ddf USING (term)) "
+        f"ORDER BY s DESC, term LIMIT {k_terms}), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok "
+        "WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term), "
+        "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM tok WHERE term IN (SELECT term FROM mlt) GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, "
+        f"sum({bm25_sql_expr('tf.tf', 'df.df', 'dl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw "
+        "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats "
+        "GROUP BY tf.doc_id) "
+        f"SELECT doc_id, CAST(floor(score_raw * {SCORE_SCALE} + 0.5) AS BIGINT) AS score "
+        f"FROM scored WHERE doc_id <> {doc} "
+        f"ORDER BY score_raw DESC, doc_id LIMIT {size}"
+    )
+
+
 _TFIDF = dict(k=5, quant=1024)  # shared by the Ray query and its SQL twin
 
 
@@ -2982,6 +3033,8 @@ QUERIES_EXTRAS["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE_SQL_EXTRAS["tfidf_top_terms"] = _tfidf_sql(**_TFIDF)
 QUERIES_EXTRAS["snapshot_semdedup"] = q_snapshot_semdedup
 ORACLE_SQL_EXTRAS["snapshot_semdedup"] = _snapshot_semdedup_sql(**_SNAP_EMB)
+QUERIES_EXTRAS["mlt_doc"] = q_mlt_doc
+ORACLE_SQL_EXTRAS["mlt_doc"] = _mlt_sql(**_MLT)
 # probe-all IVF join == the brute-force join, so it shares knn_join's oracle
 # verbatim (deliberately: ONE SQL definition for the per-row-kNN contract)
 ORACLE_SQL_EXTRAS["knn_join_ivf"] = ORACLE_SQL_EXTRAS["knn_join"]
@@ -3267,6 +3320,10 @@ _DRIVER_ORDER = [
     # semantic_dedup_lsh's in-window kernel and the band-store probe is
     # snapshot_dedup's; only the composition (embedding stores) is new
     "snapshot_semdedup",
+    # mlt_doc: tail slot — term derivation is tfidf_top_terms' kernel over
+    # one doc and the scoring path is the in-window fts_or BM25 machinery;
+    # only the composition (dictionary-df reuse + self-exclusion) is new
+    "mlt_doc",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

@@ -834,3 +834,66 @@ class FullTextSearchEngine:
         if "ord" in d0.column_names:
             d0 = d0.drop_columns(["ord"])
         return d0.append_column(SCORE_COL, pa.array([], type=pa.float64()))
+
+
+def more_like_this(
+    eng: "FullTextSearchEngine", id_val, *, doc_source,
+    k_terms: int = 8, page: int = 1, size: int = 20, quant: int = 1024,
+) -> tuple[list[str], "SearchResult"]:
+    """Classic more-like-this (the Lucene MLT shape): rank documents
+    similar to ``id_val`` by OR-searching its most characteristic terms.
+
+    Term selection is the TF-IDF discipline of ``stages/keywords``:
+    tf from ONE tokenize of the source document (fetched from
+    ``doc_source`` — the index stores postings + metadata, not raw
+    text, so the source parquet supplies it, the dedup-family
+    contract), df from the INDEX DICTIONARY (no corpus pass —
+    reusing the stats the index already maintains, S5/A9), each
+    distinct term's idf quantized once to
+    ``floor(log2(N/df)·quant + 0.5)``, top ``k_terms`` by
+    (tf·idf_q DESC, term ASC).  The ranked search itself is the
+    engine's ordinary BM25 OR query with the source document
+    excluded, so every scoring guarantee the FTS oracles pin applies
+    here unchanged.  Single-id specs only (the exclusion filter is
+    per-id-column).  Returns ``(terms, SearchResult)``."""
+    if len(eng.spec.id_cols) != 1:
+        raise ValueError(
+            "more_like_this supports single-id specs (the exclusion "
+            f"filter is one ne() — spec has ids {eng.spec.id_cols})")
+    id_col = eng.spec.id_cols[0]
+    src = pq.read_table(
+        doc_source, columns=[id_col, eng.spec.text_col],
+        filters=[(id_col, "==", id_val)])
+    if src.num_rows == 0:
+        raise KeyError(f"more_like_this: {id_col}={id_val!r} not in "
+                       f"{doc_source}")
+    from ..functions.analyzer import DEFAULT_ANALYZER
+
+    analyzer = eng.analyzer or DEFAULT_ANALYZER
+    terms_flat, _, _ = analyzer.tokenize_column(
+        src[eng.spec.text_col].combine_chunks())
+    if len(terms_flat) == 0:
+        raise ValueError(
+            f"more_like_this: {id_col}={id_val!r} has no analyzer tokens "
+            f"— nothing to derive a query from")
+    ut, tf = np.unique(terms_flat, return_counts=True)
+    dic = pq.read_table(eng.dict_dir, columns=["term", "df"],
+                        filters=[("term", "in", ut.tolist())])
+    df_map = dict(zip(dic["term"].to_pylist(),
+                      dic["df"].to_numpy(zero_copy_only=False)))
+    known = np.array([t in df_map for t in ut])
+    ut, tf = ut[known], tf[known]
+    if len(ut) == 0:
+        raise ValueError(
+            f"more_like_this: none of {id_col}={id_val!r}'s terms are in "
+            f"the index dictionary — is doc_source the indexed corpus?")
+    dfv = np.asarray([df_map[t] for t in ut], dtype=np.int64)
+    idf_q = np.floor(np.log2(np.float64(eng.n_docs)
+                             / dfv.astype(np.float64))
+                     * quant + 0.5).astype(np.int64)
+    score = tf.astype(np.int64) * idf_q
+    order = np.lexsort((ut, -score))
+    terms = [str(t) for t in ut[order][:k_terms]]
+    q = eng.query().search(" or ".join(terms)).ne(id_col, id_val)[page, size]
+    return terms, eng.execute(q)
+

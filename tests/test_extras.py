@@ -1541,3 +1541,48 @@ def test_jaccard_similarity_join_topk(ray_session):
     ja = t["jacc_i4"].to_pylist()
     assert ja[0] == 10000 and ja[0] > ja[1] > ja[2]
     assert len(set(t["right_id"].to_pylist())) == 3  # distinct matches
+
+
+def test_more_like_this(ray_session, tmp_path):
+    """MLT: top tf-idf terms of the source doc (index-dictionary df),
+    OR-searched with the source excluded; degenerate inputs are loud."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from project_gutenberg_full_text_search_ray import (
+        FullTextSearchEngine, build_index)
+    from project_gutenberg_full_text_search_ray.corpus import CorpusSpec
+    from project_gutenberg_full_text_search_ray.pipelines.search import (
+        more_like_this)
+
+    rng = np.random.default_rng(7)
+    common = [f"w{i}" for i in range(20)]
+    texts = []
+    for i in range(40):
+        toks = list(rng.choice(common, size=12))
+        if i % 10 == 0:
+            toks += ["zebra", "quagga"]       # rare terms shared by 0,10,20,30
+        texts.append(" ".join(toks))
+    texts.append("")                           # token-less doc 40
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(41), type=pa.int64()),
+        "text": texts}), src)
+    spec = CorpusSpec(id_cols=("doc_id",), text_col="text",
+                      meta_cols=(), name="mlt")
+    idx = str(tmp_path / "idx")
+    build_index(src, spec, idx, docs_per_segment=16)
+    eng = FullTextSearchEngine(idx)
+
+    terms, res = more_like_this(eng, 0, doc_source=src, k_terms=4, size=5)
+    assert "zebra" in terms and "quagga" in terms   # rarest terms win
+    got = res.table["doc_id"].to_pylist()
+    assert 0 not in got                              # source excluded
+    assert set(got[:3]) <= {10, 20, 30}              # zebra/quagga docs rank first
+
+    with _pytest.raises(ValueError, match="no analyzer tokens"):
+        more_like_this(eng, 40, doc_source=src)
+    with _pytest.raises(KeyError, match="not in"):
+        more_like_this(eng, 999, doc_source=src)
