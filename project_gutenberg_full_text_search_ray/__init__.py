@@ -21,6 +21,7 @@ from .pipelines.search import (
     FullTextSearchEngine,
     SearchQuery,
     SearchResult,
+    more_like_this,
 )
 from .pipelines.batch_search import (
     batch_search_dataset,
@@ -47,6 +48,7 @@ __all__ = [
     "FullTextSearchEngine",
     "SearchQuery",
     "SearchResult",
+    "more_like_this",
     "FilterSpec",
     "RELEVANCE",
     "RANDOM",
