@@ -246,18 +246,38 @@ def test_fuzzy_via_trigram_index(ray_session):
     assert t.num_rows > 0
 
 
-def test_ivf_recall_vs_exact(ray_session):
-    """IVF with n_probe=2 of 8 lists should recover most of the exact top-10
-    (synthetic clustered embeddings)."""
+def test_ivf_recall_vs_exact(ray_session, tmp_path):
+    """IVF recall properties on a FRESHLY BUILT index (not the shared /tmp
+    cache — a cached store built by older training code would mask build
+    regressions; that is exactly how the pre-r4 biased-sample centroids hid
+    behind this test until a cache clear).  The query vector's true
+    neighbors sit at cos≈0.3 spread over most lists, so per-rank assertions
+    at n_probe=2 are luck; what IVF does guarantee here: useful top-10
+    overlap at n_probe=2, the top-3 recovered by n_probe=4, and recall
+    monotone in n_probe (probe-all exactness is pinned separately by
+    test_ivf_probeall_equals_bruteforce)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
     from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
         q_ann_cosine_topk,
-        q_ann_ivf_topk,
     )
+    from project_gutenberg_full_text_search_ray.stages.similarity import IVFIndex
 
+    emb = os.path.join(SF, "embeddings.parquet")
+    q_vec = pq.read_table(emb, filters=[("vec_id", "==", 0)])["embedding"].to_pylist()[0]
+    idx = IVFIndex.build(rd.read_parquet(emb, columns=["vec_id", "embedding"]),
+                         "embedding", "vec_id", str(tmp_path / "ivf"))
+    Q = np.asarray([q_vec])
     exact = q_ann_cosine_topk(SF)["vec_id"].to_pylist()
-    approx = q_ann_ivf_topk(SF)["vec_id"].to_pylist()
-    assert len(approx) <= 10
-    assert len(set(exact[:3]) & set(approx)) >= 1  # the near-neighbors live in probed lists
+    got = {}
+    for n_probe in (2, 4):
+        t = idx.topk(Q, k=10, n_probe=n_probe, exclude_ids={0})
+        got[n_probe] = t["vec_id"].to_pylist()
+        assert len(got[n_probe]) <= 10
+    assert len(set(exact) & set(got[2])) >= 3  # top-10 overlap at 2/8 lists
+    assert len(set(exact[:3]) & set(got[4])) >= 1  # near-neighbors by 4/8
+    assert len(set(exact) & set(got[4])) >= len(set(exact) & set(got[2]))
 
 
 def test_ivf_probeall_equals_bruteforce(ray_session):
