@@ -8,6 +8,11 @@ whose syntax (documented at /root/reference/README.md:149-164) is:
     "a phrase"     consecutive-position phrase match
     a or b         OR (lowest precedence, case-insensitive keyword)
     -word          NOT (also ``-"phrase"``)
+    a <N> b        FOLLOWED BY at exact distance N (tsquery ``<N>``;
+                   ``<->`` == ``<1>``) — chains left-associatively
+                   (``a <-> b <2> c``) and binds phrases on either side;
+                   a marker that cannot combine (query edge, OR boundary,
+                   negated operand) is dropped, websearch-leniency style
 
 We parse to a tiny AST: ``Or([And([atom...])])`` where atoms are ``Term``,
 ``Phrase`` or ``Not(atom)``.  Terms inside atoms are run through the same
@@ -121,6 +126,8 @@ def scope_to_field(q: ParsedQuery, fld: str) -> ParsedQuery:
 
 
 _LEX = re.compile(r'(-?)"([^"]*)"|(\S+)')
+# tsquery FOLLOWED-BY distance marker: <N> (exact distance) or <-> (== <1>)
+_NEAR = re.compile(r"<(\d+)>|<->")
 
 
 def parse_query(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> ParsedQuery:
@@ -155,11 +162,46 @@ def parse_query(text: str, analyzer: Analyzer = DEFAULT_ANALYZER) -> ParsedQuery
             groups.append(AndGroup(tuple(current)))
             current = []
 
+    def near_rhs(payload: str, is_phrase: bool) -> tuple[tuple[str, ...], tuple[int, ...]]:
+        """Analyze a FOLLOWED-BY right operand to (terms, offsets-from-own-start)."""
+        if is_phrase:
+            t_list, pos = analyzer.tokenize_with_positions(payload)
+            return tuple(t_list), tuple(p - pos[0] for p in pos) if t_list else ()
+        terms = tuple(analyzer.tokenize(payload))
+        return terms, tuple(range(len(terms)))
+
     i = 0
     while i < len(raw_tokens):
         payload, is_phrase, neg = raw_tokens[i]
         if payload == "\x00OR" and not is_phrase:
             flush()
+            i += 1
+            continue
+        m_near = None if is_phrase or neg else _NEAR.fullmatch(payload)
+        if m_near is not None:
+            n_dist = int(m_near.group(1)) if m_near.group(1) else 1
+            nxt = raw_tokens[i + 1] if i + 1 < len(raw_tokens) else None
+            prev = current[-1] if current else None
+            if (prev is not None and not isinstance(prev, Not)
+                    and nxt is not None and not nxt[2]
+                    and not (nxt[0] == "\x00OR" and not nxt[1])):
+                rterms, roffs = near_rhs(nxt[0], nxt[1])
+                if rterms:
+                    if isinstance(prev, Term):
+                        lterms, loffs = (prev.term,), (0,)
+                    else:
+                        lterms = prev.terms
+                        loffs = prev.offsets or tuple(range(len(lterms)))
+                    base = loffs[-1] + n_dist
+                    terms = lterms + rterms
+                    offs: tuple[int, ...] | None = loffs + tuple(base + o for o in roffs)
+                    if offs == tuple(range(len(terms))):
+                        offs = None  # consecutive — keep plans identical to '"…"'
+                    current[-1] = Phrase(terms, offs)
+                    i += 2
+                    continue
+            # marker with no combinable operands — drop it (websearch-style
+            # leniency; strict tsquery would raise a syntax error here)
             i += 1
             continue
         if is_phrase:

@@ -135,6 +135,15 @@ def q_fts_phrase(sf_dir: str) -> pa.Table:
     return _topk(sf_dir, text='"table scan"')
 
 
+def q_fts_near(sf_dir: str) -> pa.Table:
+    """tsquery FOLLOWED BY at distance (``scan <2> group``): the positional
+    phrase kernel with a non-unit offset — parser marker → Phrase offsets →
+    the same composite-key intersect ``_phrase_match`` runs for phrases
+    (reference ``websearch_to_tsquery`` accepts ``<N>`` operands inside
+    quoted input; PG tsquery semantics: pos(b) == pos(a) + N)."""
+    return _topk(sf_dir, text="scan <2> group")
+
+
 def q_fts_multi_clause(sf_dir: str) -> pa.Table:
     return _topk(sf_dir, texts=["table", "row or value"])
 
@@ -243,6 +252,24 @@ ORACLE_SQL: dict[str, str] = {
         f"sum({bm25_sql_expr('tf.tf', 'df.df', 'dl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw "
         "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats "
         "WHERE tf.doc_id IN (SELECT doc_id FROM phrase_docs) GROUP BY tf.doc_id)"
+        + _bm25_select()
+    ),
+    "fts_near": (
+        f"WITH {_TOK}, {_DL}, {_STATS}, "
+        "ptok AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos "
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr FROM documents)), "
+        "near_docs AS (SELECT DISTINCT a.doc_id FROM ptok a JOIN ptok b "
+        "ON a.doc_id = b.doc_id AND b.pos = a.pos + 2 "
+        "WHERE a.term = 'scan' AND b.term = 'group'), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok "
+        "WHERE term IN ('scan','group') GROUP BY doc_id, term), "
+        "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok "
+        "WHERE term IN ('scan','group') GROUP BY term), "
+        "scored AS (SELECT tf.doc_id, "
+        f"sum({bm25_sql_expr('tf.tf', 'df.df', 'dl.dl', 'stats.n', 'stats.avgdl')}) AS score_raw "
+        "FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats "
+        "WHERE tf.doc_id IN (SELECT doc_id FROM near_docs) GROUP BY tf.doc_id)"
         + _bm25_select()
     ),
     "fts_multi_clause": _bm25_cte(["table", "row", "value"])
@@ -3120,6 +3147,7 @@ QUERIES_CORE = {
     "fts_or": q_fts_or,
     "fts_not": q_fts_not,
     "fts_phrase": q_fts_phrase,
+    "fts_near": q_fts_near,
     "fts_multi_clause": q_fts_multi_clause,
     "fts_filter_lang": q_fts_filter_lang,
     "fts_filter_nchars": q_fts_filter_nchars,
@@ -3324,6 +3352,11 @@ _DRIVER_ORDER = [
     # one doc and the scoring path is the in-window fts_or BM25 machinery;
     # only the composition (dictionary-df reuse + self-exclusion) is new
     "mlt_doc",
+    # fts_near: tail slot — tsquery '<N>' FOLLOWED-BY at distance; the
+    # positional composite-key intersect is fts_phrase's in-window kernel
+    # (a Phrase with offsets (0,N) instead of (0,1)); only the parser
+    # marker + offset plumbing is new
+    "fts_near",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

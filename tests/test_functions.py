@@ -111,6 +111,34 @@ class TestQueryLang:
         assert parse_query("").is_empty
         assert parse_query("   ").is_empty
 
+    def test_followed_by_distance(self):
+        q = parse_query("scan <2> group")
+        assert q.groups[0].atoms == (Phrase(("scan", "group"), (0, 2)),)
+
+    def test_followed_by_arrow_is_distance_one(self):
+        # <-> == <1>; consecutive offsets normalize to None so the plan is
+        # identical to the quoted-phrase form
+        assert parse_query("a <-> b") == parse_query('"a b"')
+
+    def test_followed_by_chains_left_associative(self):
+        q = parse_query("a <-> b <2> c")
+        assert q.groups[0].atoms == (Phrase(("a", "b", "c"), (0, 1, 3)),)
+
+    def test_followed_by_binds_phrases(self):
+        q = parse_query('lake <3> "big data"')
+        assert q.groups[0].atoms == (Phrase(("lake", "big", "data"), (0, 3, 4)),)
+
+    def test_followed_by_marker_dropped_at_edges(self):
+        assert parse_query("<2> a") == parse_query("a")
+        assert parse_query("a <2>") == parse_query("a")
+        assert parse_query("a <2> or b") == parse_query("a or b")
+
+    def test_followed_by_marker_dropped_on_negated_operand(self):
+        # strict tsquery forbids NOT inside FOLLOWED BY; websearch-leniency
+        # degrades to plain AND of the operands
+        q = parse_query("a <2> -b")
+        assert q.groups[0].atoms == (Term("a"), Not(Term("b")))
+
     def test_negated_phrase(self):
         # websearch_to_tsquery: -"a b" is a negated PHRASE, not NOT(a) AND b
         q = parse_query('-"quick brown" fox')

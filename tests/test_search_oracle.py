@@ -53,6 +53,13 @@ FTS_QUERIES = [
     ["zzz_nonexistent_term"],       # no hits
     ["w00001 zzz_nonexistent_term"],  # AND with empty leg
     ['"the quick" w00002 or w00005'],
+    # tsquery FOLLOWED-BY distance (<N>; <-> == <1>): the planted phrases
+    # pin exact-distance semantics — 'quick brown fox' matches at <2>,
+    # must NOT match at <3>; '<->' is rank-identical to the quoted phrase
+    ["quick <2> fox"],
+    ["quick <3> fox"],              # wrong distance — no hits
+    ["to <3> not"],                 # 'to be or not' — distance 3
+    ["the <-> quick or w00005"],
 ]
 
 
