@@ -1025,6 +1025,47 @@ def _fuzzy_sql(qterm: str, min_sim: float = 0.4, max_exp: int = 8, k: int = 20) 
     )
 
 
+def q_suggest_terms(sf_dir: str) -> pa.Table:
+    """Autocomplete: dictionary terms under prefix 's', hottest first —
+    (df DESC, term ASC) top-4.  One pruned range scan of the dictionary the
+    index already maintains (S5/A9 stats reuse; dictionary df == corpus df,
+    which dict_df_top hash-verifies)."""
+    eng = ensure_documents_index(sf_dir)
+    return eng.suggest("s", k=4)
+
+
+def q_did_you_mean(sf_dir: str) -> pa.Table:
+    """Spelling suggestion: trigram candidates for the misspelling 'tabel'
+    ranked (word_similarity DESC, df DESC, term ASC) — fuzzy_search's
+    candidate/similarity kernel with the corpus-frequency tie-break that
+    makes it a single user-facing correction instead of a query expansion."""
+    eng = ensure_documents_index(sf_dir)
+    return eng.did_you_mean("tabel", k=5)
+
+
+def _did_you_mean_sql(qterm: str, min_sim: float = 0.4, k: int = 5) -> str:
+    """DuckDB twin of trigram.did_you_mean: _fuzzy_sql's padded-trigram
+    similarity over the corpus vocabulary, joined to corpus df, ranked
+    (sim DESC, df DESC, term)."""
+    from ..stages.trigram import trigrams
+
+    qt = sorted(trigrams(qterm.lower()))
+    qt_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qt)
+    return (
+        f"WITH {_TOK}, "
+        "dfp AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok GROUP BY term), "
+        "tris AS (SELECT term, df, list_distinct(list_transform("
+        "range(1, length('  ' || term || ' ') - 1), "
+        "i -> substr('  ' || term || ' ', CAST(i AS INT), 3))) AS ts FROM dfp), "
+        f"sims AS (SELECT term, df, CAST(len(list_intersect(ts, [{qt_list}])) AS DOUBLE) / {len(qt)} AS sim "
+        "FROM tris) "
+        f"SELECT term, CAST(floor(sim * {SCORE_SCALE} + 0.5) AS BIGINT) AS sim_i4, df "
+        f"FROM sims WHERE sim >= {min_sim} "
+        f"ORDER BY sim DESC, df DESC, term LIMIT {k}"
+    )
+
+
 def q_contains_indexed(sf_dir: str) -> pa.Table:
     """P3 CONTAINS via the trigram index: single-token substring expands to
     the dictionary terms containing it (trigram candidates + exact verify),
@@ -2019,6 +2060,12 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "FROM tok WHERE contains(term, 'able') ORDER BY doc_id"
     ),
     "fuzzy_search": _fuzzy_sql("tabel"),
+    "suggest_terms": (
+        f"WITH {_TOK} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok WHERE starts_with(term, 's') "
+        "GROUP BY term ORDER BY df DESC, term LIMIT 4"
+    ),
+    "did_you_mean": _did_you_mean_sql("tabel"),
     "contains_multi": (
         # ILIKE parity: case-insensitive like the engine's verify step
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
@@ -3010,6 +3057,8 @@ QUERIES_EXTRAS = {
     "langid_counts": q_langid,
     "fingerprints": q_fingerprints,
     "fuzzy_search": q_fuzzy_search,
+    "suggest_terms": q_suggest_terms,
+    "did_you_mean": q_did_you_mean,
     "contains_indexed": q_contains_indexed,
     "contains_multi": q_contains_multi,
     "minhash_neardup": q_minhash_neardup,
@@ -3357,6 +3406,13 @@ _DRIVER_ORDER = [
     # (a Phrase with offsets (0,N) instead of (0,1)); only the parser
     # marker + offset plumbing is new
     "fts_near",
+    # suggest_terms: tail slot — one pruned dictionary range scan; the
+    # (df DESC, term) ranking over dictionary stats is dict_df_top's
+    # in-window kernel restricted to a prefix
+    "suggest_terms",
+    # did_you_mean: tail slot — fuzzy_search's trigram candidate +
+    # similarity kernel with a df tie-break; only the ranking is new
+    "did_you_mean",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

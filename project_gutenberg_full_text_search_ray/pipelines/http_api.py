@@ -125,6 +125,7 @@ class SearchAPI:
                 {"rel": "count", "href": "/count?query={searchTerms}"},
                 {"rel": "facets", "href": "/facets?col={column}"},
                 {"rel": "values", "href": "/values?col={column}"},
+                {"rel": "suggest", "href": "/suggest?prefix={prefix}"},
                 {"rel": "browse", "href": "/browse?col={column}"},
                 {"rel": "hierarchy", "href": "/hierarchy?prefix={prefix}"},
             ],
@@ -151,6 +152,34 @@ class SearchAPI:
                 and isinstance(typed, str):
             raise BadRequest(f"value {raw!r} is not valid for numeric column {col!r}")
         return typed
+
+    def suggest(self, params: dict) -> dict:
+        """Query assistance: ``?prefix=`` → dictionary autocomplete (terms
+        under the prefix, hottest first), ``?word=`` → spelling suggestion
+        (trigram word_similarity, df tie-break).  Exactly one of the two;
+        ``field=`` scopes either to a per-field keyspace; ``limit=`` caps
+        suggestions (clamped to 100, like /search page sizes)."""
+        prefix = (params.get("prefix") or "").strip()
+        word = (params.get("word") or "").strip()
+        if bool(prefix) == bool(word):
+            raise BadRequest("suggest needs exactly one of ?prefix= or ?word=")
+        try:
+            limit = max(1, min(100, int(params.get("limit", 10))))
+        except (TypeError, ValueError):
+            limit = 10
+        field = params.get("field") or None
+        eng = self._engine()
+        if prefix:
+            t = eng.suggest(prefix, k=limit, field=field)
+            sug = [{"term": term, "df": df}
+                   for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist())]
+            return {"prefix": prefix, "suggestions": sug}
+        t = eng.did_you_mean(word, k=limit, field=field)
+        sug = [{"term": term, "similarity": sim / 10000, "df": df}
+               for term, sim, df in zip(t["term"].to_pylist(),
+                                        t["sim_i4"].to_pylist(),
+                                        t["df"].to_pylist())]
+        return {"word": word, "suggestions": sug}
 
     def values(self, params: dict) -> dict:
         """Controlled-vocabulary discovery: the valid values of a stored
@@ -635,6 +664,8 @@ class SearchAPI:
                 return self.facets(params)
             if path == "/values":
                 return 200, self.values(params)
+            if path == "/suggest":
+                return 200, self.suggest(params)
             if path == "/browse":
                 return 200, self.browse(params)
             if path == "/hierarchy":

@@ -675,6 +675,24 @@ class FullTextSearchEngine:
         })
 
     # ------------------------------------------------------------ internals
+    def suggest(self, prefix: str, k: int = 10, *, field: str | None = None) -> pa.Table:
+        """Autocomplete over the index dictionary: terms starting with
+        ``prefix``, (df DESC, term ASC), top ``k`` — a pruned range scan of
+        the stats the index already maintains (stages/trigram.suggest_terms)."""
+        from ..stages.trigram import suggest_terms
+
+        return suggest_terms(self.index_dir, prefix, k=k, field=field)
+
+    def did_you_mean(self, word: str, k: int = 5, *, min_sim: float = 0.4,
+                     field: str | None = None) -> pa.Table:
+        """Spelling suggestion: dictionary terms by (word_similarity DESC,
+        df DESC, term ASC) — trigram candidates + frequency tie-break
+        (stages/trigram.did_you_mean)."""
+        from ..stages.trigram import did_you_mean
+
+        return did_you_mean(self.index_dir, word, k=k, min_sim=min_sim,
+                            field=field)
+
     def idf_map(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in set(terms) if t not in self._df_cache]
         if missing:

@@ -267,6 +267,89 @@ def prefix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64,
     return terms[:max_expansions]
 
 
+def suggest_terms(index_dir: str, prefix: str, *, k: int = 10,
+                  field: str | None = None) -> pa.Table:
+    """Autocomplete: dictionary terms starting with ``prefix``, hottest
+    first — ``(term, df)`` ordered (df DESC, term ASC), top ``k``.
+
+    Same pruned RANGE scan as :func:`prefix_terms` ([prefix, prefix+MAXCHAR)
+    over the term-sorted dictionary parquet; row-group stats prune to the
+    matching shard) but keeps ``df`` — ranking reuses the stats the index
+    already maintains (S5/A9), no corpus pass.  With ``field``, the scan
+    runs in that field's ``<field>\\x1f`` keyspace and the returned terms
+    are the word parts."""
+    from ..corpus import FIELD_SEP
+    from ..state.manifest import resolve_dirs
+
+    prefix = prefix.lower()  # vocabulary is lowercase, like prefix_terms
+    dict_dir = resolve_dirs(index_dir)[1]
+    lo = f"{field}{FIELD_SEP}{prefix}" if field is not None else prefix
+    hi = lo + "\U0010ffff"
+    t = pq.read_table(dict_dir, columns=["term", "df"],
+                      filters=[("term", ">=", lo), ("term", "<=", hi)])
+    # range scan keeps only its own keyspace (an unscoped 'tit' sweep would
+    # otherwise pick up "title\x1fx" field keys), same rule as prefix_terms
+    mask = pc.starts_with(t["term"], pattern=lo)
+    if field is None:
+        mask = pc.and_(mask, pc.invert(pc.match_substring(t["term"], FIELD_SEP)))
+    t = t.filter(mask)
+    idx = pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                        ("term", "ascending")])
+    t = t.take(idx).slice(0, k)
+    terms = t["term"]
+    if field is not None:
+        terms = pc.utf8_replace_slice(terms, start=0,
+                                      stop=len(f"{field}{FIELD_SEP}"),
+                                      replacement="")
+    return pa.table({"term": terms, "df": t["df"].cast(pa.int64())})
+
+
+def did_you_mean(index_dir: str, word: str, *, k: int = 5,
+                 min_sim: float = 0.4, field: str | None = None) -> pa.Table:
+    """Spelling suggestion ("did you mean …?"): dictionary terms ranked by
+    ``(word_similarity DESC, df DESC, term ASC)`` — fuzzy_expand's trigram
+    candidate fetch and similarity, with corpus frequency as the tie-break
+    so the most COMMON close spelling wins (fuzzy_expand breaks ties
+    alphabetically because its job is recall-safe query expansion, not a
+    single user-facing correction).  Returns ``(term, sim_i4, df)`` with
+    sim ×10⁴ round-half-up.  With ``field``, candidates come from that
+    field's keyspace and the word parts are returned."""
+    from ..corpus import FIELD_SEP
+    from ..state.manifest import resolve_dirs
+
+    qt = trigrams(word.lower())
+    if not qt:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "sim_i4": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64())})
+    cand = _candidates(index_dir, qt)
+    counts = cand.group_by("term").aggregate([("tri", "count")])
+    keep = set(_scope_filter(counts["term"].to_pylist(), field))
+    scored = [(t, c / len(qt)) for t, c in
+              zip(counts["term"].to_pylist(), counts["tri_count"].to_pylist())
+              if t in keep and c / len(qt) >= min_sim]
+    if not scored:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "sim_i4": pa.array([], type=pa.int64()),
+                         "df": pa.array([], type=pa.int64())})
+    dict_dir = resolve_dirs(index_dir)[1]
+    dic = pq.read_table(dict_dir, columns=["term", "df"],
+                        filters=[("term", "in", sorted(t for t, _ in scored))])
+    df_map = dict(zip(dic["term"].to_pylist(),
+                      dic["df"].to_pylist()))
+    rows = sorted(((t, s, int(df_map.get(t, 0))) for t, s in scored),
+                  key=lambda x: (-x[1], -x[2], x[0]))[:k]
+    word_of = (lambda t: t.split(FIELD_SEP, 1)[-1]) if field is not None else (lambda t: t)
+    import numpy as np
+
+    return pa.table({
+        "term": pa.array([word_of(t) for t, _, _ in rows], type=pa.string()),
+        "sim_i4": pa.array(np.floor(np.asarray([s for _, s, _ in rows],
+                                               dtype=np.float64) * 10000 + 0.5).astype(np.int64)),
+        "df": pa.array([d for _, _, d in rows], type=pa.int64()),
+    })
+
+
 def suffix_terms(index_dir: str, frag: str, *, max_expansions: int | None = 64,
                  field: str | None = None) -> list[str]:
     """Dictionary terms ending with ``frag``.  Uses the trigram index when the

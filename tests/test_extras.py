@@ -925,6 +925,78 @@ def test_prefix_suffix_terms_case_insensitive(ray_session, tmp_path):
     assert suffix_terms(idx, "DOW") == suffix_terms(idx, "dow") == ["window"]
 
 
+def test_suggest_matches_bruteforce(engine, transcripts_table):
+    """Autocomplete == brute-force (df DESC, term ASC) over the analyzer
+    vocabulary; the wNNNNN token family gives a deep prefix bucket with
+    distinct dfs AND exact ties (the alphabetical tie-break)."""
+    from collections import Counter
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+
+    df = Counter()
+    for t in transcripts_table["text"].to_pylist():
+        df.update(set(DEFAULT_ANALYZER.tokenize(t or "")))
+    for prefix, k in (("w00", 10), ("w", 25), ("th", 5), ("zzz", 3)):
+        exp = sorted(((t, n) for t, n in df.items() if t.startswith(prefix)),
+                     key=lambda x: (-x[1], x[0]))[:k]
+        got = engine.suggest(prefix, k=k)
+        assert list(zip(got["term"].to_pylist(), got["df"].to_pylist())) == exp
+    assert engine.suggest("ZZZ_nothing").num_rows == 0
+
+
+def test_suggest_case_insensitive(engine):
+    a, b = engine.suggest("W00", k=8), engine.suggest("w00", k=8)
+    assert a.equals(b) and a.num_rows > 0
+
+
+def test_did_you_mean_matches_bruteforce(engine, transcripts_table):
+    """Spelling suggestion == brute-force (word_similarity DESC, df DESC,
+    term ASC): among the wNNNNN tokens a misspelling has MANY candidates at
+    identical trigram similarity, so the df tie-break is load-bearing."""
+    from collections import Counter
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import DEFAULT_ANALYZER
+    from project_gutenberg_full_text_search_ray.stages.trigram import trigrams
+
+    df = Counter()
+    for t in transcripts_table["text"].to_pylist():
+        df.update(set(DEFAULT_ANALYZER.tokenize(t or "")))
+    for word, min_sim in (("w0001", 0.3), ("quik", 0.4), ("w00012", 0.4)):
+        qt = trigrams(word)
+        exp = []
+        for t, n in df.items():
+            sim = len(qt & trigrams(t)) / len(qt)
+            if sim >= min_sim:
+                exp.append((t, sim, n))
+        exp.sort(key=lambda x: (-x[1], -x[2], x[0]))
+        exp = [(t, int(np.floor(s * 10000 + 0.5)), n) for t, s, n in exp[:5]]
+        got = engine.did_you_mean(word, k=5, min_sim=min_sim)
+        assert list(zip(got["term"].to_pylist(), got["sim_i4"].to_pylist(),
+                        got["df"].to_pylist())) == exp, word
+    assert engine.did_you_mean("zq").num_rows == 0  # no shared trigrams
+
+
+def test_suggest_and_did_you_mean_field_scoped(ray_session):
+    """Field scope: candidates come from the field's own posting keyspace
+    and word parts are returned (same contract as fuzzy_expand/prefix_terms)."""
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
+        ensure_head_field_index,
+    )
+
+    eng = ensure_head_field_index(SF)
+    got = eng.suggest("s", k=10, field="head")
+    assert got.num_rows > 0
+    assert all(not t.startswith("head") for t in got["term"].to_pylist())
+    unscoped = eng.suggest("s", k=10)
+    # head = first 8 tokens only → a term's head-field df can't exceed its
+    # whole-text df
+    udf = dict(zip(unscoped["term"].to_pylist(), unscoped["df"].to_pylist()))
+    for t, d in zip(got["term"].to_pylist(), got["df"].to_pylist()):
+        assert d <= udf.get(t, d)
+    dym = eng.did_you_mean("tabel", field="head")
+    assert dym.num_rows > 0 and dym["term"].to_pylist()[0] == "table"
+
+
 def test_quantiles_ignore_nulls_like_quantile_disc(ray_session, tmp_path):
     """q_quantiles over a documents table containing NULL n_chars must match
     DuckDB quantile_disc (which ignores NULLs) instead of crashing on the

@@ -142,6 +142,33 @@ def test_zero_match_and_errors(server):
     assert status == 404 and "error" in err
 
 
+def test_suggest_endpoint(server, engine):
+    status, feed = _get(server, "/suggest?prefix=w00&limit=5")
+    assert status == 200 and len(feed["suggestions"]) == 5
+    exp = engine.suggest("w00", k=5)
+    assert [s["term"] for s in feed["suggestions"]] == exp["term"].to_pylist()
+    assert [s["df"] for s in feed["suggestions"]] == exp["df"].to_pylist()
+    # dfs arrive hottest-first
+    dfs = [s["df"] for s in feed["suggestions"]]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_suggest_word_endpoint(server, engine):
+    status, feed = _get(server, "/suggest?word=quik")
+    assert status == 200
+    exp = engine.did_you_mean("quik", k=10)
+    assert [s["term"] for s in feed["suggestions"]] == exp["term"].to_pylist()
+    assert all(0 <= s["similarity"] <= 1 for s in feed["suggestions"])
+
+
+def test_suggest_param_validation(server):
+    for path in ("/suggest", "/suggest?prefix=a&word=b"):
+        status, err = _get(server, path)
+        assert status == 400 and "error" in err
+    status, feed = _get(server, "/suggest?prefix=w00&limit=bogus")
+    assert status == 200 and len(feed["suggestions"]) <= 10
+
+
 def test_api_handle_without_sockets(engine):
     api = SearchAPI(engine)
     status, feed = api.handle("/search", {"query": "w00001", "limit": "3"})
