@@ -21,8 +21,10 @@ from .pipelines.search import (
     FullTextSearchEngine,
     SearchQuery,
     SearchResult,
+    headline,
     more_like_this,
 )
+from .stages.headline import headline_column
 from .pipelines.batch_search import (
     batch_search_dataset,
     export_results_parquet,
@@ -48,6 +50,8 @@ __all__ = [
     "FullTextSearchEngine",
     "SearchQuery",
     "SearchResult",
+    "headline",
+    "headline_column",
     "more_like_this",
     "FilterSpec",
     "RELEVANCE",

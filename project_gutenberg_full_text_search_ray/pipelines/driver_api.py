@@ -1025,6 +1025,50 @@ def _fuzzy_sql(qterm: str, min_sim: float = 0.4, max_exp: int = 8, k: int = 20) 
     )
 
 
+def q_headline_snippets(sf_dir: str) -> pa.Table:
+    """ts_headline analog: top-10 docs for 'table scan' (AND), each with its
+    best 7-token window by query-term hit count (earliest on ties), matches
+    wrapped <b>…</b> over the analyzer token stream (stages/headline.py
+    semantics — deterministic and SQL-replicable, unlike PG's raw-text
+    fragmenter)."""
+    from .search import headline
+
+    eng = ensure_documents_index(sf_dir)
+    t = headline(eng, "table scan",
+                 doc_source=os.path.join(sf_dir, "documents.parquet"),
+                 k=10, max_words=7)
+    return pa.table({"doc_id": t["doc_id"], "score": _scaled(t["score"].to_pylist()),
+                     "snippet": t["snippet"], "n_hits": t["n_hits"]})
+
+
+_HEADLINE_SQL = (
+    _bm25_cte(["table", "scan"])
+    + (
+        f", top AS (SELECT doc_id, CAST(floor(score_raw * {SCORE_SCALE} + 0.5) AS BIGINT) AS score "
+        "FROM scored WHERE nmatched = 2 ORDER BY score_raw DESC, doc_id LIMIT 10), "
+        "ptok AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos "
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '') AS arr FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM top))), "
+        "wc AS (SELECT a.doc_id, a.pos AS s, "
+        "sum(CASE WHEN b.term IN ('table','scan') THEN 1 ELSE 0 END) AS cnt "
+        "FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id "
+        "AND b.pos BETWEEN a.pos AND a.pos + 6 GROUP BY a.doc_id, a.pos), "
+        "best AS (SELECT doc_id, s FROM (SELECT doc_id, s, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s) AS rn "
+        "FROM wc) t WHERE rn = 1), "
+        "snip AS (SELECT p.doc_id, "
+        "string_agg(CASE WHEN p.term IN ('table','scan') "
+        "THEN '<b>' || p.term || '</b>' ELSE p.term END, ' ' ORDER BY p.pos) AS snippet, "
+        "CAST(sum(CASE WHEN p.term IN ('table','scan') THEN 1 ELSE 0 END) AS BIGINT) AS n_hits "
+        "FROM ptok p JOIN best b ON p.doc_id = b.doc_id "
+        "AND p.pos BETWEEN b.s AND b.s + 6 GROUP BY p.doc_id) "
+        "SELECT t.doc_id, t.score, s.snippet, s.n_hits "
+        "FROM top t JOIN snip s USING(doc_id) ORDER BY t.score DESC, t.doc_id"
+    )
+)
+
+
 def q_suggest_terms(sf_dir: str) -> pa.Table:
     """Autocomplete: dictionary terms under prefix 's', hottest first —
     (df DESC, term ASC) top-4.  One pruned range scan of the dictionary the
@@ -2066,6 +2110,7 @@ ORACLE_SQL_EXTRAS: dict[str, str] = {
         "GROUP BY term ORDER BY df DESC, term LIMIT 4"
     ),
     "did_you_mean": _did_you_mean_sql("tabel"),
+    "headline_snippets": _HEADLINE_SQL,
     "contains_multi": (
         # ILIKE parity: case-insensitive like the engine's verify step
         "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
@@ -3059,6 +3104,7 @@ QUERIES_EXTRAS = {
     "fuzzy_search": q_fuzzy_search,
     "suggest_terms": q_suggest_terms,
     "did_you_mean": q_did_you_mean,
+    "headline_snippets": q_headline_snippets,
     "contains_indexed": q_contains_indexed,
     "contains_multi": q_contains_multi,
     "minhash_neardup": q_minhash_neardup,
@@ -3413,6 +3459,10 @@ _DRIVER_ORDER = [
     # did_you_mean: tail slot — fuzzy_search's trigram candidate +
     # similarity kernel with a df tie-break; only the ranking is new
     "did_you_mean",
+    # headline_snippets: tail slot — the top-k scoring is fts_multi_clause's
+    # in-window kernel; the new surface is the windowed hit-count argmax +
+    # wrap/join snippet assembly, fully SQL-oracled here
+    "headline_snippets",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

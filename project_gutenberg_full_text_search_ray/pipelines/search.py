@@ -854,6 +854,54 @@ class FullTextSearchEngine:
         return d0.append_column(SCORE_COL, pa.array([], type=pa.float64()))
 
 
+def headline(
+    eng: "FullTextSearchEngine", text_query: str, *, doc_source,
+    k: int = 10, max_words: int = 12,
+    start_sel: str = "<b>", stop_sel: str = "</b>",
+) -> pa.Table:
+    """``ts_headline`` analog: run ``text_query`` (websearch syntax), fetch
+    the top-``k`` documents' text from ``doc_source`` (the index stores
+    postings + metadata, not raw text — the dedup-family contract), and
+    return ``(id, score, snippet, n_hits)`` in rank order.  The snippet is
+    the best ``max_words`` token window by query-term hit count with
+    matches wrapped ``start_sel``…``stop_sel`` (stages/headline semantics;
+    every POSITIVE term of the parsed query is highlighted).  Single-id
+    specs only, like more_like_this."""
+    from ..functions.analyzer import DEFAULT_ANALYZER
+    from ..functions.querylang import parse_query
+    from ..stages.headline import headline_batch
+
+    if len(eng.spec.id_cols) != 1:
+        raise ValueError(
+            "headline supports single-id specs (the doc_source hydrate "
+            f"filters one id column — spec has ids {eng.spec.id_cols})")
+    id_col = eng.spec.id_cols[0]
+    q = eng.query().search(text_query)
+    top = eng.top_docs(q, k)
+    ids = top[id_col].to_pylist()
+    if not ids:
+        return pa.table({id_col: top[id_col], "score": top["score"],
+                         "snippet": pa.array([], type=pa.string()),
+                         "n_hits": pa.array([], type=pa.int64())})
+    src = pq.read_table(doc_source, columns=[id_col, eng.spec.text_col],
+                        filters=[(id_col, "in", ids)])
+    if src.num_rows != len(ids):
+        raise KeyError(
+            f"headline: doc_source {doc_source!r} is missing "
+            f"{len(ids) - src.num_rows} of the top-{len(ids)} ids — is it "
+            "the indexed corpus?")
+    rank = {v: i for i, v in enumerate(ids)}
+    order = np.argsort(np.asarray([rank[v] for v in src[id_col].to_pylist()]))
+    texts = src[eng.spec.text_col].combine_chunks().take(pa.array(order))
+    analyzer = eng.analyzer or DEFAULT_ANALYZER
+    terms = parse_query(text_query, analyzer).positive_terms()
+    snip = headline_batch(texts, terms, max_words=max_words,
+                          start_sel=start_sel, stop_sel=stop_sel,
+                          analyzer=analyzer)
+    return pa.table({id_col: top[id_col], "score": top["score"],
+                     "snippet": snip["snippet"], "n_hits": snip["n_hits"]})
+
+
 def more_like_this(
     eng: "FullTextSearchEngine", id_val, *, doc_source,
     k_terms: int = 8, page: int = 1, size: int = 20, quant: int = 1024,
