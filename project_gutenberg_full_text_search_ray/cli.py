@@ -421,6 +421,29 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
 
+    sg = sub.add_parser("suggest", help="dictionary autocomplete (--prefix) "
+                        "or spelling suggestion (--word)")
+    sg.add_argument("index_dir")
+    g = sg.add_mutually_exclusive_group(required=True)
+    g.add_argument("--prefix", help="autocomplete: terms under this prefix, "
+                   "hottest (df) first")
+    g.add_argument("--word", help="did-you-mean: trigram-similar dictionary "
+                   "terms, similarity then df")
+    sg.add_argument("--k", type=int, default=10)
+    sg.add_argument("--field", default=None,
+                    help="scope to a per-field posting keyspace")
+
+    hl = sub.add_parser("headline", help="ts_headline-style snippets for the "
+                        "top-k docs of a query")
+    hl.add_argument("index_dir")
+    hl.add_argument("query")
+    hl.add_argument("--source", required=True,
+                    help="corpus parquet holding the raw text column")
+    hl.add_argument("--k", type=int, default=10)
+    hl.add_argument("--max-words", type=int, default=12)
+    hl.add_argument("--start-sel", default="<b>")
+    hl.add_argument("--stop-sel", default="</b>")
+
     sv = sub.add_parser("serve")
     sv.add_argument("index_dir")
     sv.add_argument("--host", default="127.0.0.1")
@@ -599,6 +622,30 @@ def main(argv: list[str] | None = None) -> int:
 
         m = load_index_manifest(args.index_dir)
         print(json.dumps({k: m[k] for k in ("n_docs", "total_tokens", "avgdl", "n_segments", "fingerprint")}))
+        return 0
+
+    if args.cmd == "suggest":
+        from .stages.trigram import did_you_mean, suggest_terms
+
+        if args.prefix is not None:
+            t = suggest_terms(args.index_dir, args.prefix, k=args.k,
+                              field=args.field)
+        else:
+            t = did_you_mean(args.index_dir, args.word, k=args.k,
+                             field=args.field)
+        print(json.dumps({"suggestions": t.to_pylist()}))
+        return 0
+
+    if args.cmd == "headline":
+        from .pipelines.search import FullTextSearchEngine, headline
+
+        _ray_up()
+        eng = FullTextSearchEngine(args.index_dir)
+        t = headline(eng, args.query, doc_source=args.source, k=args.k,
+                     max_words=args.max_words, start_sel=args.start_sel,
+                     stop_sel=args.stop_sel)
+        print(json.dumps({"total": t.num_rows, "rows": t.to_pylist()},
+                         default=str))
         return 0
 
     # search

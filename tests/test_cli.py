@@ -47,6 +47,44 @@ def test_cli_search_and_stats(cli_index):
     assert s["n_docs"] == 480
 
 
+def test_cli_suggest_and_did_you_mean(cli_index):
+    r = _run_cli("suggest", cli_index, "--prefix", "w00", "--k", "5")
+    assert len(r["suggestions"]) == 5
+    dfs = [s["df"] for s in r["suggestions"]]
+    assert dfs == sorted(dfs, reverse=True)
+    w = _run_cli("suggest", cli_index, "--word", "quik")
+    assert w["suggestions"][0]["term"] == "quick"
+    # --prefix/--word are mutually exclusive and one is required (argparse
+    # exits 2 on both violations)
+    for extra in ([], ["--prefix", "a", "--word", "b"]):
+        out = subprocess.run(
+            [sys.executable, "-m", "project_gutenberg_full_text_search_ray.cli",
+             "suggest", cli_index, *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert out.returncode == 2
+
+
+def test_cli_headline(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from project_gutenberg_full_text_search_ray import CorpusSpec, build_index
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": ["the table scan wins", "a table only", "nothing"]}),
+        src)
+    idx = str(tmp_path / "idx")
+    build_index(src, CorpusSpec(("doc_id",), "text", (), "cli_hl"), idx)
+    r = _run_cli("headline", idx, "table scan", "--source", src,
+                 "--k", "2", "--max-words", "3", "--start-sel", "[",
+                 "--stop-sel", "]")
+    assert r["total"] == 1
+    # earliest of the two tied 2-hit windows wins
+    assert r["rows"][0]["snippet"] == "the [table] [scan]"
+    assert r["rows"][0]["n_hits"] == 2
+
+
 def test_cli_contains_multi_honors_filters(cli_index):
     """The contains-multi CLI path must apply --filter like the HTTP facade
     (it used to return before the filter loop, printing every role)."""
