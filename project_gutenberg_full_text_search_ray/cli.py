@@ -19,6 +19,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | quantiles | kmeans | semdedup | dupspans | lmscore
              | tempsample | pplxbuckets | dsir | snapstore | snapdedup
              | budgetsample | tfidf | esnapstore | esnapdedup
+             | collocations
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -312,6 +313,14 @@ def _prep(args) -> int:
         out = tfidf_top_terms(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col, k=args.k, quant=args.quant)
+    elif args.op == "collocations":
+        from .stages.keywords import collocations_pmi
+
+        t = collocations_pmi(
+            rd.read_parquet(args.src, columns=[args.text_col]),
+            args.text_col, k=args.k, quant=args.quant,
+            min_count=args.min_count)
+        out = rd.from_arrow(t)
     elif args.op == "budgetsample":
         from .stages.corpus_prep import token_budget_sample
 
@@ -465,7 +474,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "semdedup", "dupspans", "lmscore",
                                    "tempsample", "pplxbuckets", "dsir",
                                    "snapstore", "snapdedup", "budgetsample",
-                                   "tfidf", "esnapstore", "esnapdedup"])
+                                   "tfidf", "esnapstore", "esnapdedup",
+                                   "collocations"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -527,9 +537,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--win", type=int, default=6,
                     help="dupspans: window length in analyzer tokens")
     pr.add_argument("--min-count", type=int, default=2,
-                    help="dupspans: corpus occurrences for a window to count")
+                    help="dupspans: corpus occurrences for a window to "
+                         "count; collocations: bigram support floor")
     pr.add_argument("--quant", type=int, default=1024,
-                    help="lmscore: surprisal quantization (units per bit)")
+                    help="lmscore/collocations: log2 quantization "
+                         "(units per bit)")
     pr.add_argument("--target", default=None,
                     help="dsir: parquet with the target-domain texts")
     pr.add_argument("--budget-tokens", type=int, default=1_000_000,

@@ -2537,6 +2537,47 @@ def _tfidf_sql(k: int, quant: int) -> str:
     )
 
 
+_COLLOC = dict(k=20, min_count=3, quant=1024)  # shared with the SQL twin
+
+
+def q_collocations_pmi(sf_dir: str) -> pa.Table:
+    """Corpus collocation extraction (stages/keywords.collocations_pmi):
+    the 20 adjacent-token bigrams with the highest quantized PMI at
+    support ≥ 3 — the phrase-mining signal, combiner-shaped (one
+    distinct-key counts exchange; bigram blocks scored in place, ≤ k
+    candidates per block to the driver)."""
+    from ..stages.keywords import collocations_pmi
+
+    return collocations_pmi(
+        _docs_ds(sf_dir, ["text"]), "text", **_COLLOC)
+
+
+def _collocations_sql(k: int, min_count: int, quant: int) -> str:
+    """DuckDB twin of collocations_pmi: the same analyzer tokens, exact
+    integer counts, and the identical float64 expression shape
+    ``floor(log2(((c·T)·T)/((P·cx)·cy))·quant+0.5)`` — one rounding per
+    distinct surviving bigram, ordered (score_q DESC, w1, w2)."""
+    return (
+        f"WITH base AS ({_PTOK_SQL}), "
+        "t AS (SELECT unnest(arr) AS term FROM base), "
+        "bg AS (SELECT arr[i] AS w1, arr[i+1] AS w2 "
+        "FROM base, UNNEST(range(1, len(arr))) AS r(i)), "
+        "uc AS (SELECT term, count(*) AS c FROM t GROUP BY term), "
+        "tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM t), "
+        "pt AS (SELECT CAST(count(*) AS DOUBLE) AS p FROM bg), "
+        "bc AS (SELECT w1, w2, count(*) AS pair_count FROM bg "
+        "GROUP BY 1, 2), "
+        "s AS (SELECT bc.w1, bc.w2, bc.pair_count, "
+        "CAST(floor(log2(((CAST(bc.pair_count AS DOUBLE) * tt.t) * tt.t) "
+        "/ ((pt.p * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))) "
+        f"* {quant} + 0.5) AS BIGINT) AS score_q "
+        "FROM bc, tt, pt "
+        "JOIN uc u1 ON u1.term = bc.w1 JOIN uc u2 ON u2.term = bc.w2 "
+        f"WHERE bc.pair_count >= {min_count}) "
+        f"SELECT * FROM s ORDER BY score_q DESC, w1, w2 LIMIT {k}"
+    )
+
+
 _BUDGET_SEED = 37      # decorrelated from split (17) / quota (23) / temp (29)
 _BUDGET_TOKENS = 5000  # per-language token budget shared with the SQL twin
 
@@ -3153,6 +3194,8 @@ QUERIES_EXTRAS["token_budget_sample"] = q_token_budget_sample
 ORACLE_SQL_EXTRAS["token_budget_sample"] = _token_budget_sql()
 QUERIES_EXTRAS["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE_SQL_EXTRAS["tfidf_top_terms"] = _tfidf_sql(**_TFIDF)
+QUERIES_EXTRAS["collocations_pmi"] = q_collocations_pmi
+ORACLE_SQL_EXTRAS["collocations_pmi"] = _collocations_sql(**_COLLOC)
 QUERIES_EXTRAS["snapshot_semdedup"] = q_snapshot_semdedup
 ORACLE_SQL_EXTRAS["snapshot_semdedup"] = _snapshot_semdedup_sql(**_SNAP_EMB)
 QUERIES_EXTRAS["mlt_doc"] = q_mlt_doc
@@ -3463,6 +3506,12 @@ _DRIVER_ORDER = [
     # in-window kernel; the new surface is the windowed hit-count argmax +
     # wrap/join snippet assembly, fully SQL-oracled here
     "headline_snippets",
+    # collocations_pmi: tail slot — the distinct-key counts combiner +
+    # quantized-log2 scoring is lm_quality_scores' in-window kernel class
+    # and the per-block exact top-k fold is grouped_topk's
+    # (topk_per_lang, in-window); only the adjacent-pair emission and the
+    # PMI ratio are new, both SQL-oracled here
+    "collocations_pmi",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

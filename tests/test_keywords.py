@@ -90,3 +90,84 @@ def test_tfidf_vocab_cap_and_empty(ray_session):
             "text": pa.array([], type=pa.string())})),
         "text", "doc_id")
     assert empty.count() == 0
+
+
+# ---------------------------------------------------------------- PMI
+
+
+def _colloc(tab, **kw):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.keywords import (
+        collocations_pmi)
+
+    return collocations_pmi(rd.from_arrow(tab), "text", **kw).to_pandas()
+
+
+def test_collocations_exact_scores_and_order(ray_session):
+    import math
+
+    # corpus: T=8 tokens, P=5 adjacent pairs (3 in doc1, 1 each in 2/3)
+    tab = pa.table({"text": pa.array(
+        ["new york new york", "new york", "other words"])})
+    out = _colloc(tab, k=5, min_count=2, quant=1024)
+    # pairs: (new,york) x3, (york,new) x1(<min_count), (other,words) x1
+    assert out["w1"].tolist() == ["new"]
+    assert out["w2"].tolist() == ["york"]
+    assert out["pair_count"].tolist() == [3]
+    c_new, c_york, t_tot, p_tot = 3.0, 3.0, 8.0, 5.0
+    expect = math.floor(
+        math.log2(((3.0 * t_tot) * t_tot) / ((p_tot * c_new) * c_york))
+        * 1024 + 0.5)
+    assert out["score_q"].tolist() == [expect]
+
+
+def test_collocations_adjacency_stops_at_doc_boundary(ray_session):
+    # 'b a' never occurs inside one doc — doc boundaries must not pair
+    tab = pa.table({"text": pa.array(["a b", "a b", "a b"])})
+    out = _colloc(tab, k=10, min_count=1)
+    assert out[["w1", "w2"]].values.tolist() == [["a", "b"]]
+    assert out["pair_count"].tolist() == [3]
+
+
+def test_collocations_tie_order_and_k(ray_session):
+    # two pairs with identical counts everywhere → identical score_q;
+    # ties cut by (w1, w2) ascending, then k clamps
+    tab = pa.table({"text": pa.array(["x y", "x y", "p q", "p q"])})
+    out = _colloc(tab, k=1, min_count=2)
+    assert out[["w1", "w2"]].values.tolist() == [["p", "q"]]
+    full = _colloc(tab, k=10, min_count=2)
+    assert full[["w1", "w2"]].values.tolist() == [["p", "q"], ["x", "y"]]
+
+
+def test_collocations_block_geometry_invariant(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.keywords import (
+        collocations_pmi)
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    tab = pa.table({"text": pa.array(
+        [" ".join(rng.choice(vocab, size=12)) for _ in range(60)])})
+    a = _colloc(tab, k=15, min_count=2)
+    b = collocations_pmi(rd.from_arrow(tab).repartition(13), "text",
+                         k=15, min_count=2).to_pandas()
+    assert a.equals(b)
+
+
+def test_collocations_empty_null_and_cap(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.keywords import (
+        collocations_pmi)
+
+    # all-null / token-less / single-token corpora → empty result
+    for texts in ([None, None], ["", "  "], ["one", "two"]):
+        out = _colloc(pa.table({"text": pa.array(texts, type=pa.string())}),
+                      k=5, min_count=1)
+        assert len(out) == 0
+    with pytest.raises(ValueError, match="vocab_cap"):
+        collocations_pmi(
+            rd.from_arrow(pa.table({"text": pa.array(["a b c d e f"])})),
+            "text", k=5, min_count=1, vocab_cap=3)
