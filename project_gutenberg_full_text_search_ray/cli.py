@@ -19,7 +19,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | quantiles | kmeans | semdedup | dupspans | lmscore
              | tempsample | pplxbuckets | dsir | snapstore | snapdedup
              | budgetsample | tfidf | esnapstore | esnapdedup
-             | collocations
+             | collocations | linededup
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -313,6 +313,12 @@ def _prep(args) -> int:
         out = tfidf_top_terms(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col, k=args.k, quant=args.quant)
+    elif args.op == "linededup":
+        from .stages.corpus_prep import line_dedup
+
+        out = line_dedup(
+            rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
+            args.text_col, args.id_col, sep=args.sep)
     elif args.op == "collocations":
         from .stages.keywords import collocations_pmi
 
@@ -475,7 +481,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "tempsample", "pplxbuckets", "dsir",
                                    "snapstore", "snapdedup", "budgetsample",
                                    "tfidf", "esnapstore", "esnapdedup",
-                                   "collocations"])
+                                   "collocations", "linededup"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -536,6 +542,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="kmeans/semdedup: Lloyd iterations")
     pr.add_argument("--win", type=int, default=6,
                     help="dupspans: window length in analyzer tokens")
+    pr.add_argument("--sep", default="\n",
+                    help="linededup: literal line separator")
     pr.add_argument("--min-count", type=int, default=2,
                     help="dupspans: corpus occurrences for a window to "
                          "count; collocations: bigram support floor")

@@ -2537,6 +2537,43 @@ def _tfidf_sql(k: int, quant: int) -> str:
     )
 
 
+_LINE_SEP = " table "  # sf docs are single-line; a mid-text separator
+                       # exercises the real multi-segment dedup path
+
+
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """CCNet-style duplicated-line removal (corpus_prep.line_dedup): split
+    on a literal separator, keep only each distinct line's corpus-wide
+    first occurrence (smallest (doc_id, idx)), reassemble — 24 B/line
+    exchange, broadcast winner set, shuffle-free rebuild pass."""
+    from ..stages.corpus_prep import line_dedup
+
+    out = line_dedup(
+        _docs_ds(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+        sep=_LINE_SEP,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "text": pa.array(out["text"], type=pa.string())})
+
+
+def _line_dedup_sql(sep: str) -> str:
+    """DuckDB twin of line_dedup: split, drop empty pieces, keep each
+    line's row_number()=1 occurrence under (doc_id, idx), string_agg the
+    survivors back in idx order."""
+    s = sep.replace("'", "''")
+    return (
+        "WITH base AS (SELECT doc_id, "
+        f"str_split(text, '{s}') AS arr FROM documents), "
+        "l AS (SELECT doc_id, arr[i] AS line, i AS idx "
+        "FROM base, UNNEST(range(1, len(arr) + 1)) AS r(i) "
+        "WHERE arr[i] <> ''), "
+        "w AS (SELECT doc_id, line, idx, row_number() OVER "
+        "(PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l) "
+        f"SELECT doc_id, string_agg(line, '{s}' ORDER BY idx) AS text "
+        "FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
 _COLLOC = dict(k=20, min_count=3, quant=1024)  # shared with the SQL twin
 
 
@@ -3196,6 +3233,8 @@ QUERIES_EXTRAS["tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE_SQL_EXTRAS["tfidf_top_terms"] = _tfidf_sql(**_TFIDF)
 QUERIES_EXTRAS["collocations_pmi"] = q_collocations_pmi
 ORACLE_SQL_EXTRAS["collocations_pmi"] = _collocations_sql(**_COLLOC)
+QUERIES_EXTRAS["line_dedup"] = q_line_dedup
+ORACLE_SQL_EXTRAS["line_dedup"] = _line_dedup_sql(_LINE_SEP)
 QUERIES_EXTRAS["snapshot_semdedup"] = q_snapshot_semdedup
 ORACLE_SQL_EXTRAS["snapshot_semdedup"] = _snapshot_semdedup_sql(**_SNAP_EMB)
 QUERIES_EXTRAS["mlt_doc"] = q_mlt_doc
@@ -3512,6 +3551,11 @@ _DRIVER_ORDER = [
     # (topk_per_lang, in-window); only the adjacent-pair emission and the
     # PMI ratio are new, both SQL-oracled here
     "collocations_pmi",
+    # line_dedup: tail slot — the hash128 first-occurrence groupby is
+    # dedup_exact's in-window kernel (dedup_exact_apply) and the
+    # broadcast-membership rebuild is frequent_span_scrub's; only the
+    # packed (id, idx) winner key and the reassembly are new, SQL-oracled
+    "line_dedup",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

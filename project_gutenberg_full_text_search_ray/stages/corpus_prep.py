@@ -1098,3 +1098,160 @@ def perplexity_buckets(
                                             mask=~valid)})
 
     return scores.map_batches(label, batch_format="pyarrow")
+
+
+def line_dedup(
+    ds: rd.Dataset, text_col: str, id_col: str, *,
+    sep: str = "\n", line_cap: int = 10_000_000,
+) -> rd.Dataset:
+    """CCNet-style duplicated-line removal: split every document on the
+    LITERAL separator ``sep``, drop each line occurrence that is not the
+    corpus-wide FIRST occurrence of that exact line (first = smallest
+    ``(id, line_idx)``), and reassemble the survivors with ``sep`` — the
+    paragraph-dedup pass every large crawl pipeline runs before training
+    (CCNet/RefinedWeb drop duplicated paragraphs the same way).  Empty
+    pieces (adjacent separators, leading/trailing) never participate and
+    are never re-emitted; documents whose every line is empty or deduped
+    emit no row (SQL GROUP BY semantics — driver query ``line_dedup``).
+
+    Shape: pass 1 explodes lines per batch and exchanges
+    ``(hash128(line), packed_first_seen)`` — 24 B per distinct line per
+    batch, the ``exact_dedup`` discipline (line text never enters the
+    shuffle); one distinct-line-sized ``groupby().min()`` picks winners.
+    The test "is this occurrence the first?" is then pure integers: an
+    occurrence's packed key ``id·2^20 + idx`` is globally unique, so
+    occurrence-is-winner ⇔ packed ∈ winner set, and pass 2 is one
+    shuffle-free ``map_batches`` over the original docs — re-split,
+    ``np.isin`` against the broadcast sorted winner array (8 B per
+    distinct line, ``line_cap`` fails loudly instead of broadcasting an
+    unbounded set; above the cap route the membership test through the
+    ``apply_dedup`` anti-join machinery instead), run-length reassembly
+    via ``ListArray.from_arrays`` + ``binary_join``.  A 128-bit hash
+    collision (~n²/2¹²⁸) at worst drops one duplicated-elsewhere line.
+
+    Requires an integer id column with ``|id| < 2^42`` and at most 2^20
+    lines per document (the packed-key envelope) — violations raise."""
+    import pyarrow.compute as pc
+
+    IDX_BITS = 20
+    ID_BOUND = 1 << 42
+
+    def _pieces(b: pa.Table):
+        """(ids_np, values, doc_idx_full, packed_full, nonempty) for the
+        batch's split pieces — shared by both passes."""
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if not pa.types.is_integer(ids.type):
+            raise TypeError(
+                f"line_dedup needs an integer id column, got {ids.type}")
+        if ids.null_count:
+            raise ValueError("line_dedup: NULL ids cannot be ordered "
+                             "for first-occurrence selection")
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids_np) and (np.abs(ids_np) >= ID_BOUND).any():
+            raise ValueError("line_dedup: |id| >= 2^42 breaks the packed "
+                             "(id, line_idx) ordering key")
+        if pa.types.is_null(texts.type):
+            texts = pa.array([None] * len(texts), type=pa.string())
+        split = pc.split_pattern(pc.coalesce(texts, pa.scalar("")), sep)
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = split.values
+        lengths = np.diff(offsets)
+        if len(lengths) and lengths.max() > (1 << IDX_BITS):
+            raise ValueError("line_dedup: a document splits into more "
+                             "than 2^20 lines")
+        doc_idx_full = np.repeat(np.arange(len(split), dtype=np.int64),
+                                 lengths)
+        piece_idx = (np.arange(len(values), dtype=np.int64)
+                     - np.repeat(offsets[:-1], lengths))
+        packed = ids_np[doc_idx_full] * (1 << IDX_BITS) + piece_idx
+        nonempty = pc.not_equal(values, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        nonempty &= ~np.asarray(pc.is_null(values).to_numpy(
+            zero_copy_only=False))
+        return ids, values, doc_idx_full, packed, nonempty
+
+    win_schema = pa.schema([("__h1", pa.int64()), ("__h2", pa.int64()),
+                            ("packed", pa.int64())])
+
+    def winners_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return win_schema.empty_table()
+        from pandas.util import hash_array
+
+        _, values, _, packed, nonempty = _pieces(b)
+        if not nonempty.any():
+            return win_schema.empty_table()
+        lines = np.asarray(values.filter(pa.array(nonempty)).to_pylist(),
+                           dtype=object)
+        pk = packed[nonempty]
+        h1 = hash_array(lines, hash_key="0123456789abcdef",
+                        categorize=False).view(np.int64)
+        h2 = hash_array(lines, hash_key="fedcba9876543210",
+                        categorize=False).view(np.int64)
+        # per-batch combine: min packed per distinct (h1, h2)
+        order = np.lexsort((pk, h2, h1))
+        h1s, h2s, pks = h1[order], h2[order], pk[order]
+        first = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        return pa.table({"__h1": pa.array(h1s[first]),
+                         "__h2": pa.array(h2s[first]),
+                         "packed": pa.array(pks[first])}).cast(win_schema)
+
+    from ray.data.aggregate import Min
+
+    from ..functions.arrowutil import concat_cast
+
+    win_ds = (ds.select_columns([id_col, text_col])
+              .map_batches(winners_partial, batch_format="pyarrow")
+              .groupby(["__h1", "__h2"])
+              .aggregate(Min("packed", alias_name="packed")))
+    wtabs = [t for t in ray.get(table_refs(win_ds))
+             if t.num_rows and "packed" in t.column_names]
+    packed_schema = pa.schema([("packed", pa.int64())])
+    winners = concat_cast([t.select(["packed"]) for t in wtabs],
+                          packed_schema)
+    if winners.num_rows > line_cap:
+        raise ValueError(
+            f"line_dedup: {winners.num_rows} distinct lines exceed "
+            f"line_cap={line_cap} — raise the cap or apply the "
+            "anti-join route (see docstring)")
+    win_ref = ray.put(np.sort(
+        winners["packed"].to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    out_schema = pa.schema([
+        (id_col, ds.schema().base_schema.field(id_col).type),
+        (text_col, pa.string())])
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        ids, values, doc_idx_full, packed, nonempty = _pieces(b)
+        win = ray.get(win_ref)
+        keep = nonempty.copy()
+        if keep.any():
+            pos = np.searchsorted(win, packed)
+            pos[pos == len(win)] = 0
+            keep &= win[pos] == packed
+        kept_vals = values.filter(pa.array(keep))
+        counts = np.bincount(doc_idx_full[keep], minlength=b.num_rows) \
+            if keep.any() else np.zeros(b.num_rows, dtype=np.int64)
+        new_off = np.zeros(b.num_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=new_off[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_off, type=pa.int64()),
+            kept_vals.cast(pa.string()))
+        joined = pc.binary_join(lists, sep)
+        has_rows = pa.array(counts > 0)
+        return pa.table({
+            id_col: ids.filter(has_rows),
+            text_col: joined.filter(has_rows).cast(pa.string()),
+        }).cast(out_schema)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rebuild, batch_format="pyarrow")

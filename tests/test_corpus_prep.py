@@ -806,6 +806,8 @@ def test_token_budget_rates_and_sample(ray_session):
     from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
         token_budget_rates, token_budget_sample)
 
+    import numpy as np
+
     rng = np.random.default_rng(11)
     rows = {"doc_id": [], "grp": [], "text": []}
     for i in range(300):
@@ -857,3 +859,86 @@ def test_token_budget_rates_edge_cases(ray_session):
     assert rates["b"] == 1.0                     # zero tokens ≤ budget
     with pytest.raises(ValueError, match="budget_tokens"):
         token_budget_rates(ds, "text", "grp", budget_tokens=-1)
+
+
+# ------------------------------------------------------------ line dedup
+
+
+def _line_dedup(tab, **kw):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    return line_dedup(rd.from_arrow(tab), "text", "doc_id", **kw) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_line_dedup_first_occurrence_wins(ray_session):
+    tab = pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 9], type=pa.int64()),
+        "text": [
+            "alpha\nbeta\nalpha\ngamma",  # in-doc dup alpha; beta loses to 1
+            "beta\n\ndelta",              # empty piece never participates
+            "delta\nepsilon",             # delta already first in doc 1
+            "",                           # no pieces → no row
+            None,                         # null text → no row
+        ]})
+    out = _line_dedup(tab)
+    assert out["doc_id"].tolist() == [1, 2, 5]
+    assert out["text"].tolist() == ["beta\ndelta", "epsilon", "alpha\ngamma"]
+
+
+def test_line_dedup_custom_sep_and_all_deduped_doc(ray_session):
+    tab = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["x | y", "x | y"]})
+    out = _line_dedup(tab, sep=" | ")
+    # doc 2 loses every line → emits no row
+    assert out["doc_id"].tolist() == [1]
+    assert out["text"].tolist() == ["x | y"]
+
+
+def test_line_dedup_block_geometry_invariant(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    lines = [f"line{i}" for i in range(25)]
+    texts = ["\n".join(rng.choice(lines, size=rng.integers(1, 8)))
+             for _ in range(80)]
+    tab = pa.table({"doc_id": pa.array(range(80), type=pa.int64()),
+                    "text": texts})
+    a = _line_dedup(tab)
+    b = line_dedup(rd.from_arrow(tab).repartition(17), "text", "doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_line_dedup_guards(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    with pytest.raises(Exception, match="integer id"):
+        line_dedup(rd.from_arrow(pa.table({
+            "doc_id": pa.array(["a"], type=pa.string()),
+            "text": ["x"]})), "text", "doc_id").to_pandas()
+    with pytest.raises(Exception, match="NULL ids"):
+        line_dedup(rd.from_arrow(pa.table({
+            "doc_id": pa.array([None], type=pa.int64()),
+            "text": ["x"]})), "text", "doc_id").to_pandas()
+    with pytest.raises(Exception, match="2\\^42"):
+        line_dedup(rd.from_arrow(pa.table({
+            "doc_id": pa.array([1 << 50], type=pa.int64()),
+            "text": ["x"]})), "text", "doc_id").to_pandas()
+    with pytest.raises(ValueError, match="line_cap"):
+        line_dedup(rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["a\nb\nc\nd"]})), "text", "doc_id",
+            line_cap=2).to_pandas()
