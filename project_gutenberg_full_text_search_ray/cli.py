@@ -548,7 +548,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="dupspans: corpus occurrences for a window to "
                          "count; collocations: bigram support floor")
     pr.add_argument("--quant", type=int, default=1024,
-                    help="lmscore/collocations: log2 quantization "
+                    help="lmscore/tfidf/collocations: log2 quantization "
                          "(units per bit)")
     pr.add_argument("--target", default=None,
                     help="dsir: parquet with the target-domain texts")

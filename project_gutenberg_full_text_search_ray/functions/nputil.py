@@ -17,3 +17,19 @@ def key_runs(arr: np.ndarray) -> np.ndarray:
     neq = np.empty(n - 1, dtype=bool)
     np.not_equal(arr[1:], arr[:-1], out=neq)
     return np.flatnonzero(np.r_[True, neq, True]).astype(np.int64)
+
+
+def hash128(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The repo's 128-bit content-hash convention: two independent
+    pandas ``hash_array`` passes with fixed keys, viewed int64.
+    Collisions at 10^12 keys are ~1e-14-probable, so hashed keys can
+    replace the key bytes in shuffles (the ``exact_dedup`` discipline).
+    ``vals`` must be an object array of strings (no NULLs — callers
+    flag those separately)."""
+    from pandas.util import hash_array
+
+    h1 = hash_array(vals, hash_key="0123456789abcdef",
+                    categorize=False).view(np.int64)
+    h2 = hash_array(vals, hash_key="fedcba9876543210",
+                    categorize=False).view(np.int64)
+    return h1, h2

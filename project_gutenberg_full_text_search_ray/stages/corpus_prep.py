@@ -1129,8 +1129,14 @@ def line_dedup(
     via ``ListArray.from_arrays`` + ``binary_join``.  A 128-bit hash
     collision (~n²/2¹²⁸) at worst drops one duplicated-elsewhere line.
 
-    Requires an integer id column with ``|id| < 2^42`` and at most 2^20
-    lines per document (the packed-key envelope) — violations raise."""
+    Requires a UNIQUE integer id column (a primary key — duplicate ids
+    make two occurrences share a packed key, so both would pass the
+    winner test; in-batch duplicates raise, cross-batch uniqueness is
+    the caller's contract exactly as for ``exact_dedup``'s keep_id)
+    with ``|id| < 2^42`` and at most 2^20 lines per document (the
+    packed-key envelope) — violations raise, including uint64 ids
+    beyond int64 range (checked via a safe Arrow cast, never a
+    wrapping ``astype``)."""
     import pyarrow.compute as pc
 
     IDX_BITS = 20
@@ -1151,10 +1157,16 @@ def line_dedup(
         if ids.null_count:
             raise ValueError("line_dedup: NULL ids cannot be ordered "
                              "for first-occurrence selection")
-        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        # safe cast: uint64 beyond int64 range raises instead of wrapping
+        # to a small negative that would silently invert first-occurrence
+        # order (and dodge the envelope check below)
+        ids_np = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)
         if len(ids_np) and (np.abs(ids_np) >= ID_BOUND).any():
             raise ValueError("line_dedup: |id| >= 2^42 breaks the packed "
                              "(id, line_idx) ordering key")
+        if len(ids_np) > 1 and len(np.unique(ids_np)) != len(ids_np):
+            raise ValueError("line_dedup: duplicate ids — packed "
+                             "(id, idx) occurrence keys must be unique")
         if pa.types.is_null(texts.type):
             texts = pa.array([None] * len(texts), type=pa.string())
         split = pc.split_pattern(pc.coalesce(texts, pa.scalar("")), sep)
@@ -1183,7 +1195,7 @@ def line_dedup(
     def winners_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return win_schema.empty_table()
-        from pandas.util import hash_array
+        from ..functions.nputil import hash128
 
         _, values, _, packed, nonempty = _pieces(b)
         if not nonempty.any():
@@ -1191,10 +1203,7 @@ def line_dedup(
         lines = np.asarray(values.filter(pa.array(nonempty)).to_pylist(),
                            dtype=object)
         pk = packed[nonempty]
-        h1 = hash_array(lines, hash_key="0123456789abcdef",
-                        categorize=False).view(np.int64)
-        h2 = hash_array(lines, hash_key="fedcba9876543210",
-                        categorize=False).view(np.int64)
+        h1, h2 = hash128(lines)
         # per-batch combine: min packed per distinct (h1, h2)
         order = np.lexsort((pk, h2, h1))
         h1s, h2s, pks = h1[order], h2[order], pk[order]

@@ -535,16 +535,15 @@ def _hash128(batch: pa.Table, key_col: str) -> pa.Table:
     """Two independent 64-bit hashes of the key (128 bits total: collisions
     at 10^12 docs are ~1e-14-probable, so the text itself never needs to move).
     NULL keys get their own flag column — their own group, never merged with ''."""
-    from pandas.util import hash_array
+    from ..functions.nputil import hash128
 
     s = batch[key_col].to_pandas().astype("string")
     isnull = s.isna().to_numpy()
     vals = s.fillna("").to_numpy(dtype=object)
-    h1 = hash_array(vals, hash_key="0123456789abcdef", categorize=False)
-    h2 = hash_array(vals, hash_key="fedcba9876543210", categorize=False)
+    h1, h2 = hash128(vals)
     return (
-        batch.append_column("__h1", pa.array(h1.astype(np.int64), type=pa.int64()))
-        .append_column("__h2", pa.array(h2.astype(np.int64), type=pa.int64()))
+        batch.append_column("__h1", pa.array(h1, type=pa.int64()))
+        .append_column("__h2", pa.array(h2, type=pa.int64()))
         .append_column("__isnull", pa.array(isnull.astype(np.int8), type=pa.int8()))
     )
 

@@ -806,8 +806,6 @@ def test_token_budget_rates_and_sample(ray_session):
     from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
         token_budget_rates, token_budget_sample)
 
-    import numpy as np
-
     rng = np.random.default_rng(11)
     rows = {"doc_id": [], "grp": [], "text": []}
     for i in range(300):
@@ -942,3 +940,28 @@ def test_line_dedup_guards(ray_session):
             "doc_id": pa.array([1], type=pa.int64()),
             "text": ["a\nb\nc\nd"]})), "text", "doc_id",
             line_cap=2).to_pandas()
+
+
+def test_line_dedup_duplicate_and_uint64_ids_raise(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    # duplicate ids: packed occurrence keys would collide and keep BOTH
+    # copies of a duplicated line — must raise instead
+    with pytest.raises(Exception, match="duplicate ids"):
+        line_dedup(rd.from_arrow(pa.table({
+            "doc_id": pa.array([7, 7], type=pa.int64()),
+            "text": ["x", "x"]})), "text", "doc_id").to_pandas()
+    # uint64 beyond int64 range: a wrapping astype would invert the
+    # first-occurrence order — the safe cast must raise
+    with pytest.raises(Exception, match="[Cc]ast|[Oo]verflow"):
+        line_dedup(rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, (1 << 64) - 1], type=pa.uint64()),
+            "text": ["x", "x"]})), "text", "doc_id").to_pandas()
+    # in-range uint64 stays usable
+    ok = line_dedup(rd.from_arrow(pa.table({
+        "doc_id": pa.array([2, 1], type=pa.uint64()),
+        "text": ["x", "x"]})), "text", "doc_id").to_pandas()
+    assert ok["doc_id"].tolist() == [1]
