@@ -238,6 +238,42 @@ def run_snapshot_scale(tag: str, sf_dir: str) -> dict:
     return out
 
 
+def run_linededup_scale(tag: str, sf_dir: str) -> dict:
+    """line_dedup soak: the registered query's separator over the doc
+    corpus — pass-1 winner exchange + pass-2 rebuild measured together
+    (one streaming consume), winner-set size recorded."""
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(doc_src).metadata.num_rows
+    out: dict = {"scale": tag, "op": "line_dedup", "n_docs": n}
+    t0 = time.time()
+    res = line_dedup(docs_ds(sf_dir), "text", "doc_id",
+                     sep=" table ").materialize()
+    out["line_dedup_sec"] = round(time.time() - t0, 2)
+    out["docs_out"] = res.count()
+    out["canary_sort_sec"] = canary()
+    return out
+
+
+def run_colloc_scale(tag: str, sf_dir: str) -> dict:
+    """collocations_pmi soak: one counts exchange + in-place scored
+    top-k fold at the registered query's parameters."""
+    from project_gutenberg_full_text_search_ray.stages.keywords import (
+        collocations_pmi)
+
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(doc_src).metadata.num_rows
+    out: dict = {"scale": tag, "op": "collocations_pmi", "n_docs": n}
+    t0 = time.time()
+    res = collocations_pmi(docs_ds(sf_dir), "text", k=20, min_count=3)
+    out["colloc_sec"] = round(time.time() - t0, 2)
+    out["rows"] = res.num_rows
+    out["canary_sort_sec"] = canary()
+    return out
+
+
 def run_scale(tag: str, sf_dir: str) -> dict:
     from project_gutenberg_full_text_search_ray.stages.dedup import (
         connected_components_ds, minhash_lsh_pairs, ngram_jaccard_pairs)
@@ -287,7 +323,8 @@ def main() -> None:
     print(json.dumps({"canary_sort_sec_pre": canary()}), flush=True)
     results = []
     # synthesize the 10x doc corpus only for the ops that read it
-    sf1_dir = gen_sf1() if ops_set & {"ngram", "simjoin", "snapshot"} else None
+    sf1_dir = gen_sf1() if ops_set & {"ngram", "simjoin", "snapshot",
+                                      "linededup", "colloc"} else None
     scales = ([] if "--skip-sf01" in sys.argv else [("sf0.1", SF01)]) + \
         [("sf1_synth_10x", sf1_dir)]
     if "ngram" in ops_set:
@@ -301,6 +338,14 @@ def main() -> None:
     if "snapshot" in ops_set:
         for tag, d in scales:
             results.append(run_snapshot_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
+    if "linededup" in ops_set:
+        for tag, d in scales:
+            results.append(run_linededup_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
+    if "colloc" in ops_set:
+        for tag, d in scales:
+            results.append(run_colloc_scale(tag, d))
             print(json.dumps(results[-1]), flush=True)
     if "semdedup" in ops_set:
         emb10 = gen_sf1_embeddings()
