@@ -435,6 +435,9 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
+    st.add_argument("--terms", type=int, default=0,
+                    help="also report the top-N dictionary terms as "
+                         "(word, ndoc, nentry) — the ts_stat analog")
 
     sg = sub.add_parser("suggest", help="dictionary autocomplete (--prefix) "
                         "or spelling suggestion (--word)")
@@ -641,7 +644,13 @@ def main(argv: list[str] | None = None) -> int:
         from .state.manifest import load_index_manifest
 
         m = load_index_manifest(args.index_dir)
-        print(json.dumps({k: m[k] for k in ("n_docs", "total_tokens", "avgdl", "n_segments", "fingerprint")}))
+        out = {k: m[k] for k in ("n_docs", "total_tokens", "avgdl", "n_segments", "fingerprint")}
+        if args.terms:
+            from .pipelines.search import FullTextSearchEngine
+
+            out["terms"] = FullTextSearchEngine(
+                args.index_dir).ts_stat(args.terms).to_pylist()
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "suggest":

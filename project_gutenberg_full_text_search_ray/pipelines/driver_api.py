@@ -219,6 +219,14 @@ def q_dict_df_top(sf_dir: str) -> pa.Table:
     return pa.table({"term": out["term"], "df": out["df"].cast(pa.int64())})
 
 
+def q_ts_stat_top(sf_dir: str) -> pa.Table:
+    """Postgres ``ts_stat`` analog (S5/A9 stats reuse): the dictionary's
+    (word, ndoc, nentry) report — df AND total occurrences — top 20 by
+    (nentry DESC, ndoc DESC, word); one dictionary scan, no corpus pass."""
+    eng = ensure_documents_index(sf_dir)
+    return eng.ts_stat(20)
+
+
 def q_corpus_stats(sf_dir: str) -> pa.Table:
     eng = ensure_documents_index(sf_dir)
     return pa.table(
@@ -314,6 +322,12 @@ ORACLE_SQL: dict[str, str] = {
     "dict_df_top": (
         f"WITH {_TOK} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok "
         "GROUP BY term ORDER BY df DESC, term LIMIT 20"
+    ),
+    "ts_stat_top": (
+        f"WITH {_TOK} SELECT term AS word, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS ndoc, "
+        "CAST(count(*) AS BIGINT) AS nentry FROM tok "
+        "GROUP BY term ORDER BY nentry DESC, ndoc DESC, word LIMIT 20"
     ),
     "corpus_stats": (
         f"WITH {_TOK}, {_DL} SELECT "
@@ -3337,6 +3351,7 @@ QUERIES_CORE = {
     "facet_top_sources": q_facet_top_sources,
     "crosswalk_mini": q_crosswalk_mini,
     "dict_df_top": q_dict_df_top,
+    "ts_stat_top": q_ts_stat_top,
     "corpus_stats": q_corpus_stats,
 }
 ORACLE_SQL.update(ORACLE_SQL_EXTRAS)
@@ -3556,6 +3571,9 @@ _DRIVER_ORDER = [
     # broadcast-membership rebuild is frequent_span_scrub's; only the
     # packed (id, idx) winner key and the reassembly are new, SQL-oracled
     "line_dedup",
+    # ts_stat_top: tail slot — the same one-dictionary-scan surface
+    # dict_df_top hard-verifies in-window, reporting cf alongside df
+    "ts_stat_top",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

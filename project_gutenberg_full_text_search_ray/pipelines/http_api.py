@@ -126,6 +126,7 @@ class SearchAPI:
                 {"rel": "facets", "href": "/facets?col={column}"},
                 {"rel": "values", "href": "/values?col={column}"},
                 {"rel": "suggest", "href": "/suggest?prefix={prefix}"},
+                {"rel": "ts_stat", "href": "/ts_stat?limit={limit}"},
                 {"rel": "browse", "href": "/browse?col={column}"},
                 {"rel": "hierarchy", "href": "/hierarchy?prefix={prefix}"},
             ],
@@ -180,6 +181,23 @@ class SearchAPI:
                                         t["sim_i4"].to_pylist(),
                                         t["df"].to_pylist())]
         return {"word": word, "suggestions": sug}
+
+    def ts_stat(self, params: dict) -> dict:
+        """Corpus term statistics (Postgres ``ts_stat`` analog): the
+        dictionary's (word, ndoc, nentry) report, hottest first;
+        ``limit=`` caps rows (clamped to 1000), ``field=`` scopes to a
+        per-field keyspace — one pruned dictionary scan, no corpus pass."""
+        try:
+            limit = max(1, min(1000, int(params.get("limit", 20))))
+        except (TypeError, ValueError):
+            limit = 20
+        field = params.get("field") or None
+        t = self._engine().ts_stat(limit, field=field)
+        return {"stats": [
+            {"word": w, "ndoc": nd, "nentry": ne}
+            for w, nd, ne in zip(t["word"].to_pylist(),
+                                 t["ndoc"].to_pylist(),
+                                 t["nentry"].to_pylist())]}
 
     def values(self, params: dict) -> dict:
         """Controlled-vocabulary discovery: the valid values of a stored
@@ -666,6 +684,8 @@ class SearchAPI:
                 return 200, self.values(params)
             if path == "/suggest":
                 return 200, self.suggest(params)
+            if path == "/ts_stat":
+                return 200, self.ts_stat(params)
             if path == "/browse":
                 return 200, self.browse(params)
             if path == "/hierarchy":

@@ -693,6 +693,39 @@ class FullTextSearchEngine:
         return did_you_mean(self.index_dir, word, k=k, min_sim=min_sim,
                             field=field)
 
+    def ts_stat(self, k: int | None = None, *,
+                field: str | None = None) -> pa.Table:
+        """Postgres ``ts_stat`` analog (reference delegates corpus term
+        statistics to PG — SURVEY §2.5 A9): ``(word, ndoc, nentry)`` per
+        dictionary term — document frequency and total occurrences —
+        ordered (nentry DESC, ndoc DESC, word ASC), optionally top-``k``.
+        One pruned scan of the stats the index already maintains (the
+        S5 dictionary carries (term, df, cf); no corpus pass).  ``field``
+        scopes to a field's own posting keys, mirroring ``suggest``."""
+        import pyarrow.compute as pc
+
+        t = pq.read_table(self._dict_paths, columns=["term", "df", "cf"]) \
+            if self._dict_paths else pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "df": pa.array([], type=pa.int64()),
+                 "cf": pa.array([], type=pa.int64())})
+        if field is None:
+            keep = pc.invert(pc.match_substring(t["term"], "\x1f"))
+            t = t.filter(keep)
+            words = t["term"]
+        else:
+            pref = f"{field}\x1f"
+            t = t.filter(pc.starts_with(t["term"], pref))
+            words = pc.utf8_slice_codeunits(t["term"], len(pref))
+        out = pa.table({"word": words,
+                        "ndoc": t["df"].cast(pa.int64()),
+                        "nentry": t["cf"].cast(pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("nentry", "descending"), ("ndoc", "descending"),
+            ("word", "ascending")])
+        out = out.take(idx)
+        return out.slice(0, k) if k is not None else out
+
     def idf_map(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in set(terms) if t not in self._df_cache]
         if missing:

@@ -1678,3 +1678,26 @@ def test_more_like_this(ray_session, tmp_path):
         more_like_this(eng, 40, doc_source=src)
     with _pytest.raises(KeyError, match="not in"):
         more_like_this(eng, 999, doc_source=src)
+
+
+def test_ts_stat_matches_bruteforce(engine, transcripts_table):
+    """ts_stat == brute-force (nentry DESC, ndoc DESC, word ASC) over the
+    analyzer token stream: ndoc = docs containing the word, nentry = total
+    occurrences — PG ts_stat's report, straight from the S5 dictionary."""
+    from collections import Counter
+
+    from project_gutenberg_full_text_search_ray.functions.analyzer import (
+        DEFAULT_ANALYZER)
+
+    ndoc, nentry = Counter(), Counter()
+    for t in transcripts_table["text"].to_pylist():
+        toks = DEFAULT_ANALYZER.tokenize(t or "")
+        ndoc.update(set(toks))
+        nentry.update(toks)
+    exp = sorted(((w, ndoc[w], nentry[w]) for w in ndoc),
+                 key=lambda x: (-x[2], -x[1], x[0]))
+    got = engine.ts_stat(25)
+    assert list(zip(got["word"].to_pylist(), got["ndoc"].to_pylist(),
+                    got["nentry"].to_pylist())) == exp[:25]
+    full = engine.ts_stat()
+    assert full.num_rows == len(ndoc)

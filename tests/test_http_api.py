@@ -500,3 +500,17 @@ def test_prefix_hierarchy_variable_length_values(ray_session, tmp_path):
     assert root["child"].to_pylist() == ["3", "4"]
     assert sum(root["n"].to_pylist()) == 7
     assert eng.prefix_exact_count("code", "") == 0
+
+
+def test_ts_stat_endpoint(server, engine):
+    status, body = _get(server, "/ts_stat?limit=5")
+    assert status == 200
+    assert len(body["stats"]) == 5
+    rows = [(s["nentry"], s["ndoc"]) for s in body["stats"]]
+    assert rows == sorted(rows, reverse=True)
+    # parity with the engine surface
+    t = engine.ts_stat(5)
+    assert [s["word"] for s in body["stats"]] == t["word"].to_pylist()
+    # discoverable from the root feed
+    _, feed = _get(server, "/")
+    assert any(link["rel"] == "ts_stat" for link in feed["links"])
