@@ -3434,16 +3434,20 @@ _DRIVER_ORDER = [
     # rank-packed run counting); tsvector_agg demoted to make room — the
     # (field, term) postings it aggregates are hard-verified end-to-end by
     # field_search's green row
-    # normalize_text (late-r4 canonicalization kernel: unicodedata NFC fast
-    # path + Arrow lower/collapse/trim) promoted in place of regex_extract —
-    # unchanged since its green r3 row, and its re2 kernel family stays
-    # in-window via pii_redact/regex-based fts analyzers
-    "pii_redact", "repetition_scores", "normalize_text",
-    # sliding-window chunking (RAG/long-context prep; list-slice oracle) —
-    # concat_assembly demoted to make room: its CONCAT_WS/html-escape
-    # kernels build the flagship's book_text/esc hydration columns, which
-    # transcripts_flagship and every fts row hash-verify
-    "chunk_docs",
+    # collocations_pmi (NEW r5 kernel: adjacent-pair emission + exact-count
+    # PMI ratio quantization, in-place-scored per-block exact top-k fold)
+    # promoted in place of normalize_text — driver-verified green in r4,
+    # and its canonicalization kernels stay covered: the Arrow
+    # lower/collapse path is the analyzer every FTS oracle routes through,
+    # the re2 family rides pii_redact in-window
+    "pii_redact", "repetition_scores", "collocations_pmi",
+    # line_dedup (NEW r5 kernel: packed (id, idx) first-occurrence winner
+    # selection over a hash128 line groupby + integer-membership rebuild)
+    # promoted in place of chunk_docs — driver-verified green in r4, and
+    # its split→offsets→window-gather idiom stays covered in-window by
+    # sliding_window_counts' overlapping windows and line_dedup's own
+    # split→offsets→ListArray reassembly
+    "line_dedup",
     # similarity search (knn_join = the r4 per-row kNN semi-join kernel,
     # promoted in place of ann_ivf_probeall — whose oracle is by design the
     # SAME SQL as ann_cosine_topk's; knn_join_ivf = the late-r4 per-row
@@ -3560,17 +3564,14 @@ _DRIVER_ORDER = [
     # in-window kernel; the new surface is the windowed hit-count argmax +
     # wrap/join snippet assembly, fully SQL-oracled here
     "headline_snippets",
-    # collocations_pmi: tail slot — the distinct-key counts combiner +
-    # quantized-log2 scoring is lm_quality_scores' in-window kernel class
-    # and the per-block exact top-k fold is grouped_topk's
-    # (topk_per_lang, in-window); only the adjacent-pair emission and the
-    # PMI ratio are new, both SQL-oracled here
-    "collocations_pmi",
-    # line_dedup: tail slot — the hash128 first-occurrence groupby is
-    # dedup_exact's in-window kernel (dedup_exact_apply) and the
-    # broadcast-membership rebuild is frequent_span_scrub's; only the
-    # packed (id, idx) winner key and the reassembly are new, SQL-oracled
-    "line_dedup",
+    # normalize_text: demoted to the tail after its green r4 driver row —
+    # the Arrow lower/collapse canonicalization path is the analyzer every
+    # FTS oracle routes through, the re2 family rides pii_redact in-window
+    "normalize_text",
+    # chunk_docs: demoted to the tail after its green r4 driver row — its
+    # split→offsets→window-gather idiom is hard-verified in-window by
+    # sliding_window_counts and line_dedup's reassembly
+    "chunk_docs",
     # ts_stat_top: tail slot — the same one-dictionary-scan surface
     # dict_df_top hard-verifies in-window, reporting cf alongside df
     "ts_stat_top",

@@ -1122,12 +1122,17 @@ def line_dedup(
     occurrence's packed key ``id·2^20 + idx`` is globally unique, so
     occurrence-is-winner ⇔ packed ∈ winner set, and pass 2 is one
     shuffle-free ``map_batches`` over the original docs — re-split,
-    ``np.isin`` against the broadcast sorted winner array (8 B per
-    distinct line, ``line_cap`` fails loudly instead of broadcasting an
-    unbounded set; above the cap route the membership test through the
-    ``apply_dedup`` anti-join machinery instead), run-length reassembly
-    via ``ListArray.from_arrays`` + ``binary_join``.  A 128-bit hash
-    collision (~n²/2¹²⁸) at worst drops one duplicated-elsewhere line.
+    ``np.isin`` against the sorted winner keys (8 B per distinct line),
+    run-length reassembly via ``ListArray.from_arrays`` +
+    ``binary_join``.  Up to ``line_cap`` winners the sorted key array
+    broadcasts once via ``ray.put``; ABOVE the cap the keys spill to
+    packed-sorted parquet and the corpus is sorted by id instead, so
+    each rebuild batch covers a contiguous packed range and reads only
+    its own row-group-pruned slice of the winner table (the
+    IVF/zone-map pruned-read pattern — nothing winner-set-sized ever
+    concentrates on one node; both routes are row-identical, pytest).
+    A 128-bit hash collision (~n²/2¹²⁸) at worst drops one
+    duplicated-elsewhere line.
 
     Requires a UNIQUE integer id column (a primary key — duplicate ids
     make two occurrences share a packed key, so both would pass the
@@ -1219,19 +1224,39 @@ def line_dedup(
     win_ds = (ds.select_columns([id_col, text_col])
               .map_batches(winners_partial, batch_format="pyarrow")
               .groupby(["__h1", "__h2"])
-              .aggregate(Min("packed", alias_name="packed")))
-    wtabs = [t for t in ray.get(table_refs(win_ds))
-             if t.num_rows and "packed" in t.column_names]
+              .aggregate(Min("packed", alias_name="packed"))
+              .materialize())  # distinct-line-sized aggregate, object store
     packed_schema = pa.schema([("packed", pa.int64())])
-    winners = concat_cast([t.select(["packed"]) for t in wtabs],
-                          packed_schema)
-    if winners.num_rows > line_cap:
-        raise ValueError(
-            f"line_dedup: {winners.num_rows} distinct lines exceed "
-            f"line_cap={line_cap} — raise the cap or apply the "
-            "anti-join route (see docstring)")
-    win_ref = ray.put(np.sort(
-        winners["packed"].to_numpy(zero_copy_only=False).astype(np.int64)))
+    n_winners = win_ds.count()
+    win_ref = None
+    spill: str | None = None
+    if n_winners <= line_cap:
+        wtabs = [t for t in ray.get(table_refs(win_ds))
+                 if t.num_rows and "packed" in t.column_names]
+        winners = concat_cast([t.select(["packed"]) for t in wtabs],
+                              packed_schema)
+        win_ref = ray.put(np.sort(
+            winners["packed"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)))
+    else:
+        # scale path (winner set too big to broadcast): spill the winner
+        # keys SORTED by packed to parquet — row-group min/max stats make
+        # range reads cheap — and sort the corpus by id so each rebuild
+        # batch covers a contiguous packed range and reads only its own
+        # slice of the winner table (the IVF/zone-map pruned-read
+        # pattern; nothing winner-set-sized ever concentrates anywhere).
+        import atexit
+        import shutil
+        import tempfile
+
+        spill = tempfile.mkdtemp(prefix="pgfts_linededup_winners_")
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
+        (win_ds.map_batches(
+            lambda b: pa.table({"packed": b["packed"]}).cast(packed_schema),
+            batch_format="pyarrow")
+         .sort("packed")
+         .write_parquet(spill))
+        ds = ds.sort(id_col)
 
     out_schema = pa.schema([
         (id_col, ds.schema().base_schema.field(id_col).type),
@@ -1241,12 +1266,25 @@ def line_dedup(
         if b.num_rows == 0:
             return out_schema.empty_table()
         ids, values, doc_idx_full, packed, nonempty = _pieces(b)
-        win = ray.get(win_ref)
         keep = nonempty.copy()
         if keep.any():
-            pos = np.searchsorted(win, packed)
-            pos[pos == len(win)] = 0
-            keep &= win[pos] == packed
+            if win_ref is not None:
+                win = ray.get(win_ref)
+            else:
+                import pyarrow.parquet as pq
+
+                lo = int(packed[nonempty].min())
+                hi = int(packed[nonempty].max())
+                win = np.sort(pq.read_table(
+                    spill, columns=["packed"],
+                    filters=[("packed", ">=", lo), ("packed", "<=", hi)],
+                )["packed"].to_numpy(zero_copy_only=False).astype(np.int64))
+            if len(win) == 0:
+                keep[:] = False
+            else:
+                pos = np.searchsorted(win, packed)
+                pos[pos == len(win)] = 0
+                keep &= win[pos] == packed
         kept_vals = values.filter(pa.array(keep))
         counts = np.bincount(doc_idx_full[keep], minlength=b.num_rows) \
             if keep.any() else np.zeros(b.num_rows, dtype=np.int64)

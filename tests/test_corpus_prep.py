@@ -935,11 +935,30 @@ def test_line_dedup_guards(ray_session):
         line_dedup(rd.from_arrow(pa.table({
             "doc_id": pa.array([1 << 50], type=pa.int64()),
             "text": ["x"]})), "text", "doc_id").to_pandas()
-    with pytest.raises(ValueError, match="line_cap"):
-        line_dedup(rd.from_arrow(pa.table({
-            "doc_id": pa.array([1], type=pa.int64()),
-            "text": ["a\nb\nc\nd"]})), "text", "doc_id",
-            line_cap=2).to_pandas()
+
+def test_line_dedup_spill_route_matches_broadcast(ray_session):
+    """Above line_cap the winner keys spill to packed-sorted parquet and
+    rebuild batches read range-pruned slices — row-identical to the
+    broadcast route on the same corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    rng = np.random.default_rng(13)
+    lines = [f"line{i}" for i in range(40)]
+    texts = ["\n".join(rng.choice(lines, size=rng.integers(1, 9)))
+             for _ in range(120)]
+    tab = pa.table({"doc_id": pa.array(range(120), type=pa.int64()),
+                    "text": texts})
+    broad = line_dedup(rd.from_arrow(tab).repartition(9), "text",
+                       "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    spilled = line_dedup(rd.from_arrow(tab).repartition(9), "text",
+                         "doc_id", line_cap=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert broad.equals(spilled)
 
 
 def test_line_dedup_duplicate_and_uint64_ids_raise(ray_session):
