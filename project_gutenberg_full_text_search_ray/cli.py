@@ -19,7 +19,7 @@ the engine-core equivalent here is a command line that owns its Ray session
              | quantiles | kmeans | semdedup | dupspans | lmscore
              | tempsample | pplxbuckets | dsir | snapstore | snapdedup
              | budgetsample | tfidf | esnapstore | esnapdedup
-             | collocations | linededup
+             | collocations | linededup | groupcap
         — training-data pipelines over parquet, streamed to partitioned
         parquet output (never materialized on the driver)
 """
@@ -313,6 +313,12 @@ def _prep(args) -> int:
         out = tfidf_top_terms(
             rd.read_parquet(args.src, columns=[args.id_col, args.text_col]),
             args.text_col, args.id_col, k=args.k, quant=args.quant)
+    elif args.op == "groupcap":
+        from .stages.corpus_prep import group_cap
+
+        out = group_cap(
+            rd.read_parquet(args.src, columns=[args.id_col, args.group_col]),
+            args.group_col, args.id_col, cap=args.cap)
     elif args.op == "linededup":
         from .stages.corpus_prep import line_dedup
 
@@ -484,7 +490,7 @@ def main(argv: list[str] | None = None) -> int:
                                    "tempsample", "pplxbuckets", "dsir",
                                    "snapstore", "snapdedup", "budgetsample",
                                    "tfidf", "esnapstore", "esnapdedup",
-                                   "collocations", "linededup"])
+                                   "collocations", "linededup", "groupcap"])
     pr.add_argument("src", help="input parquet file/dir")
     pr.add_argument("out_dir", help="output directory (partitioned parquet)")
     pr.add_argument("--id-col", default="doc_id")
@@ -570,7 +576,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--n-buckets", type=int, default=8192,
                     help="dsir: hashed feature buckets")
     pr.add_argument("--group-col", default="lang",
-                    help="grouping column (quota)")
+                    help="grouping column (quota/groupcap)")
+    pr.add_argument("--cap", type=int, default=1000,
+                    help="groupcap: max rows kept per group")
     pr.add_argument("--rates", default="en:1.0",
                     help="group:rate,... (quota)")
     pr.add_argument("--default-rate", type=float, default=0.0,

@@ -2551,6 +2551,33 @@ def _tfidf_sql(k: int, quant: int) -> str:
     )
 
 
+_GROUP_CAP = 15  # per-source doc cap shared with the SQL twin (bites at sf0.01: ~25 docs/source)
+
+
+def q_group_cap(sf_dir: str) -> pa.Table:
+    """C4-style per-domain contribution cap (corpus_prep.group_cap): keep
+    at most N docs per source, smallest doc_id first — one (group, id)
+    label sort + O(blocks) boundary fixup, unbounded group cardinality."""
+    from ..stages.corpus_prep import group_cap
+
+    out = group_cap(
+        _docs_ds(sf_dir, ["doc_id", "source"]), "source", "doc_id",
+        cap=_GROUP_CAP,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "source": pa.array(out["source"], type=pa.string())})
+
+
+def _group_cap_sql(cap: int) -> str:
+    """DuckDB twin of group_cap: row_number() per source ordered by id."""
+    return (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+        f"WHERE rn <= {cap} ORDER BY doc_id"
+    )
+
+
 _LINE_SEP = " table "  # sf docs are single-line; a mid-text separator
                        # exercises the real multi-segment dedup path
 
@@ -3249,6 +3276,8 @@ QUERIES_EXTRAS["collocations_pmi"] = q_collocations_pmi
 ORACLE_SQL_EXTRAS["collocations_pmi"] = _collocations_sql(**_COLLOC)
 QUERIES_EXTRAS["line_dedup"] = q_line_dedup
 ORACLE_SQL_EXTRAS["line_dedup"] = _line_dedup_sql(_LINE_SEP)
+QUERIES_EXTRAS["group_cap"] = q_group_cap
+ORACLE_SQL_EXTRAS["group_cap"] = _group_cap_sql(_GROUP_CAP)
 QUERIES_EXTRAS["snapshot_semdedup"] = q_snapshot_semdedup
 ORACLE_SQL_EXTRAS["snapshot_semdedup"] = _snapshot_semdedup_sql(**_SNAP_EMB)
 QUERIES_EXTRAS["mlt_doc"] = q_mlt_doc
@@ -3575,6 +3604,10 @@ _DRIVER_ORDER = [
     # ts_stat_top: tail slot — the same one-dictionary-scan surface
     # dict_df_top hard-verifies in-window, reporting cf alongside df
     "ts_stat_top",
+    # group_cap: tail slot — the sorted-runs + O(blocks) boundary-fixup
+    # machinery is pack_sequences' in-window kernel; only the per-group
+    # rank cut is new, SQL-oracled here (row_number twin)
+    "group_cap",
 ]
 
 _ALL_QUERIES = {**QUERIES_CORE, **QUERIES_EXTRAS, **QUERIES_NESTED}

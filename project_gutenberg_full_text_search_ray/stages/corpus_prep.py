@@ -1302,3 +1302,115 @@ def line_dedup(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         rebuild, batch_format="pyarrow")
+
+
+def group_cap(
+    ds: rd.Dataset, group_col: str, id_col: str, *, cap: int,
+) -> rd.Dataset:
+    """C4-style per-domain contribution cap: keep at most ``cap`` rows per
+    ``group_col`` value, priority = smallest ``id_col`` first — the "no
+    domain may dominate the mix" materializer every crawl pipeline runs
+    (C4 caps pages per domain the same way).  Returns the kept
+    ``(id_col, group_col)`` label set (join/filter it against the corpus
+    like the dedup labels).  NULL groups form their own group (SQL
+    PARTITION BY semantics); ids are assumed unique (doc ids).
+
+    Shape (the pack_sequences sorted-runs discipline): ONE global
+    ``sort(group, id)`` exchange carrying the two label columns only —
+    never text — then two vectorized passes over the materialized sorted
+    blocks: (1) one summary row per block (first/last group, leading/
+    trailing run lengths) → the driver walks the O(blocks) summaries and
+    computes, for each block, how many rows of its FIRST group precede
+    it (only the group straddling a block boundary ever needs
+    continuation — every other group is block-local); (2) per block, one
+    run-boundary pass ranks every row within its group and keeps
+    rank < cap.  No per-group Python anywhere, so group cardinality is
+    unbounded (the grouped_topk driver fold this replaces is bounded by
+    groups × k × blocks)."""
+    import pyarrow.compute as pc
+
+    if cap < 1:
+        raise ValueError("group_cap: cap must be >= 1")
+    sch = ds.schema().base_schema
+    gtype, itype = sch.field(group_col).type, sch.field(id_col).type
+    out_schema = pa.schema([(id_col, itype), (group_col, gtype)])
+
+    # NULL groups sort as their own run under a private key column so Ray's
+    # sort never compares None against values; the real column rides along
+    def keyed(b: pa.Table) -> pa.Table:
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gkey = pc.if_else(pc.is_valid(g),
+                          pc.binary_join_element_wise(
+                              pa.array(["v"] * len(g)), g.cast(pa.string()),
+                              ""),
+                          pa.scalar("\x00null"))
+        return pa.table({"gkey": gkey, id_col: b[id_col],
+                         group_col: g})
+
+    srt = (ds.select_columns([group_col, id_col])
+           .map_batches(keyed, batch_format="pyarrow")
+           .sort(["gkey", id_col])
+           .materialize())  # two label columns per row, consumed twice
+
+    sum_schema = pa.schema([
+        ("first_id", itype), ("first_g", pa.string()),
+        ("last_g", pa.string()), ("lead_n", pa.int64()),
+        ("trail_n", pa.int64()), ("nrows", pa.int64())])
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sum_schema.empty_table()
+        g = np.asarray(b["gkey"].to_pylist(), dtype=object)
+        diff_head = g != g[0]
+        lead = int(np.argmax(diff_head)) if diff_head.any() else len(g)
+        diff_tail = g[::-1] != g[-1]
+        trail = int(np.argmax(diff_tail)) if diff_tail.any() else len(g)
+        return pa.table({
+            "first_id": b[id_col].slice(0, 1),
+            "first_g": pa.array([str(g[0])]),
+            "last_g": pa.array([str(g[-1])]),
+            "lead_n": pa.array([lead], type=pa.int64()),
+            "trail_n": pa.array([trail], type=pa.int64()),
+            "nrows": pa.array([b.num_rows], type=pa.int64())}).cast(
+                sum_schema)
+
+    stabs = [t for t in ray.get(table_refs(
+        srt.map_batches(summarize, batch_size=None, batch_format="pyarrow")))
+        if t.num_rows and "first_g" in t.column_names]
+    offsets: dict = {}
+    if stabs:
+        summ = pa.concat_tables(stabs)
+        # blocks are globally sorted by (gkey, id), so block order is the
+        # lexicographic order of their FIRST (gkey, id) pair — first_id
+        # alone is NOT monotone across group transitions
+        summ = summ.take(pc.sort_indices(summ, sort_keys=[
+            ("first_g", "ascending"), ("first_id", "ascending")])).to_pylist()
+        carry_g, carry = None, 0
+        for s in summ:  # sorted blocks: a group's rows are consecutive
+            off = carry if s["first_g"] == carry_g else 0
+            offsets[s["first_id"]] = off
+            if s["first_g"] == s["last_g"]:
+                carry_g, carry = s["last_g"], off + s["nrows"]
+            else:
+                carry_g, carry = s["last_g"], s["trail_n"]
+    off_ref = ray.put(offsets)
+
+    def rank_filter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = np.asarray(b["gkey"].to_pylist(), dtype=object)
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(g)))
+        rank = np.arange(len(g), dtype=np.int64) - np.repeat(starts, run_len)
+        first_id = b[id_col][0].as_py()
+        rank[: run_len[0]] += ray.get(off_ref).get(first_id, 0)
+        keep = pa.array(rank < cap)
+        return pa.table({id_col: b[id_col].filter(keep),
+                         group_col: b[group_col].filter(keep)}).cast(
+                             out_schema)
+
+    return srt.map_batches(rank_filter, batch_size=None,
+                           batch_format="pyarrow")

@@ -984,3 +984,79 @@ def test_line_dedup_duplicate_and_uint64_ids_raise(ray_session):
         "doc_id": pa.array([2, 1], type=pa.uint64()),
         "text": ["x", "x"]})), "text", "doc_id").to_pandas()
     assert ok["doc_id"].tolist() == [1]
+
+
+def test_line_dedup_idempotent_and_globally_unique(ray_session):
+    """After one pass every distinct line occurs exactly once corpus-wide,
+    so a second pass is the identity — the CCNet-pass semantic contract."""
+    import numpy as np
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    rng = np.random.default_rng(29)
+    lines = [f"line{i}" for i in range(15)]
+    texts = ["\n".join(rng.choice(lines, size=rng.integers(1, 6)))
+             for _ in range(50)]
+    tab = pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                    "text": texts})
+    once = line_dedup(rd.from_arrow(tab), "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # global uniqueness: each distinct line appears exactly once
+    flat = [ln for t in once["text"] for ln in t.split("\n")]
+    assert len(flat) == len(set(flat))
+    # idempotence
+    again = line_dedup(
+        rd.from_arrow(pa.Table.from_pandas(once, preserve_index=False)),
+        "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert once.equals(again)
+
+
+def test_group_cap_exact_and_block_invariant(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        group_cap)
+
+    rng = np.random.default_rng(3)
+    groups = rng.choice(["a", "b", "c", None], size=400).tolist()
+    ids = rng.permutation(400).astype(np.int64)
+    tab = pa.table({"doc_id": pa.array(ids),
+                    "grp": pa.array(groups, type=pa.string())})
+    out = group_cap(rd.from_arrow(tab).repartition(11), "grp", "doc_id",
+                    cap=5).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    # brute force: smallest 5 ids per group (None = its own group)
+    import collections
+    by = collections.defaultdict(list)
+    for i, g in zip(ids.tolist(), groups):
+        by[g].append(i)
+    exp = sorted((i, g) for g, vs in by.items() for i in sorted(vs)[:5])
+    assert list(zip(out["doc_id"], out["grp"].where(out["grp"].notna(),
+                                                    None))) == exp
+    # block-geometry invariance
+    b = group_cap(rd.from_arrow(tab).repartition(2), "grp", "doc_id",
+                  cap=5).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out.equals(b)
+
+
+def test_group_cap_guards_and_edges(ray_session):
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        group_cap)
+
+    with pytest.raises(ValueError, match="cap"):
+        group_cap(rd.from_arrow(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "grp": ["x"]})), "grp", "doc_id", cap=0)
+    # single group spanning every block: only cap rows survive
+    tab = pa.table({"doc_id": pa.array(range(100), type=pa.int64()),
+                    "grp": pa.array(["only"] * 100)})
+    out = group_cap(rd.from_arrow(tab).repartition(10), "grp", "doc_id",
+                    cap=3).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1, 2]
