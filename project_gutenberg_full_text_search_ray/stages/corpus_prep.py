@@ -1103,6 +1103,7 @@ def perplexity_buckets(
 def line_dedup(
     ds: rd.Dataset, text_col: str, id_col: str, *,
     sep: str = "\n", line_cap: int = 10_000_000,
+    spill_dir: str | None = None,
 ) -> rd.Dataset:
     """CCNet-style duplicated-line removal: split every document on the
     LITERAL separator ``sep``, drop each line occurrence that is not the
@@ -1130,8 +1131,14 @@ def line_dedup(
     each rebuild batch covers a contiguous packed range and reads only
     its own row-group-pruned slice of the winner table (the
     IVF/zone-map pruned-read pattern — nothing winner-set-sized ever
-    concentrates on one node; both routes are row-identical, pytest).
-    A 128-bit hash collision (~n²/2¹²⁸) at worst drops one
+    concentrates on the driver; both routes are row-identical, pytest).
+    ``spill_dir`` names where the above-cap winner table lives — on a
+    MULTI-NODE cluster pass a shared path/URI every worker can reach
+    (S3/NFS; Ray's write_parquet and the pruned reads both take URIs);
+    the local-tempdir default is single-node only and is reclaimed at
+    interpreter exit (atexit, the simjoin spill-store contract — pass
+    ``spill_dir`` to manage the lifetime yourself in long-lived
+    drivers).  A 128-bit hash collision (~n²/2¹²⁸) at worst drops one
     duplicated-elsewhere line.
 
     Requires a UNIQUE integer id column (a primary key — duplicate ids
@@ -1241,22 +1248,27 @@ def line_dedup(
     else:
         # scale path (winner set too big to broadcast): spill the winner
         # keys SORTED by packed to parquet — row-group min/max stats make
-        # range reads cheap — and sort the corpus by id so each rebuild
-        # batch covers a contiguous packed range and reads only its own
-        # slice of the winner table (the IVF/zone-map pruned-read
-        # pattern; nothing winner-set-sized ever concentrates anywhere).
-        import atexit
-        import shutil
-        import tempfile
+        # range reads cheap — and sort the (projected) corpus by id so
+        # each rebuild batch covers a contiguous packed range and reads
+        # only its own slice of the winner table (the IVF/zone-map
+        # pruned-read pattern; nothing winner-set-sized ever concentrates
+        # on the driver).  spill_dir must be worker-reachable (docstring).
+        spill = spill_dir
+        if spill is None:
+            import atexit
+            import shutil
+            import tempfile
 
-        spill = tempfile.mkdtemp(prefix="pgfts_linededup_winners_")
-        atexit.register(shutil.rmtree, spill, ignore_errors=True)
+            spill = tempfile.mkdtemp(prefix="pgfts_linededup_winners_")
+            atexit.register(shutil.rmtree, spill, ignore_errors=True)
         (win_ds.map_batches(
             lambda b: pa.table({"packed": b["packed"]}).cast(packed_schema),
             batch_format="pyarrow")
          .sort("packed")
          .write_parquet(spill))
-        ds = ds.sort(id_col)
+        # project BEFORE the sort so the exchange carries only the two
+        # columns the rebuild reads, not every input column
+        ds = ds.select_columns([id_col, text_col]).sort(id_col)
 
     out_schema = pa.schema([
         (id_col, ds.schema().base_schema.field(id_col).type),
@@ -1326,8 +1338,13 @@ def group_cap(
     run-boundary pass ranks every row within its group and keeps
     rank < cap.  No per-group Python anywhere, so group cardinality is
     unbounded (the grouped_topk driver fold this replaces is bounded by
-    groups × k × blocks)."""
+    groups × k × blocks).  Ids must be non-NULL and unique — in-batch
+    duplicates raise (the ``line_dedup`` contract); run boundaries use
+    the Arrow-native ``run_starts_sorted`` kernel (numpy object-vs-scalar
+    string compares truncate trailing NULs — review-confirmed hazard)."""
     import pyarrow.compute as pc
+
+    from ..functions.arrowutil import run_starts_sorted
 
     if cap < 1:
         raise ValueError("group_cap: cap must be >= 1")
@@ -1341,38 +1358,42 @@ def group_cap(
         g = b[group_col]
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
+        ids = b[id_col]
+        if ids.null_count:
+            raise ValueError("group_cap: NULL ids cannot be ordered")
+        if b.num_rows > 1 and len(pc.unique(ids)) != b.num_rows:
+            raise ValueError("group_cap: duplicate ids — per-group ranks "
+                             "need a unique priority key")
         gkey = pc.if_else(pc.is_valid(g),
                           pc.binary_join_element_wise(
                               pa.array(["v"] * len(g)), g.cast(pa.string()),
                               ""),
                           pa.scalar("\x00null"))
-        return pa.table({"gkey": gkey, id_col: b[id_col],
-                         group_col: g})
+        return pa.table({"__gkey": gkey, id_col: ids, group_col: g})
 
     srt = (ds.select_columns([group_col, id_col])
            .map_batches(keyed, batch_format="pyarrow")
-           .sort(["gkey", id_col])
+           .sort(["__gkey", id_col])
            .materialize())  # two label columns per row, consumed twice
 
     sum_schema = pa.schema([
         ("first_id", itype), ("first_g", pa.string()),
-        ("last_g", pa.string()), ("lead_n", pa.int64()),
-        ("trail_n", pa.int64()), ("nrows", pa.int64())])
+        ("last_g", pa.string()), ("trail_n", pa.int64()),
+        ("nrows", pa.int64())])
 
     def summarize(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return sum_schema.empty_table()
-        g = np.asarray(b["gkey"].to_pylist(), dtype=object)
-        diff_head = g != g[0]
-        lead = int(np.argmax(diff_head)) if diff_head.any() else len(g)
-        diff_tail = g[::-1] != g[-1]
-        trail = int(np.argmax(diff_tail)) if diff_tail.any() else len(g)
+        g = b["__gkey"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = run_starts_sorted(g)
         return pa.table({
             "first_id": b[id_col].slice(0, 1),
-            "first_g": pa.array([str(g[0])]),
-            "last_g": pa.array([str(g[-1])]),
-            "lead_n": pa.array([lead], type=pa.int64()),
-            "trail_n": pa.array([trail], type=pa.int64()),
+            "first_g": g.slice(0, 1),
+            "last_g": g.slice(b.num_rows - 1, 1),
+            "trail_n": pa.array([b.num_rows - int(starts[-1])],
+                                type=pa.int64()),
             "nrows": pa.array([b.num_rows], type=pa.int64())}).cast(
                 sum_schema)
 
@@ -1400,11 +1421,13 @@ def group_cap(
     def rank_filter(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return out_schema.empty_table()
-        g = np.asarray(b["gkey"].to_pylist(), dtype=object)
-        new = np.r_[True, g[1:] != g[:-1]]
-        starts = np.flatnonzero(new)
-        run_len = np.diff(np.append(starts, len(g)))
-        rank = np.arange(len(g), dtype=np.int64) - np.repeat(starts, run_len)
+        g = b["__gkey"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        starts = run_starts_sorted(g)
+        run_len = np.diff(np.append(starts, b.num_rows))
+        rank = (np.arange(b.num_rows, dtype=np.int64)
+                - np.repeat(starts, run_len))
         first_id = b[id_col][0].as_py()
         rank[: run_len[0]] += ray.get(off_ref).get(first_id, 0)
         keep = pa.array(rank < cap)

@@ -1060,3 +1060,39 @@ def test_group_cap_guards_and_edges(ray_session):
     out = group_cap(rd.from_arrow(tab).repartition(10), "grp", "doc_id",
                     cap=3).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [0, 1, 2]
+
+
+def test_group_cap_nul_suffix_groups_and_guards(ray_session):
+    """Regression (review-confirmed): numpy object-vs-scalar string
+    compares truncate trailing NULs, so a group value ending in '\\x00'
+    used to break the boundary carry.  Arrow-native run boundaries must
+    count it exactly; NULL / duplicate ids raise."""
+    import numpy as np
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        group_cap)
+
+    rng = np.random.default_rng(19)
+    opts = ["a", "aa", "a\x00"]  # NOT rng.choice — numpy <U2 strips \x00
+    groups = [opts[i] for i in rng.integers(0, 3, size=300)]
+    ids = rng.permutation(300).astype(np.int64)
+    tab = pa.table({"doc_id": pa.array(ids),
+                    "grp": pa.array(groups, type=pa.string())})
+    out = group_cap(rd.from_arrow(tab).repartition(17), "grp", "doc_id",
+                    cap=8).to_pandas()
+    import collections
+    by = collections.defaultdict(list)
+    for i, g in zip(ids.tolist(), groups):
+        by[g].append(i)
+    exp = sorted((i, g) for g, vs in by.items() for i in sorted(vs)[:8])
+    got = sorted(zip(out["doc_id"], out["grp"]))
+    assert got == exp and len(got) == 24
+    with pytest.raises(Exception, match="NULL ids"):
+        group_cap(rd.from_arrow(pa.table({
+            "doc_id": pa.array([None], type=pa.int64()),
+            "grp": ["x"]})), "grp", "doc_id", cap=1).to_pandas()
+    with pytest.raises(Exception, match="duplicate ids"):
+        group_cap(rd.from_arrow(pa.table({
+            "doc_id": pa.array([3, 3], type=pa.int64()),
+            "grp": ["x", "x"]})), "grp", "doc_id", cap=1).to_pandas()
