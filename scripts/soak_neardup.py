@@ -257,6 +257,25 @@ def run_linededup_scale(tag: str, sf_dir: str) -> dict:
     return out
 
 
+def run_groupcap_scale(tag: str, sf_dir: str) -> dict:
+    """group_cap soak: one (group, id) label sort + O(blocks) fixup."""
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        group_cap)
+
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(doc_src).metadata.num_rows
+    import ray.data as rd
+
+    out: dict = {"scale": tag, "op": "group_cap", "n_docs": n}
+    t0 = time.time()
+    res = group_cap(rd.read_parquet(doc_src, columns=["doc_id", "source"]),
+                    "source", "doc_id", cap=15).materialize()
+    out["group_cap_sec"] = round(time.time() - t0, 2)
+    out["rows_kept"] = res.count()
+    out["canary_sort_sec"] = canary()
+    return out
+
+
 def run_colloc_scale(tag: str, sf_dir: str) -> dict:
     """collocations_pmi soak: one counts exchange + in-place scored
     top-k fold at the registered query's parameters."""
@@ -324,7 +343,8 @@ def main() -> None:
     results = []
     # synthesize the 10x doc corpus only for the ops that read it
     sf1_dir = gen_sf1() if ops_set & {"ngram", "simjoin", "snapshot",
-                                      "linededup", "colloc"} else None
+                                      "linededup", "colloc",
+                                      "groupcap"} else None
     scales = ([] if "--skip-sf01" in sys.argv else [("sf0.1", SF01)]) + \
         [("sf1_synth_10x", sf1_dir)]
     if "ngram" in ops_set:
@@ -346,6 +366,10 @@ def main() -> None:
     if "colloc" in ops_set:
         for tag, d in scales:
             results.append(run_colloc_scale(tag, d))
+            print(json.dumps(results[-1]), flush=True)
+    if "groupcap" in ops_set:
+        for tag, d in scales:
+            results.append(run_groupcap_scale(tag, d))
             print(json.dumps(results[-1]), flush=True)
     if "semdedup" in ops_set:
         emb10 = gen_sf1_embeddings()
