@@ -1701,3 +1701,29 @@ def test_ts_stat_matches_bruteforce(engine, transcripts_table):
                     got["nentry"].to_pylist())) == exp[:25]
     full = engine.ts_stat()
     assert full.num_rows == len(ndoc)
+
+
+def test_ts_stat_field_scoped(ray_session):
+    """Field scope: stats come from the field's own posting keyspace with
+    the prefix stripped, and a term's field-scoped counts can't exceed its
+    whole-text counts (head = first 8 tokens only)."""
+    from project_gutenberg_full_text_search_ray.pipelines.driver_api import (
+        ensure_head_field_index,
+    )
+
+    eng = ensure_head_field_index(SF)
+    scoped = eng.ts_stat(15, field="head")
+    assert scoped.num_rows > 0
+    words = scoped["word"].to_pylist()
+    assert all("\x1f" not in w and not w.startswith("head") for w in words)
+    full = eng.ts_stat()
+    fmap = {w: (nd, ne) for w, nd, ne in zip(
+        full["word"].to_pylist(), full["ndoc"].to_pylist(),
+        full["nentry"].to_pylist())}
+    for w, nd, ne in zip(words, scoped["ndoc"].to_pylist(),
+                         scoped["nentry"].to_pylist()):
+        assert ne >= nd > 0
+        fnd, fne = fmap[w]
+        assert nd <= fnd and ne <= fne
+    # the unscoped report must not leak field-scoped posting keys
+    assert all("\x1f" not in w for w in full["word"].to_pylist())
