@@ -1096,3 +1096,28 @@ def test_group_cap_nul_suffix_groups_and_guards(ray_session):
         group_cap(rd.from_arrow(pa.table({
             "doc_id": pa.array([3, 3], type=pa.int64()),
             "grp": ["x", "x"]})), "grp", "doc_id", cap=1).to_pandas()
+
+
+def test_line_dedup_explicit_spill_dir(ray_session, tmp_path):
+    """spill_dir: caller-managed winner-table location (the multi-node
+    shared-path contract) — used, row-identical, left for the caller."""
+    import os
+
+    import ray.data as rd
+
+    from project_gutenberg_full_text_search_ray.stages.corpus_prep import (
+        line_dedup)
+
+    tab = pa.table({"doc_id": pa.array(range(20), type=pa.int64()),
+                    "text": [f"u{i}\nshared" for i in range(20)]})
+    spill = str(tmp_path / "winners")
+    out = line_dedup(rd.from_arrow(tab), "text", "doc_id",
+                     line_cap=3, spill_dir=spill).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 21 distinct lines > cap → the spill route ran and used our dir
+    assert os.path.isdir(spill) and os.listdir(spill)
+    ref = line_dedup(rd.from_arrow(tab), "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(ref)
+    assert out["text"].tolist()[0] == "u0\nshared"
+    assert "shared" not in out["text"].tolist()[1]
