@@ -600,3 +600,51 @@ def test_cli_prep_snapstore_snapdedup(ray_session, tmp_path):
 
     # missing --old-store is a loud usage error
     assert main(["prep", "snapdedup", new, str(tmp_path / "x")]) == 2
+
+
+def test_cli_prep_r5_late_ops(ray_session, tmp_path):
+    """`prep collocations | linededup | groupcap` run parquet→parquet end
+    to end with the documented knobs."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from project_gutenberg_full_text_search_ray.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        "text": [f"new york city item{i} | new york" for i in range(30)],
+        "source": pa.array([f"s{i % 3}" for i in range(30)]),
+    }), docs)
+
+    out1 = str(tmp_path / "colloc_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["prep", "collocations", docs, out1,
+                   "--k", "5", "--min-count", "2"])
+    assert rc == 0 and _json.loads(buf.getvalue())["files"] >= 1
+    t = pq.read_table(out1)
+    pairs = list(zip(t["w1"].to_pylist(), t["w2"].to_pylist()))
+    assert ("new", "york") in pairs
+
+    out2 = str(tmp_path / "ld_out")
+    with redirect_stdout(io.StringIO()):
+        rc = main(["prep", "linededup", docs, out2, "--sep", " | "])
+    assert rc == 0
+    t = pq.read_table(out2).to_pandas().set_index("doc_id")["text"]
+    assert t[0] == "new york city item0 | new york"
+    assert t[1] == "new york city item1"  # trailing dup line removed
+
+    out3 = str(tmp_path / "gc_out")
+    with redirect_stdout(io.StringIO()):
+        rc = main(["prep", "groupcap", docs, out3,
+                   "--group-col", "source", "--cap", "4"])
+    assert rc == 0
+    t = pq.read_table(out3)
+    import collections
+    c = collections.Counter(t["source"].to_pylist())
+    assert t.num_rows == 12 and max(c.values()) == 4
